@@ -1,0 +1,259 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.io.Tables
+
+/** SURVEY §2.2 (projections/filters), §2.4 (aggregations), §2.5 (windows),
+  * §2.6 (sorts/limits), §2.7 (set ops) re-expressed over the driver corpus.
+  *
+  * Each query keeps Catalyst fully declarative: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), aggregates are
+  * hash-aggregates with map-side partials, and money arithmetic is
+  * DECIMAL(18,2) end-to-end so results are bit-stable across engines
+  * (cf. SURVEY §4: "decimal (not double) arithmetic for amount").
+  */
+object RelationalCatalog {
+  private val D = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- A1/A3-family + P12 casts: the flagship pricing summary ----------
+    QueryDef(
+      "q1_pricing_summary",
+      "SURVEY §2.4 A1/A3 grouped SUM over casted NUMERIC (stg_simplefin.sql:30 cast; notebooks 00 cell 6)",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+      """)) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- P1 + §2.7 union: schema-align projection then UNION ALL by name --
+    QueryDef(
+      "p1_schema_align_union",
+      "SURVEY §2.2 P1 schema-align + §2.7 unionByName (int_trxns.sql:13-71)",
+      Some("""
+        SELECT CAST(o_orderkey AS VARCHAR) AS txn_id,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+               CAST(o_orderdate AS DATE) AS txn_date,
+               o_orderpriority AS category,
+               CAST(NULL AS VARCHAR) AS detail,
+               'orders' AS source_name
+        FROM orders
+        UNION ALL
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS txn_id,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+               CAST(l_shipdate AS DATE) AS txn_date,
+               l_returnflag AS category,
+               l_linestatus AS detail,
+               'lineitem' AS source_name
+        FROM lineitem
+      """)) { (spark, dir) =>
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("string").as("txn_id"),
+        col("o_totalprice").cast(D).as("amount"),
+        col("o_orderdate").cast("date").as("txn_date"),
+        col("o_orderpriority").as("category"),
+        lit(null).cast("string").as("detail"),
+        lit("orders").as("source_name"))
+      val l = Tables.lineitem(spark, dir).select(
+        concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")).as("txn_id"),
+        col("l_extendedprice").cast(D).as("amount"),
+        col("l_shipdate").cast("date").as("txn_date"),
+        col("l_returnflag").as("category"),
+        col("l_linestatus").as("detail"),
+        lit("lineitem").as("source_name"))
+      o.unionByName(l)
+    },
+
+    // ---- P2/J3: data-driven ILIKE exclusion anti-join ---------------------
+    QueryDef(
+      "p2_exclusion_antijoin",
+      "SURVEY §2.2 P2 / §2.3 J3 NOT EXISTS ILIKE anti-join (stg_simplefin.sql:51-55); pattern table broadcast",
+      Some("""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (VALUES ('%green%'), ('%metallic%'), ('%PROMO%')) AS excl(pattern)
+          WHERE p_name ILIKE excl.pattern OR p_type ILIKE excl.pattern)
+      """)) { (spark, dir) =>
+      val patterns = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("%green%"),
+          org.apache.spark.sql.Row("%metallic%"), org.apache.spark.sql.Row("%PROMO%")),
+        StructType(Seq(StructField("pattern", StringType))))
+      Tables.part(spark, dir)
+        .join(broadcast(patterns),
+          ilike(col("p_name"), col("pattern")) || ilike(col("p_type"), col("pattern")),
+          "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+    },
+
+    // ---- P4: keyword regex flags -----------------------------------------
+    QueryDef(
+      "p4_keyword_flags",
+      "SURVEY §2.2 P4 nine ~*-regex keyword flags (int_trxns_features.sql:66-109); PG ~* → (?i) rlike",
+      Some("""
+        SELECT p_partkey,
+               CASE WHEN regexp_matches(lower(COALESCE(p_name,'')), 'green|olive|forest') THEN 1 ELSE 0 END AS has_green,
+               CASE WHEN regexp_matches(lower(COALESCE(p_name,'')), 'steel|metallic|copper|brass') THEN 1 ELSE 0 END AS has_metal,
+               CASE WHEN regexp_matches(lower(COALESCE(p_type,'')), 'promo|economy') THEN 1 ELSE 0 END AS has_promo,
+               CASE WHEN regexp_matches(lower(COALESCE(p_type,'')), 'brushed|polished') THEN 1 ELSE 0 END AS has_finish,
+               CASE WHEN regexp_matches(lower(COALESCE(p_brand,'')), 'brand#1|brand#2') THEN 1 ELSE 0 END AS has_brand12
+        FROM part
+      """)) { (spark, dir) =>
+      def flag(c: String, re: String, out: String) =
+        when(lower(coalesce(col(c), lit(""))).rlike(re), 1).otherwise(0).as(out)
+      Tables.part(spark, dir).select(
+        col("p_partkey"),
+        flag("p_name", "green|olive|forest", "has_green"),
+        flag("p_name", "steel|metallic|copper|brass", "has_metal"),
+        flag("p_type", "promo|economy", "has_promo"),
+        flag("p_type", "brushed|polished", "has_finish"),
+        flag("p_brand", "brand#1|brand#2", "has_brand12"))
+    },
+
+    // ---- P5: date-part features with the Monday=0 remap -------------------
+    QueryDef(
+      "p5_date_features",
+      "SURVEY §2.2 P5 extract(dow/month/day) with PG-Sunday0 → pandas-Monday0 remap (int_trxns_features.sql:37-49)",
+      Some("""
+        SELECT o_orderkey,
+               (dayofweek(o_orderdate) + 6) % 7 AS day_of_week,
+               month(o_orderdate) AS month,
+               dayofmonth(o_orderdate) AS day_of_month
+        FROM orders
+      """)) { (spark, dir) =>
+      // Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0.
+      // Both remapped to Monday=0..Sunday=6 (the reference's pandas convention).
+      Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        ((dayofweek(col("o_orderdate")) + 5) % 7).as("day_of_week"),
+        month(col("o_orderdate")).as("month"),
+        dayofmonth(col("o_orderdate")).as("day_of_month"))
+    },
+
+    // ---- P6: amount bucketing incl. the null branch -----------------------
+    QueryDef(
+      "p6_amount_bucket",
+      "SURVEY §2.2 P6 is_negative / abs / 6-way CASE bucket with null→5 (int_trxns_features.sql:52-63)",
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN amt < 0 THEN 1 ELSE 0 END AS is_negative,
+               abs(amt) AS amount_abs,
+               CASE WHEN amt IS NULL THEN 5
+                    WHEN abs(amt) <= 1000 THEN 0
+                    WHEN abs(amt) <= 50000 THEN 1
+                    WHEN abs(amt) <= 150000 THEN 2
+                    WHEN abs(amt) <= 300000 THEN 3
+                    ELSE 4 END AS amount_bucket
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS amt
+              FROM orders)
+      """)) { (spark, dir) =>
+      val amt = when(col("o_orderstatus") === "P", lit(null).cast(D))
+        .otherwise(col("o_totalprice").cast(D))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), amt.as("amt"))
+        .select(
+          col("o_orderkey"),
+          when(col("amt") < 0, 1).otherwise(0).as("is_negative"),
+          abs(col("amt")).as("amount_abs"),
+          when(col("amt").isNull, 5)
+            .when(abs(col("amt")) <= 1000, 0)
+            .when(abs(col("amt")) <= 50000, 1)
+            .when(abs(col("amt")) <= 150000, 2)
+            .when(abs(col("amt")) <= 300000, 3)
+            .otherwise(4).as("amount_bucket"))
+    },
+
+    // ---- P7: null-safe text concatenation ---------------------------------
+    QueryDef(
+      "p7_text_concat",
+      "SURVEY §2.2 P7 coalesce-to-'' || concat (int_trxns_features.sql:32-34)",
+      Some("""
+        SELECT s_suppkey,
+               COALESCE(s_name,'') || ' ' || COALESCE(CAST(s_nationkey AS VARCHAR),'') AS combined_text
+        FROM supplier
+      """)) { (spark, dir) =>
+      Tables.supplier(spark, dir).select(
+        col("s_suppkey"),
+        concat(coalesce(col("s_name"), lit("")), lit(" "),
+          coalesce(col("s_nationkey").cast("string"), lit(""))).as("combined_text"))
+    },
+
+    // ---- P13+W2: MD5 surrogate keys with duplicate-row numbering ----------
+    QueryDef(
+      "p13_surrogate_key",
+      "SURVEY §2.2 P13 'HIST_TRN_'||MD5(base||rn) + §2.5 W2 duplicate numbering (stg_historic_trxns.sql:26-60)",
+      Some("""
+        SELECT 'HIST_TRN_' || md5(base_id || CAST(rn AS VARCHAR)) AS transaction_id,
+               base_id
+        FROM (
+          SELECT base_id,
+                 ROW_NUMBER() OVER (PARTITION BY base_id ORDER BY l_linenumber, l_partkey) AS rn
+          FROM (SELECT CAST(l_orderkey AS VARCHAR) || '|' || l_returnflag AS base_id,
+                       l_linenumber, l_partkey
+                FROM lineitem))
+      """)) { (spark, dir) =>
+      val base = Tables.lineitem(spark, dir).select(
+        concat(col("l_orderkey").cast("string"), lit("|"), col("l_returnflag")).as("base_id"),
+        col("l_linenumber"), col("l_partkey"))
+      val w = Window.partitionBy(col("base_id")).orderBy(col("l_linenumber"), col("l_partkey"))
+      base.withColumn("rn", row_number().over(w))
+        .select(
+          concat(lit("HIST_TRN_"), md5(concat(col("base_id"), col("rn").cast("string")))).as("transaction_id"),
+          col("base_id"))
+    },
+
+    // ---- P14: trailing-mask regex normalization ---------------------------
+    QueryDef(
+      "p14_name_normalize",
+      "SURVEY §2.2 P14 regexp_replace(btrim(name),'\\s*\\([0-9]+\\)\\s*$','') (stg_simplefin.sql:79-84)",
+      Some("""
+        SELECT s_suppkey,
+               regexp_replace(trim(s_name || ' (' || CAST(s_suppkey % 100 AS VARCHAR) || ')'),
+                              '\s*\([0-9]+\)\s*$', '') AS clean_name
+        FROM supplier
+      """)) { (spark, dir) =>
+      // Synthesize the " (1234)" account-mask suffix the reference strips.
+      val masked = concat(col("s_name"), lit(" ("), (col("s_suppkey") % 100).cast("string"), lit(")"))
+      Tables.supplier(spark, dir).select(
+        col("s_suppkey"),
+        regexp_replace(trim(masked), "\\s*\\([0-9]+\\)\\s*$", "").as("clean_name"))
+    },
+
+    // ---- P15/P16: ILIKE search + view-mode predicate gating ---------------
+    QueryDef(
+      "p15_search_filter",
+      "SURVEY §2.2 P15 %term% ILIKE search + P16 confidence gating combinators (transaction_service.py:167-192)",
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderpriority ILIKE '%urgent%'
+          AND (o_totalprice IS NULL OR o_totalprice >= 1000.0)
+          AND o_orderstatus <> 'P'
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").ilike("%urgent%")
+          && (col("o_totalprice").isNull || col("o_totalprice") >= 1000.0)
+          && col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    })
+}
