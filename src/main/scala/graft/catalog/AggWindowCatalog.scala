@@ -1,0 +1,271 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** SURVEY §2.4 aggregations, §2.5 windows, §2.6 sorts/limits.
+  *
+  * All aggregates are partial-aggregation-friendly (plain hash aggregates);
+  * window dedups shuffle exactly once on their partition key. Money sums are
+  * DECIMAL(18,2) (SURVEY §4d).
+  */
+object AggWindowCatalog {
+  private val D = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- A1/A2: monthly net with category-exclusion + date filter ---------
+    QueryDef(
+      "a2_monthly_net",
+      "SURVEY §2.4 A1/A2 GROUP BY date_trunc('month') SUM with NOT IN category filter (02_net_change_by_month.ipynb)",
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net_amount
+        FROM orders
+        WHERE o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
+          AND o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .filter(!col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+          && col("o_orderdate") >= lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice").cast(D)).as("net_amount"))
+    },
+
+    // ---- A3: yearly net by category ---------------------------------------
+    QueryDef(
+      "a3_yearly_by_category",
+      "SURVEY §2.4 A3 groupby(year, category).sum (01_m_and_a_charts.ipynb)",
+      Some("""
+        SELECT year(o_orderdate) AS year,
+               o_orderpriority AS category,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(year(col("o_orderdate")).as("year"), col("o_orderpriority").as("category"))
+        .agg(sum(col("o_totalprice").cast(D)).as("total"))
+    },
+
+    // ---- A4: pivot period × category with fill 0 --------------------------
+    QueryDef(
+      "a4_pivot_year_status",
+      "SURVEY §2.4 A4 pivot_table(index=year, columns=category, fill_value=0) (00 nb cell 8, 01 cell 5)",
+      Some("""
+        SELECT year(o_orderdate) AS year,
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "F",
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "O",
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "P"
+        FROM orders
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val pivoted = Tables.orders(spark, dir)
+        .groupBy(year(col("o_orderdate")).as("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))   // value list given → no extra scan
+        .agg(sum(col("o_totalprice").cast(D)))
+      pivoted.na.fill(0, Seq("F", "O", "P"))
+    },
+
+    // ---- A4 quarterly variant ---------------------------------------------
+    QueryDef(
+      "a4_quarterly_pivot",
+      "SURVEY §2.4 A4 to_period('Q') quarterly bucketing (01 nb cell 11)",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+               o_orderstatus AS category,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(
+          concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+            quarter(col("o_orderdate")).cast("string")).as("quarter"),
+          col("o_orderstatus").as("category"))
+        .agg(sum(col("o_totalprice").cast(D)).as("total"))
+    },
+
+    // ---- A5/W6: cumulative sum over ordered months ------------------------
+    QueryDef(
+      "a5_cumulative_savings",
+      "SURVEY §2.4 A5 / §2.5 W6 running total over monthly net (02 nb cell 8)",
+      Some("""
+        SELECT month,
+               net,
+               SUM(net) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative
+        FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net
+              FROM orders GROUP BY 1)
+      """)) { (spark, dir) =>
+      val monthly = Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice").cast(D)).as("net"))
+      // Single-partition window is fine: cardinality = #months, tiny by
+      // construction; the heavy lifting happened in the distributed groupBy.
+      val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.select(col("month"), col("net"), sum(col("net")).over(w).as("cumulative"))
+    },
+
+    // ---- A6/A7: per-entity health stats ------------------------------------
+    QueryDef(
+      "a6_account_health",
+      "SURVEY §2.4 A6/A7 per-account MIN/MAX/COUNT freshness stats (control_center.py:77-128)",
+      Some("""
+        SELECT o_custkey,
+               MIN(CAST(o_orderdate AS DATE)) AS first_date,
+               MAX(CAST(o_orderdate AS DATE)) AS last_date,
+               COUNT(*) AS txn_count,
+               COUNT(DISTINCT o_orderstatus) AS status_count
+        FROM orders
+        GROUP BY o_custkey
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderdate").cast("date")).as("first_date"),
+          max(col("o_orderdate").cast("date")).as("last_date"),
+          count(lit(1)).as("txn_count"),
+          countDistinct(col("o_orderstatus")).as("status_count"))
+    },
+
+    // ---- A8: pagination count twin -----------------------------------------
+    QueryDef(
+      "a8_filtered_count",
+      "SURVEY §2.4 A8 COUNT(*) twin of a filtered page query (transaction_service.py:205-207)",
+      Some("""
+        SELECT COUNT(*) AS total
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 25
+      """)) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        .agg(count(lit(1)).as("total"))
+    },
+
+    // ---- A9: DISTINCT category list ----------------------------------------
+    QueryDef(
+      "a9_distinct_categories",
+      "SURVEY §2.4 A9 DISTINCT category lists (category_service.py:13-31)",
+      Some("""
+        SELECT DISTINCT o_orderpriority AS category
+        FROM orders
+        WHERE o_orderstatus <> 'P'
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") =!= "P")
+        .select(col("o_orderpriority").as("category"))
+        .distinct()
+    },
+
+    // ---- A10: label distribution -------------------------------------------
+    QueryDef(
+      "a10_class_distribution",
+      "SURVEY §2.4 A10 value_counts / min-per-class gate (classifier_train.py:174-182)",
+      Some("""
+        SELECT label, COUNT(*) AS n
+        FROM embeddings
+        GROUP BY label
+      """)) { (spark, dir) =>
+      Tables.embeddings(spark, dir).groupBy(col("label")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- W1/W5: latest-row dedup via row_number ----------------------------
+    QueryDef(
+      "w1_latest_dedup",
+      "SURVEY §2.5 W1/W5 row_number() PARTITION BY id ORDER BY ts DESC keep rn=1 (stg_simplefin.sql:39-42, stg_predictions.sql:17-24)",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        FROM (SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                                 l_extendedprice DESC, l_partkey DESC) AS rn
+              FROM lineitem)
+        WHERE rn = 1
+      """)) { (spark, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
+      // the ORDER BY must be a total order or the kept row is nondeterministic.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+          col("l_extendedprice").desc, col("l_partkey").desc)
+      Tables.lineitem(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_extendedprice"))
+    },
+
+    // ---- W3+W4: the two-step reconnection dedup ----------------------------
+    QueryDef(
+      "w3w4_reconnection_dedup",
+      "SURVEY §2.5 W3+W4 max-over-partition then dense_rank keep rank=1: drop cross-account re-imports, keep legit same-key repeats (stg_simplefin.sql:86-138)",
+      Some("""
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_shipdate
+        FROM (
+          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_shipdate,
+                 DENSE_RANK() OVER (PARTITION BY l_orderkey, l_partkey
+                                    ORDER BY last_seen DESC, l_suppkey) AS rk
+          FROM (
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_shipdate,
+                   MAX(l_shipdate) OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey) AS last_seen
+            FROM lineitem))
+        WHERE rk = 1
+      """)) { (spark, dir) =>
+      // Logical txn key = (orderkey, partkey); "account_id" analog = suppkey;
+      // "import ts" = shipdate. Step 1 (W3): newest sighting per (key, account).
+      // Step 2 (W4): dense_rank keeps ALL rows of the winning account —
+      // deliberately preserving legitimate duplicates within it — and drops
+      // re-imports under other accounts. Both windows share the (orderkey,
+      // partkey) prefix, so Catalyst plans ONE exchange for the two sorts.
+      val w3 = Window.partitionBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val w4 = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+        .orderBy(col("last_seen").desc, col("l_suppkey"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_shipdate"))
+        .withColumn("last_seen", max(col("l_shipdate")).over(w3))
+        .withColumn("rk", dense_rank().over(w4))
+        .filter(col("rk") === 1)
+        .drop("last_seen", "rk")
+    },
+
+    // ---- O1/O2: whitelisted sort + NULLS LAST + offset/limit pagination ----
+    QueryDef(
+      "o1_sorted_page",
+      "SURVEY §2.6 O1/O2 dynamic sort, explicit NULLS LAST, LIMIT/OFFSET page (transaction_service.py:196-213)",
+      Some("""
+        SELECT o_orderkey, sort_amt
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS sort_amt
+              FROM orders)
+        ORDER BY sort_amt DESC NULLS LAST, o_orderkey
+        LIMIT 50 OFFSET 100
+      """)) { (spark, dir) =>
+      // PG `DESC NULLS LAST` made explicit (Spark desc default is nulls-last,
+      // but asc default is nulls-FIRST — always spell it out, SURVEY §4b).
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast(D))
+            .otherwise(col("o_totalprice").cast(D)).as("sort_amt"))
+        .orderBy(col("sort_amt").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+        .offset(100).limit(50)
+    },
+
+    // ---- O3: top-1 latest row ---------------------------------------------
+    QueryDef(
+      "o3_latest_model",
+      "SURVEY §2.6 O3 ORDER BY ts DESC LIMIT 1 active-model pick (classifier_predict.py:33-84)",
+      Some("""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    })
+}

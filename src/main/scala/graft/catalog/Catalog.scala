@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The full driver-facing inventory: SURVEY §2 parity ops + scale extensions. */
 object Catalog {
   def defs: Seq[QueryDef] =
-    RelationalCatalog.all
+    RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
