@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The full driver-facing inventory: SURVEY §2 parity ops + scale extensions. */
 object Catalog {
   def defs: Seq[QueryDef] =
-    RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all
+    RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all ++
+      DedupCatalog.all ++ TextCatalog.all ++ EventsCatalog.all ++ SimilarityCatalog.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -1,0 +1,180 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Document-deduplication operators for the training-data-pipeline extension
+  * (north star, SURVEY §7.1 step 8): exact hash dedup, MinHash+LSH banding,
+  * n-gram Jaccard verification, SimHash signatures.
+  *
+  * Shingling, hashing, and band construction are pure `functions._`
+  * higher-order expressions (no UDFs, fully codegen'd). Hash values are MD5
+  * hex strings; a lexicographic MIN over fixed-width lowercase hex equals the
+  * numeric MIN, and MD5 is byte-identical across engines, which is what makes
+  * these oracle-checkable bit-for-bit in DuckDB.
+  *
+  * Scale notes (100 TB): every step is a groupBy/join on a derived key —
+  * shuffle-partitionable with no driver-side state. The LSH band join
+  * (d2) is the scale path: candidate generation cost is O(docs × bands),
+  * never O(docs²); d3's exact-Jaccard join is the *verify* stage you run on
+  * LSH candidates, shown standalone here because the corpus is small.
+  */
+object DedupCatalog {
+
+  /** Whitespace tokens of lowercased text. */
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct word 3-gram shingles; empty array when the doc has <3 tokens
+    * (sequence(1,0) in Spark would yield a DESCENDING range, not empty). */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Same shingling in DuckDB SQL (1-based list indexing, range upper-exclusive). */
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |       unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- D1: exact dedup by content hash ----------------------------------
+    QueryDef(
+      "d1_exact_dedup",
+      "North-star dedup: exact duplicate grouping by md5(normalized text); canonical id = min per group",
+      Some("""
+        SELECT d.doc_id,
+               g.canonical_id,
+               g.dup_count
+        FROM documents d
+        JOIN (SELECT md5(lower(trim(text))) AS h,
+                     MIN(doc_id) AS canonical_id,
+                     COUNT(*) AS dup_count
+              FROM documents GROUP BY 1) g
+          ON md5(lower(trim(d.text))) = g.h
+      """)) { (spark, dir) =>
+      val d = Tables.documents(spark, dir).withColumn("h", md5(lower(trim(col("text")))))
+      val groups = d.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      d.join(groups, Seq("h"))
+        .select(col("doc_id"), col("canonical_id"), col("dup_count"))
+    },
+
+    // ---- D2: MinHash + LSH banding candidate pairs ------------------------
+    QueryDef(
+      "d2_minhash_lsh_candidates",
+      "North-star dedup: MinHash (9 seeds) → 3 LSH bands of 3 → bucket-join candidate pairs; O(docs×bands), never O(docs²)",
+      Some(s"""
+        WITH $shinglesSql,
+        shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+        mh AS (
+          SELECT doc_id,
+                 list_transform(range(0, 9),
+                   s -> list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS mhs
+          FROM shl),
+        bands AS (
+          SELECT doc_id, b, md5(mhs[b*3+1] || mhs[b*3+2] || mhs[b*3+3]) AS band_hash
+          FROM mh, unnest(range(0, 3)) AS t(b))
+        SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+      """)) { (spark, dir) =>
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      // 9 minhashes per doc: min over md5("seed|shingle"), computed inside
+      // one codegen'd projection — no shuffle until the band join.
+      val mhs = sh.select(col("doc_id"),
+        transform(sequence(lit(0), lit(8)),
+          s => array_min(transform(col("shingles"),
+            x => md5(concat(s.cast("string"), lit("|"), x))))).as("mhs"))
+      val bands = mhs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(2)),
+            b => md5(concat(
+              element_at(col("mhs"), b * 3 + 1),
+              element_at(col("mhs"), b * 3 + 2),
+              element_at(col("mhs"), b * 3 + 3))))))
+        .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_hash")
+      val a = bands.as("a")
+      val c = bands.as("c")
+      a.join(c, col("a.b") === col("c.b")
+            && col("a.band_hash") === col("c.band_hash")
+            && col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("c.doc_id").as("doc2"))
+        .distinct()
+    },
+
+    // ---- D3: exact n-gram Jaccard near-dup pairs --------------------------
+    QueryDef(
+      "d3_ngram_jaccard_pairs",
+      "North-star dedup: word-3-gram Jaccard >= 0.5 near-duplicate pairs (the verify stage of LSH dedup)",
+      Some(s"""
+        WITH $shinglesSql,
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               shared * 1.0 / (c1.n + c2.n - shared) AS jaccard
+        FROM inter
+        JOIN cnt c1 ON doc1 = c1.doc_id
+        JOIN cnt c2 ON doc2 = c2.doc_id
+        WHERE shared * 1.0 / (c1.n + c2.n - shared) >= 0.5
+      """)) { (spark, dir) =>
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.as("a")
+      val b = sh.as("b")
+      val inter = a.join(b, col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("shared"))
+      // shared/(n1+n2-shared): integer-exact inputs, one double division —
+      // bit-identical across engines, so the 0.5 threshold cannot flap.
+      val jac = col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared"))
+      inter
+        .join(broadcast(cnt.select(col("doc_id").as("doc1"), col("n").as("n1"))), Seq("doc1"))
+        .join(broadcast(cnt.select(col("doc_id").as("doc2"), col("n").as("n2"))), Seq("doc2"))
+        .filter(jac >= 0.5)
+        .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+    },
+
+    // ---- D4: SimHash signatures ------------------------------------------
+    QueryDef(
+      "d4_simhash_signature",
+      "North-star dedup: 32-bit SimHash over token frequencies; bit j = sign of sum(±count) keyed on md5 hex digit high-bit",
+      Some(simhashOracleSql)) { (spark, dir) =>
+      val tf = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bitSums = (0 until 32).map { j =>
+        sum(when(substring(md5(col("tok")), j + 1, 1).isin(hexHigh: _*), col("cnt"))
+          .otherwise(-col("cnt"))).as(s"s$j")
+      }
+      val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val bits = (0 until 32).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
+      sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    })
+
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""
+      WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      sums AS (SELECT doc_id, $bitSums FROM tf GROUP BY doc_id)
+      SELECT doc_id, $bits AS simhash FROM sums
+    """
+  }
+}

@@ -1,0 +1,85 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Event-stream operators in their batch form over the `events` table:
+  * tumbling-window aggregation, JSON property extraction, gap-based
+  * sessionization. The Structured Streaming twins live in
+  * `graft.streaming.EventStreams` (same transforms over `readStream`);
+  * these batch versions are the oracle-checkable surface.
+  */
+object EventsCatalog {
+  private val D = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- E1: tumbling-window aggregation ----------------------------------
+    QueryDef(
+      "e1_tumbling_window",
+      "Streaming analog (SURVEY §2.12): 1-hour tumbling window count/sum per event_type; watermarked twin in graft.streaming",
+      Some("""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        FROM events
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D)).as("total_value"))
+    },
+
+    // ---- E2: JSON property extraction -------------------------------------
+    QueryDef(
+      "e2_json_extract",
+      "SURVEY §2.9 JSONB read-back analog: extract typed field from a JSON string column (model_registry.metrics JSONB)",
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               event_type
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      """)) { (spark, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(spark, dir)
+        .select(col("event_id"), k.as("k"), col("event_type"))
+        .filter(col("k") >= 50)
+    },
+
+    // ---- E3: gap-based sessionization --------------------------------------
+    QueryDef(
+      "e3_sessionize",
+      "Streaming-state analog (mapGroupsWithState twin): 30-min-gap sessions via lag + running sum of session starts",
+      Some("""
+        SELECT event_id, user_id, ts, session_id
+        FROM (
+          SELECT event_id, user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+            FROM (
+              SELECT event_id, user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+      """)) { (spark, dir) =>
+      // One shuffle on user_id; both windows share the same partitioning +
+      // ordering so Catalyst plans a single exchange + sort.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(running))
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+    })
+}

@@ -1,0 +1,128 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Text-analysis operators for the training-data-pipeline extension:
+  * language ID (stopword-hit heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure `functions._` higher-order expressions —
+  * per-row, shuffle-free, codegen'd: the ideal 100 TB shape (map-only over
+  * the document scan, no state).
+  */
+object TextCatalog {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"))
+
+  private def hits(t: Column, lang: String): Column =
+    size(filter(t, x => array_contains(array(stopwords(lang).map(lit): _*), x)))
+
+  private def hitsSql(lang: String): String = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> list_contains([$lst], x)))"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- T1: language identification --------------------------------------
+    QueryDef(
+      "t1_language_id",
+      "North-star text analysis: stopword-hit language scoring with deterministic argmax chain",
+      Some(s"""
+        SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM (SELECT doc_id,
+                     ${hitsSql("en")} AS en_hits,
+                     ${hitsSql("es")} AS es_hits,
+                     ${hitsSql("de")} AS de_hits,
+                     ${hitsSql("fr")} AS fr_hits
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      """)) { (spark, dir) =>
+      val t = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("toks"))
+      val scored = t.select(col("doc_id"),
+        hits(col("toks"), "en").as("en_hits"),
+        hits(col("toks"), "es").as("es_hits"),
+        hits(col("toks"), "de").as("de_hits"),
+        hits(col("toks"), "fr").as("fr_hits"))
+      scored.withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+          && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+    },
+
+    // ---- T2: quality scoring ----------------------------------------------
+    QueryDef(
+      "t2_quality_score",
+      "North-star text analysis: length/stopword/type-token quality signals + additive gate score",
+      Some(s"""
+        SELECT doc_id, n_tokens, stopword_ratio, ttr,
+               (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+                + CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END
+                + CASE WHEN ttr >= 0.3 THEN 1 ELSE 0 END) AS quality_score
+        FROM (SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     ${hitsSql("en")} * 1.0 / len(toks) AS stopword_ratio,
+                     len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      """)) { (spark, dir) =>
+      val t = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("toks"))
+      val sig = t.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (hits(col("toks"), "en") * lit(1.0) / size(col("toks"))).as("stopword_ratio"),
+        (size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks"))).as("ttr"))
+      sig.withColumn("quality_score",
+        when(col("n_tokens").between(20, 200), 1).otherwise(0)
+          + when(col("stopword_ratio") >= 0.05, 1).otherwise(0)
+          + when(col("ttr") >= 0.3, 1).otherwise(0))
+    },
+
+    // ---- T3: token counting (whitespace + BPE-ish regex) -------------------
+    QueryDef(
+      "t3_token_stats",
+      "North-star text analysis: whitespace token count, BPE-ish regex token count, distinct count",
+      Some("""
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+               len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens
+        FROM documents
+      """)) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(split(lower(col("text")), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+        size(array_distinct(split(lower(col("text")), " "))).as("distinct_tokens"))
+    },
+
+    // ---- T4: document fingerprinting ---------------------------------------
+    QueryDef(
+      "t4_fingerprint",
+      "North-star text analysis: whole-doc md5 + min-sampled rolling 3-gram hash fingerprint (winnowing-style)",
+      Some("""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS content_hash,
+               list_min(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS min_shingle_hash
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+      """)) { (spark, dir) =>
+      val t = toks(col("text"))
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("content_hash"),
+        when(size(t) >= 3,
+          array_min(transform(sequence(lit(1), size(t) - 2),
+            i => md5(concat_ws(" ", slice(t, i, lit(3)))))))
+          .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
+    })
+}

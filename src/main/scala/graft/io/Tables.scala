@@ -15,7 +15,19 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
+      // Spark 4 refuses by default. Values are µs-aligned (verified), so read
+      // the raw int64 nanos and integer-divide to a µs TIMESTAMP_NTZ — NTZ to
+      // match how Spark reads the other tables' isAdjustedToUTC=false columns
+      // (and how DuckDB sees them: naive timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
