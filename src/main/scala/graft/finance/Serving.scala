@@ -1,0 +1,147 @@
+package graft.finance
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The serving layer: the reference's FastAPI read queries as typed
+  * DataFrame functions (`ui/backend/services/transaction_service.py`,
+  * `api/validated_transactions.py`, `api/control_center.py`).
+  *
+  * Pagination is offset/limit for parity with the reference's API shape
+  * (`LIMIT :limit OFFSET :offset`); at scale the keyset variant
+  * (`WHERE (sort_key, id) > (last_seen)`) replaces it without changing
+  * callers — the sort whitelist already forces a deterministic total order.
+  */
+object Serving {
+
+  sealed trait ViewMode
+  case object UnvalidatedPredicted extends ViewMode
+  case object UnvalidatedUnpredicted extends ViewMode
+  case object Validated extends ViewMode
+  case object AllTransactions extends ViewMode
+
+  /** The serving read join (J6): modeled predictions view LEFT JOIN live
+    * user_categories overrides (`transaction_service.py:14-17`). */
+  def servingJoin(withPredictions: DataFrame, userCategories: DataFrame): DataFrame =
+    withPredictions.as("t").join(
+      userCategories.select(
+        col("transaction_id"),
+        col("validated").as("uc_validated"),
+        col("master_category").as("uc_master_category"),
+        col("notes").as("uc_notes")).as("uc"),
+      Seq("transaction_id"), "left_outer")
+
+  /** View-mode predicate — P16 (`transaction_service.py:167-192`). */
+  def viewModePredicate(mode: ViewMode): Column = mode match {
+    case UnvalidatedPredicted =>
+      coalesce(col("uc_validated"), lit(false)) === false &&
+        col("predicted_master_category").isNotNull &&
+        col("predicted_master_category") =!= "UNCERTAIN"
+    case UnvalidatedUnpredicted =>
+      coalesce(col("uc_validated"), lit(false)) === false &&
+        (col("predicted_master_category").isNull ||
+          col("predicted_master_category") === "UNCERTAIN")
+    case Validated => coalesce(col("uc_validated"), lit(false)) === true
+    case AllTransactions => lit(true)
+  }
+
+  /** Whitelisted sort columns, as the reference restricts them
+    * (`transaction_service.py:198-201`). */
+  val sortWhitelist: Set[String] = Set("transacted_date", "prediction_confidence")
+
+  final case class Page(rows: DataFrame, totalCount: Long)
+
+  /** The paginated transaction read (O1 + P15 + P16 + A8):
+    * view-mode filter, optional ILIKE description search, optional
+    * confidence gate, whitelisted sort with PG `NULLS LAST` on BOTH
+    * directions (Spark's `asc` defaults nulls-first — must be explicit),
+    * count twin sharing the filtered plan, then offset/limit.
+    */
+  def transactionPage(
+      joined: DataFrame,
+      mode: ViewMode = AllTransactions,
+      descriptionSearch: Option[String] = None,
+      excludeLowConfidence: Boolean = false,
+      lowConfidenceThreshold: Double = 0.40,
+      sortBy: String = "transacted_date",
+      ascending: Boolean = false,
+      limit: Int = 100,
+      offset: Int = 0): Page = {
+    require(limit <= 1000, "limit capped at 1000 (api/transactions.py:40)")
+    val sortCol = if (sortWhitelist(sortBy)) sortBy else "transacted_date"
+
+    var filtered = joined.filter(viewModePredicate(mode))
+    descriptionSearch.foreach { term =>
+      filtered = filtered.filter(lower(col("description")).contains(lower(lit(term))))
+    }
+    if (excludeLowConfidence && mode == UnvalidatedPredicted)
+      filtered = filtered.filter(
+        col("prediction_confidence").isNull ||
+          col("prediction_confidence") >= lowConfidenceThreshold)
+
+    val ordered = filtered.orderBy(
+      if (ascending) col(sortCol).asc_nulls_last else col(sortCol).desc_nulls_last,
+      col("transaction_id")) // unique tiebreak → stable pages
+    Page(ordered.offset(offset).limit(limit), filtered.count())
+  }
+
+  /** Distinct master-category list (A9, `validated_transactions.py:179-188`):
+    * union of user-assigned and confidently-predicted categories, sorted. */
+  def distinctCategories(joined: DataFrame): DataFrame =
+    joined.select(col("uc_master_category").as("master_category"))
+      .filter(col("master_category").isNotNull)
+      .union(
+        joined.select(col("predicted_master_category").as("master_category"))
+          .filter(col("master_category").isNotNull &&
+            col("master_category") =!= "UNCERTAIN"))
+      .distinct()
+      .orderBy(col("master_category"))
+
+  /** Connection-health stats (`api/control_center.py:77-128`): J7
+    * latest-import self-join, A6 min/max/count rollups, J8 null-safe
+    * institution join (`IS NOT DISTINCT FROM` → `<=>`). */
+  def accountHealth(simplefinRaw: DataFrame): DataFrame = {
+    val s = simplefinRaw
+      .withColumn("account_key", Staging.normalizeAccountName(col("account_name")))
+      .withColumn("import_ts", col("import_timestamp").cast("timestamp"))
+      .withColumn("t_date", col("transacted_date").cast("date"))
+
+    val latestImports = s.groupBy("account_id")
+      .agg(max(col("import_ts")).as("latest_import"))
+
+    val latestPollRows = s.join(latestImports, Seq("account_id"))
+      .filter(col("import_ts") === col("latest_import"))
+
+    val accountPolls = latestPollRows.groupBy(
+        col("institution_name"), col("account_key"), col("account_id"),
+        col("latest_import").as("last_successful_load"))
+      .agg(min(col("t_date")).as("poll_earliest"),
+        max(col("t_date")).as("poll_latest"))
+
+    val accountStored = s.groupBy(
+        col("institution_name").as("st_institution_name"),
+        col("account_key").as("st_account_key"))
+      .agg(min(col("t_date")).as("oldest_stored"),
+        count(lit(1)).as("transaction_count"))
+
+    accountPolls.join(accountStored,
+        col("institution_name") <=> col("st_institution_name") &&
+          col("account_key") === col("st_account_key"))
+      .groupBy(col("institution_name"), col("account_key"), col("oldest_stored"))
+      .agg(
+        max(col("account_id")).as("account_id"),
+        max(col("last_successful_load")).as("last_successful_load"),
+        min(col("poll_earliest")).as("poll_earliest_transaction_date"),
+        max(col("poll_latest")).as("poll_latest_transaction_date"),
+        max(col("transaction_count")).as("transaction_count"))
+      .select(
+        col("account_id"), col("institution_name"),
+        col("account_key").as("account_name"),
+        col("last_successful_load"),
+        col("oldest_stored").as("oldest_stored_transaction_date"),
+        col("poll_earliest_transaction_date"),
+        col("poll_latest_transaction_date"),
+        col("transaction_count"))
+      .orderBy(col("institution_name").asc_nulls_last, col("account_name").asc_nulls_last)
+  }
+}

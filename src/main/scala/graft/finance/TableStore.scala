@@ -1,0 +1,87 @@
+package graft.finance
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Managed parquet tables with the reference's three mutation protocols
+  * (SURVEY §2.8), built on an atomic directory-swap so readers never see a
+  * half-written table:
+  *
+  *  - [[appendNew]]  — append-only incremental (`fct_validated_trxns.sql`):
+  *    left-anti new rows against the target key set, then append.
+  *  - [[upsert]]     — delete-then-insert by key
+  *    (`classifier_predict.py:149-170`): drop target rows whose key is in
+  *    the batch, union the batch.
+  *  - [[overwrite]]  — full refresh.
+  *
+  * Spark has no OLTP mutation; each protocol recomputes the table
+  * functionally and swaps the directory. At 100 TB the same protocols run
+  * against a transactional table format's MERGE — the call sites don't
+  * change, only this class.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def dir(table: String): Path = Paths.get(root, table)
+
+  def exists(table: String): Boolean = Files.exists(dir(table))
+
+  def read(table: String): DataFrame =
+    spark.read.parquet(dir(table).toString)
+
+  /** Full refresh: write to a temp sibling, swap atomically. */
+  def overwrite(table: String, df: DataFrame): Unit = {
+    val target = dir(table)
+    val tmp = Paths.get(root, s".${table}__tmp")
+    deleteRecursively(tmp)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val old = Paths.get(root, s".${table}__old")
+    deleteRecursively(old)
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Append-only incremental merge: insert only batch rows whose `key` is
+    * not already present. Existing rows are never updated. */
+  def appendNew(table: String, batch: DataFrame, key: String): Unit =
+    if (!exists(table)) overwrite(table, batch)
+    else {
+      val existing = read(table)
+      val fresh = batch.join(existing.select(key), Seq(key), "left_anti")
+      overwrite(table, existing.unionByName(fresh))
+    }
+
+  /** Delete-then-insert upsert: exactly one surviving row per key from the
+    * batch; untouched keys keep their existing rows. */
+  def upsert(table: String, batch: DataFrame, key: String): Unit =
+    if (!exists(table)) overwrite(table, batch)
+    else {
+      val kept = read(table).join(batch.select(key), Seq(key), "left_anti")
+      overwrite(table, kept.unionByName(batch))
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}
+
+object TableStore {
+  /** Recompute `is_latest` / `is_active` registry flags as a window instead
+    * of UPDATEs (`classifier_train.py:110-151,352-423`, SURVEY §2.8):
+    * latest = newest training_timestamp over all rows; active = newest row
+    * with status 'trained'. */
+  def recomputeRegistryFlags(registry: DataFrame): DataFrame = {
+    val byTime = Window.orderBy(col("training_timestamp").desc, col("model_version"))
+    val trainedByTime = Window.orderBy(
+      when(col("status") === "trained", 0).otherwise(1),
+      col("training_timestamp").desc, col("model_version"))
+    registry
+      .withColumn("is_latest", row_number().over(byTime) === 1)
+      .withColumn("is_active",
+        row_number().over(trainedByTime) === 1 && col("status") === "trained")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.finance
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (id, date, description, predicted, confidence, validated-or-null) */
+  private def fixture: DataFrame = {
+    val preds = Seq(
+      ("t1", "2024-01-05", "coffee", Some("Dining"), Some(0.95), None),
+      ("t2", "2024-01-03", "mystery", None, None, None),
+      ("t3", "2024-01-04", "uncertain thing", Some("UNCERTAIN"), Some(0.2), None),
+      ("t4", "2024-01-01", "validated thing", Some("Travel"), Some(0.7), Some(true)),
+      ("t5", "2024-01-02", "low conf", Some("Dining"), Some(0.15), None))
+      .toDF("transaction_id", "d", "description", "pmc", "conf", "validated")
+      .select(
+        col("transaction_id"),
+        col("d").cast("date").as("transacted_date"),
+        col("description"),
+        col("pmc").as("predicted_master_category"),
+        col("conf").cast("decimal(6,4)").as("prediction_confidence"),
+        col("validated"))
+    val uc = preds.filter(col("validated").isNotNull)
+      .select(col("transaction_id"), col("validated"),
+        lit("Travel").as("master_category"), lit(null).cast("string").as("notes"))
+    Serving.servingJoin(preds.drop("validated"), uc)
+  }
+
+  test("view modes partition the rows as the reference's three filters") {
+    val j = fixture
+    def ids(m: Serving.ViewMode) =
+      j.filter(Serving.viewModePredicate(m)).select("transaction_id")
+        .collect().map(_.getString(0)).toSet
+    assert(ids(Serving.UnvalidatedPredicted) == Set("t1", "t5"))
+    assert(ids(Serving.UnvalidatedUnpredicted) == Set("t2", "t3"))
+    assert(ids(Serving.Validated) == Set("t4"))
+    assert(ids(Serving.AllTransactions).size == 5)
+  }
+
+  test("confidence gate drops low-confidence rows only in predicted mode") {
+    val page = Serving.transactionPage(fixture,
+      mode = Serving.UnvalidatedPredicted,
+      excludeLowConfidence = true, lowConfidenceThreshold = 0.40)
+    assert(page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq == Seq("t1"))
+    assert(page.totalCount == 1)
+  }
+
+  test("pagination: sorted desc nulls-last with count twin") {
+    val page = Serving.transactionPage(fixture, limit = 2, offset = 1)
+    assert(page.totalCount == 5)
+    val got = page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("t3", "t2")) // dates desc: t1(05) t3(04) t2(03) t5(02) t4(01)
+  }
+
+  test("ascending sort puts nulls last (PG ASC NULLS LAST, not Spark default)") {
+    val j = fixture
+    val page = Serving.transactionPage(j,
+      sortBy = "prediction_confidence", ascending = true, limit = 10)
+    val got = page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("t5", "t3", "t4", "t1", "t2")) // t2 (null conf) LAST
+  }
+
+  test("search filters case-insensitively on description substring") {
+    val page = Serving.transactionPage(fixture, descriptionSearch = Some("COFFEE"))
+    assert(page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq == Seq("t1"))
+  }
+
+  test("distinctCategories unions user + confident predicted, sorted") {
+    val got = Serving.distinctCategories(fixture)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Dining", "Travel")) // UNCERTAIN excluded
+  }
+}
