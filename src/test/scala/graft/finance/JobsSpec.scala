@@ -1,0 +1,71 @@
+package graft.finance
+
+import graft.SparkSpec
+import graft.finance.ml.CategoryClassifier
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** End-to-end job-graph test: raw load → transform DAG → train → predict →
+  * re-transform, against a temp-dir warehouse. */
+class JobsSpec extends SparkSpec {
+
+  test("full pipeline: models, train, predict, incremental validated") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-wh").toString)
+    val jobs = new Jobs(spark, store)
+
+    // Raw simplefin rows: 60 categorizable-by-history + 3 new ones.
+    val raws = (0 until 63).map { i =>
+      Row(s"t$i", "a1", "Checking", "dom", "Bank",
+        new java.math.BigDecimal(s"-${5 + i % 20}.00"), 1700000000L + i,
+        "2024-01-01", 1700000000L + i, "2024-01-0" + (1 + i % 9),
+        if (i % 2 == 0) s"starbucks coffee $i" else s"united airlines flight $i",
+        false, null, "2024-01-02 00:00:00", "2024-01-02")
+    }
+    jobs.loadRawBatch(spark.createDataFrame(raws.asJava, Schemas.simplefinRaw))
+
+    // Historic seed: pre-categorized rows to bootstrap fct_validated_trxns.
+    val hist = (0 until 60).map { i =>
+      Row("Old Checking", null, s"-${3 + i % 10}.00", s"2019-0${1 + i % 9}-1${i % 9}",
+        if (i % 2 == 0) s"starbucks coffee ${i + 100}" else s"united airlines flight ${i + 100}",
+        "src", if (i % 2 == 0) "Dining" else "Travel", "01/02/2020")
+    }
+    store.overwrite("historic_transactions",
+      spark.createDataFrame(hist.asJava, Schemas.historicRaw))
+
+    jobs.runAllModels()
+    assert(store.read("int_trxns_features").count() == 123)
+    assert(store.read("fct_trxns_categorized").count() == 60)   // historic rows
+    assert(store.read("fct_validated_trxns").count() == 60)     // bootstrap
+    assert(store.read("fct_trxns_uncategorized").count() == 63) // simplefin rows
+
+    // Train on the validated fact (60 rows ≥ min 50).
+    val result = jobs.trainClassifier(CategoryClassifier.Config(numTrees = 20, maxDepth = 8))
+    val trained = result.asInstanceOf[CategoryClassifier.Trained]
+    assert(trained.nClasses == 2)
+
+    val reg = store.read("model_registry")
+    assert(reg.count() == 1)
+    assert(reg.head.getAs[Boolean]("is_active") && reg.head.getAs[Boolean]("is_latest"))
+
+    // Predict and re-run models: predictions join into fct_trxns_with_predictions.
+    jobs.predict(trained.model, trained.labels,
+      reg.head.getAs[String]("model_version"), confidenceThreshold = 0.0)
+    assert(store.read("predicted_transactions").count() == 63)
+    jobs.runAllModels()
+    val withPred = store.read("fct_trxns_with_predictions")
+    assert(withPred.filter(col("predicted_master_category").isNotNull).count() == 63)
+
+    // User validates one transaction → incremental appends exactly that row.
+    val uc = Seq(Row("t0", "Dining", null, "looks right", true, false, "me",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+    store.overwrite("user_categories", spark.createDataFrame(uc.asJava, Schemas.userCategories))
+    jobs.runAllModels()
+    assert(store.read("fct_validated_trxns").count() == 61)
+    assert(store.read("fct_trxns_uncategorized").count() == 62) // t0 moved out
+    // second run is idempotent (append-only: no duplicate t0)
+    jobs.runAllModels()
+    assert(store.read("fct_validated_trxns").count() == 61)
+  }
+}
