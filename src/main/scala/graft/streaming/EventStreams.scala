@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators in
+  * `graft.catalog.EventsCatalog` (SURVEY §2.12 — the reference has no
+  * streaming; this is the north-star extension over the `events` fixture).
+  *
+  * Inputs are any streaming DataFrame with the events schema
+  * (`event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string`) — `spark.readStream.schema(...).parquet(dir)`
+  * in production, `MemoryStream` in tests. All operators are incremental:
+  * watermarks bound state, `mapGroupsWithState` sessions time out via the
+  * event-time watermark, never wall-clock.
+  */
+object EventStreams {
+
+  /** Streaming twin of e1: 1-hour tumbling window count/sum per event_type,
+    * 2-hour watermark. Partial aggregation happens map-side per micro-batch;
+    * state size is O(open windows × event types). */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  final case class SessionAssignment(event_id: Long, user_id: Long,
+      ts: Timestamp, session_id: Long)
+
+  /** Streaming twin of e3: 30-minute-gap sessionization via
+    * `flatMapGroupsWithState` — the stateful-operator shape the batch
+    * catalog emulates with lag + running sum. State per user is one
+    * (sessionId, lastTs) pair; EventTimeTimeout + watermark expires idle
+    * users so state can't grow unboundedly. */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "2 hours"): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              val t = e.ts.getTime / 1000
+              st =
+                if (st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds)
+                  SessionState(st.sessionId + 1, t, st.count + 1)
+                else st.copy(lastTs = t, count = st.count + 1)
+              SessionAssignment(e.event_id, userId, e.ts, st.sessionId)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gapSeconds * 1000)
+            out.iterator
+          }
+      }
+  }
+
+  /** Incremental-fact twin (SURVEY §2.8 as a stream): append-only dedup by
+    * key across micro-batches — `dropDuplicates` with watermark-bounded
+    * state, the streaming analogue of the left-anti incremental merge. */
+  def appendOnlyByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregates per hour and event_type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:55:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDecimal(3).toPlainString)).toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, "3.00"),
+        ("2024-01-01 11:00:00.0", "view", 1L, "5.00")))
+    } finally q.stop()
+  }
+
+  test("sessionize assigns 30-min-gap sessions per user incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        EventStreams.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 0), // same session
+        EventStreams.Event(3, ts("2024-01-01 11:30:00"), 1, "click", 0), // gap > 30min → new
+        EventStreams.Event(4, ts("2024-01-01 10:00:00"), 2, "view", 0))  // other user
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("event_id", "session_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 1 && got(2L) == 1)
+      assert(got(3L) == 2)
+      assert(got(4L) == 1)
+    } finally q.stop()
+  }
+
+  test("appendOnlyByKey drops duplicate event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val q = EventStreams.appendOnlyByKey(events)
+      .writeStream.format("memory").queryName("appendonly")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:00:00"), "a"), (2L, ts("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+      assert(spark.table("appendonly").count() == 2)
+    } finally q.stop()
+  }
+}
