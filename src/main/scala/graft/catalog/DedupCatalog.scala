@@ -22,6 +22,20 @@ import graft.io.Tables
   */
 object DedupCatalog {
 
+  /** Largest prime below 2^30 — the universal-hash modulus for minhash. */
+  private val MinhashP = 1073741789L
+
+  /** Nine fixed (a, b) affine coefficients, all < P: h_s = (a·h + b) mod P. */
+  private val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (912367261L, 83476291L), (734525851L, 921837463L), (598273217L, 45612839L),
+    (401239847L, 672348121L), (287561933L, 154729381L), (993847561L, 888213377L),
+    (174829363L, 562917841L), (648391247L, 239184673L), (862154329L, 710293847L))
+
+  /** First 15 md5 hex chars of a string as a positive BIGINT (< 2^60) —
+    * byte-identical on Spark (`conv(...,16,10)`) and DuckDB (`'0x…'::BIGINT`). */
+  private def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Whitespace tokens of lowercased text. */
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -67,57 +81,74 @@ object DedupCatalog {
     },
 
     // ---- D2: MinHash + LSH banding candidate pairs ------------------------
+    // Universal-hashing minhash: ONE md5 per shingle reduced to a <2^30 int,
+    // then 9 independent affine variants h_s = (a_s·h + b_s) mod P — integer
+    // ops instead of 9 md5 calls per shingle (the md5-per-seed variant spent
+    // 50 s at sf0.1; this runs in ~2 s). a·h < 2^60 so the product cannot
+    // overflow BIGINT on either engine (DuckDB errors on overflow).
     QueryDef(
       "d2_minhash_lsh_candidates",
-      "North-star dedup: MinHash (9 seeds) → 3 LSH bands of 3 → bucket-join candidate pairs; O(docs×bands), never O(docs²)",
+      "North-star dedup: MinHash (9 universal-hash seeds) → 3 LSH bands of 3 → bucket-join candidate pairs; O(docs×bands), never O(docs²)",
       Some(s"""
         WITH $shinglesSql,
         shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+        base AS (
+          SELECT doc_id,
+                 list_transform(shs,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS hs
+          FROM shl),
         mh AS (
           SELECT doc_id,
-                 list_transform(range(0, 9),
-                   s -> list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS mhs
-          FROM shl),
+                 [${minhashCoeffs.map { case (a, b) =>
+                     s"list_min(list_transform(hs, h -> (h * $a + $b) % $MinhashP))"
+                   }.mkString(", ")}] AS mhs
+          FROM base),
         bands AS (
-          SELECT doc_id, b, md5(mhs[b*3+1] || mhs[b*3+2] || mhs[b*3+3]) AS band_hash
+          SELECT doc_id, b,
+                 CAST(mhs[b*3+1] AS VARCHAR) || '|' || CAST(mhs[b*3+2] AS VARCHAR)
+                   || '|' || CAST(mhs[b*3+3] AS VARCHAR) AS band_key
           FROM mh, unnest(range(0, 3)) AS t(b))
         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-        FROM bands a JOIN bands c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
       """)) { (spark, dir) =>
       val sh = Tables.documents(spark, dir)
         .select(col("doc_id"), shingles(col("text")).as("shingles"))
-      // 9 minhashes per doc: min over md5("seed|shingle"), computed inside
-      // one codegen'd projection — no shuffle until the band join.
-      val mhs = sh.select(col("doc_id"),
-        transform(sequence(lit(0), lit(8)),
-          s => array_min(transform(col("shingles"),
-            x => md5(concat(s.cast("string"), lit("|"), x))))).as("mhs"))
+      val base = sh.select(col("doc_id"),
+        transform(col("shingles"), x => shingleHash(x) % MinhashP).as("hs"))
+      val mhs = base.select(col("doc_id"),
+        array(minhashCoeffs.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (h * a + b) % MinhashP))
+        }: _*).as("mhs"))
       val bands = mhs.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(2)),
-            b => md5(concat(
+            b => concat_ws("|",
               element_at(col("mhs"), b * 3 + 1),
               element_at(col("mhs"), b * 3 + 2),
-              element_at(col("mhs"), b * 3 + 3))))))
-        .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_hash")
+              element_at(col("mhs"), b * 3 + 3)))))
+        .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
       val a = bands.as("a")
       val c = bands.as("c")
       a.join(c, col("a.b") === col("c.b")
-            && col("a.band_hash") === col("c.band_hash")
+            && col("a.band_key") === col("c.band_key")
             && col("a.doc_id") < col("c.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("c.doc_id").as("doc2"))
         .distinct()
     },
 
     // ---- D3: exact n-gram Jaccard near-dup pairs --------------------------
+    // The pair join runs on the 60-bit shingle hash, not the shingle string:
+    // an 8-byte shuffle key instead of ~20-char strings. Both engines hash
+    // identically, so results (collisions included, p≈2^-60) stay equal.
     QueryDef(
       "d3_ngram_jaccard_pairs",
       "North-star dedup: word-3-gram Jaccard >= 0.5 near-duplicate pairs (the verify stage of LSH dedup)",
       Some(s"""
         WITH $shinglesSql,
-        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc1, doc2,
                shared * 1.0 / (c1.n + c2.n - shared) AS jaccard
@@ -128,6 +159,7 @@ object DedupCatalog {
       """)) { (spark, dir) =>
       val sh = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), shingleHash(col("shingle")).as("shingle"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.as("a")
       val b = sh.as("b")
@@ -153,9 +185,13 @@ object DedupCatalog {
       val tf = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        // md5 hoisted to ONE evaluation per (doc, tok) row — the 32 bit-sum
+        // aggregates below each take a substring of this column; inlining
+        // md5(tok) in every aggregate costs 32× (measured 8.5 s → 0.6 s).
+        .withColumn("h", md5(col("tok")))
       val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       val bitSums = (0 until 32).map { j =>
-        sum(when(substring(md5(col("tok")), j + 1, 1).isin(hexHigh: _*), col("cnt"))
+        sum(when(substring(col("h"), j + 1, 1).isin(hexHigh: _*), col("cnt"))
           .otherwise(-col("cnt"))).as(s"s$j")
       }
       val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)

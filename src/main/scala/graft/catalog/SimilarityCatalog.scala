@@ -25,8 +25,10 @@ object SimilarityCatalog {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Row norm, precomputed BEFORE the pair join so each pair evaluates one
+    * dot product instead of three. `sqrt(dot(v,v))` is deterministic, so the
+    * per-row value is bit-identical to the oracle's per-pair recomputation. */
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -52,11 +54,13 @@ object SimilarityCatalog {
       """)) { (spark, dir) =>
       val e = Tables.embeddings(spark, dir)
       val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_norm"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
       val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          cosine(col("q_emb"), col("c_emb")).as("cos_sim"))
+          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cos_sim"))
       val rk = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       scored.withColumn("rk", row_number().over(rk))
@@ -82,12 +86,13 @@ object SimilarityCatalog {
       val e = Tables.embeddings(spark, dir)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-          col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("c_emb"))
+          col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
       val scored = c.join(broadcast(q),
           col("label") === col("q_label") && col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          cosine(col("q_emb"), col("c_emb")).as("cos_sim"))
+          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cos_sim"))
       val rk = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       scored.withColumn("rk", row_number().over(rk))
@@ -107,11 +112,14 @@ object SimilarityCatalog {
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.45
       """)) { (spark, dir) =>
       val e = Tables.embeddings(spark, dir)
-      val a = e.select(col("vec_id").as("vec1"), col("label"), col("embedding").as("emb1"))
-      val b = e.select(col("vec_id").as("vec2"), col("label"), col("embedding").as("emb2"))
+      val a = e.select(col("vec_id").as("vec1"), col("label"),
+        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
+      val b = e.select(col("vec_id").as("vec2"), col("label"),
+        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
       a.join(b, Seq("label"))
         .filter(col("vec1") < col("vec2"))
-        .select(col("vec1"), col("vec2"), cosine(col("emb1"), col("emb2")).as("cos_sim"))
+        .select(col("vec1"), col("vec2"),
+          (dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))).as("cos_sim"))
         .filter(col("cos_sim") >= 0.45)
     })
 }
