@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   def defs: Seq[QueryDef] =
     RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all ++
+      ParityCatalog.all ++
       DedupCatalog.all ++ TextCatalog.all ++ EventsCatalog.all ++ SimilarityCatalog.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

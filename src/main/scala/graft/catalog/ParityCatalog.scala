@@ -1,0 +1,186 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Catalog entries for the SURVEY §2 operator ids not already exercised by
+  * the other catalogs, so every row of the §2 inventory has an
+  * oracle-checked query (see COVERAGE.md for the full id → entry map).
+  *
+  * The TPC-H-ish fixtures have no nullable columns, so null-handling
+  * operators derive their nulls deterministically (nullif / CASE) — the
+  * same expression on both engines.
+  */
+object ParityCatalog {
+
+  /** Nullable "predicted category" stand-in over events: rows with JSON
+    * k < 50 have no prediction. Confidence = k/100. */
+  private val predCol = "CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 THEN event_type END"
+  private val confCol = "CAST(json_extract_string(props, '$.k') AS INTEGER) / 100.0"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- P3: coalesce fallback chain --------------------------------------
+    QueryDef(
+      "p3_coalesce_fallback",
+      "P3 account-name fallback (stg_simplefin.sql:23-27): coalesce(mapped, source, literal)",
+      Some("""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), c_name, 'Missing mapping!') AS resolved_name
+        FROM customer
+      """)) { (spark, dir) =>
+      Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), col("c_name"),
+          lit("Missing mapping!")).as("resolved_name"))
+    },
+
+    // ---- P8: categorized split --------------------------------------------
+    QueryDef(
+      "p8_categorized_split",
+      "P8 (fct_trxns_categorized.sql): WHERE derived category IS NOT NULL",
+      Some(s"""
+        SELECT event_id, $predCol AS category
+        FROM events
+        WHERE $predCol IS NOT NULL
+      """)) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("category",
+          when(get_json_object(col("props"), "$.k").cast("int") >= 50, col("event_type")))
+        .filter(col("category").isNotNull)
+        .select("event_id", "category")
+    },
+
+    // ---- P9: uncategorized split with NOT-IN guard ------------------------
+    QueryDef(
+      "p9_uncategorized_split",
+      "P9 (fct_trxns_uncategorized.sql): NULL-category rows minus the validated id set (anti-join translation of NOT IN)",
+      Some(s"""
+        SELECT event_id, event_type
+        FROM events
+        WHERE $predCol IS NULL
+          AND event_id NOT IN (SELECT event_id FROM events WHERE event_id % 7 = 0 AND event_id IS NOT NULL)
+      """)) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val validated = e.filter(col("event_id") % 7 === 0).select("event_id")
+      e.withColumn("category",
+          when(get_json_object(col("props"), "$.k").cast("int") >= 50, col("event_type")))
+        .filter(col("category").isNull)
+        .join(validated, Seq("event_id"), "left_anti")
+        .select("event_id", "event_type")
+    },
+
+    // ---- P12: the raw-layer cast block ------------------------------------
+    QueryDef(
+      "p12_raw_casts",
+      "P12 (stg_simplefin.sql:30-38): ::numeric, epoch→timestamp, ::date, string-format date parse",
+      Some("""
+        SELECT event_id,
+               CAST(value AS DECIMAL(18,2)) AS amount,
+               CAST(to_timestamp(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1700000000) AS TIMESTAMP) AS posted,
+               CAST(ts AS DATE) AS posted_date,
+               CAST(strptime(strftime(ts, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS import_date
+        FROM events
+      """)) { (spark, dir) =>
+      Tables.events(spark, dir).select(
+        col("event_id"),
+        col("value").cast("decimal(18,2)").as("amount"),
+        timestamp_seconds(get_json_object(col("props"), "$.k").cast("long") + 1700000000L)
+          .cast("timestamp_ntz").as("posted"),
+        col("ts").cast("date").as("posted_date"),
+        to_date(date_format(col("ts"), "MM/dd/yyyy"), "MM/dd/yyyy").as("import_date"))
+    },
+
+    // ---- P16: confidence-gated view mode ----------------------------------
+    QueryDef(
+      "p16_confidence_gate",
+      "P16 (transaction_service.py:167-192): unvalidated_predicted view mode with low-confidence exclusion",
+      Some(s"""
+        SELECT event_id, $predCol AS predicted, $confCol AS confidence
+        FROM events
+        WHERE NOT (event_id % 7 = 0)
+          AND $predCol IS NOT NULL
+          AND $predCol != 'click'
+          AND ($confCol IS NULL OR $confCol >= 0.60)
+      """)) { (spark, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val pred = when(k >= 50, col("event_type"))
+      val conf = k / 100.0
+      Tables.events(spark, dir)
+        .filter(!(col("event_id") % 7 === 0)
+          && pred.isNotNull && pred =!= "click"
+          && (conf.isNull || conf >= 0.60))
+        .select(col("event_id"), pred.as("predicted"), conf.as("confidence"))
+    },
+
+    // ---- A1: monthly net by category --------------------------------------
+    QueryDef(
+      "a1_monthly_by_category",
+      "A1 (00_getting_started.ipynb cell 6): GROUP BY date_trunc('month'), category SUM(amount)",
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority AS category,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net_amount
+        FROM orders
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderpriority").as("category"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("net_amount"))
+    },
+
+    // ---- A7: per-account data-range check ---------------------------------
+    QueryDef(
+      "a7_data_range_check",
+      "A7 (3_TEST_COMMANDS.md §5): MIN/MAX date, COUNT, day span per account",
+      Some("""
+        SELECT o_custkey,
+               MIN(CAST(o_orderdate AS DATE)) AS earliest,
+               MAX(CAST(o_orderdate AS DATE)) AS latest,
+               COUNT(*) AS n_orders,
+               datediff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS span_days
+        FROM orders
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderdate").cast("date")).as("earliest"),
+          max(col("o_orderdate").cast("date")).as("latest"),
+          count(lit(1)).as("n_orders"),
+          datediff(max(col("o_orderdate").cast("date")),
+            min(col("o_orderdate").cast("date"))).as("span_days"))
+    },
+
+    // ---- A11: initialization existence check ------------------------------
+    QueryDef(
+      "a11_needs_init",
+      "A11 (control_center.py:348-371): COUNT(*)-based needs-initialization flags",
+      Some("""
+        SELECT (SELECT COUNT(*) FROM region) AS region_rows,
+               (SELECT COUNT(*) FROM region) = 0 AS needs_init
+      """)) { (spark, dir) =>
+      Tables.region(spark, dir)
+        .agg(count(lit(1)).as("region_rows"))
+        .select(col("region_rows"), (col("region_rows") === 0).as("needs_init"))
+    },
+
+    // ---- O2: multi-column whitelisted sort + deep page --------------------
+    QueryDef(
+      "o2_multisort_page",
+      "O2 (api/validated_transactions.py:54-134): multi-column whitelisted sort, limit/offset page with unique tiebreak",
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC NULLS LAST, o_orderkey
+        LIMIT 100 OFFSET 50
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority").asc_nulls_last,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .offset(50).limit(100)
+    })
+}
