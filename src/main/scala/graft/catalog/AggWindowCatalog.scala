@@ -216,14 +216,17 @@ object AggWindowCatalog {
       // "import ts" = shipdate. Step 1 (W3): newest sighting per (key, account).
       // Step 2 (W4): dense_rank keeps ALL rows of the winning account —
       // deliberately preserving legitimate duplicates within it — and drops
-      // re-imports under other accounts. Both windows share the (orderkey,
-      // partkey) prefix, so Catalyst plans ONE exchange for the two sorts.
+      // re-imports under other accounts. The explicit repartition on the
+      // SHARED 2-col prefix makes ONE exchange satisfy both windows (subset
+      // partitioning satisfies superset clustering); without it Catalyst
+      // plans W3 on the 3-col key and must re-shuffle for W4.
       val w3 = Window.partitionBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       val w4 = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
         .orderBy(col("last_seen").desc, col("l_suppkey"))
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_linenumber"), col("l_shipdate"))
+        .repartition(col("l_orderkey"), col("l_partkey"))
         .withColumn("last_seen", max(col("l_shipdate")).over(w3))
         .withColumn("rk", dense_rank().over(w4))
         .filter(col("rk") === 1)

@@ -90,8 +90,10 @@ object Staging {
     val normed = unique.withColumn(
       "_normalized_account_name", normalizeAccountName(col("account_name")))
 
-    // W3 + W4 share the 5-col logical-transaction prefix, so Catalyst plans
-    // one exchange on that prefix for both.
+    // W3 + W4 share the 5-col logical-transaction prefix. Repartitioning on
+    // that prefix up front lets ONE exchange satisfy both windows (subset
+    // partitioning satisfies superset clustering — W3's 6-col requirement is
+    // met by the 5-col hash); Catalyst alone would shuffle twice.
     val logicalKey = Seq(
       col("institution_name"), col("_normalized_account_name"),
       col("transacted_date"), col("amount"), col("description"))
@@ -100,6 +102,7 @@ object Staging {
       .orderBy(col("_account_group_last_import").desc, col("account_id"))
 
     normed
+      .repartition(logicalKey: _*)
       .withColumn("_account_group_last_import", max(col("import_timestamp")).over(w3))
       .withColumn("_reconnection_rank", dense_rank().over(w4))
       .filter(col("_reconnection_rank") === 1)
