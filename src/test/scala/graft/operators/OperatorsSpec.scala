@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the unsalted inner join on a skewed key") {
+    // 90% of fact rows share one key — the salted variant must still produce
+    // the identical result set.
+    val fact = (0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k${i % 17}", i.toLong, i * 1.5))
+      .toDF("key", "row_id", "v")
+    val dim = Seq(("hot", "HOT"), ("k3", "K3"), ("k5", "K5"), ("missing", "M"))
+      .toDF("key", "label")
+
+    val expected = fact.join(dim, Seq("key"))
+      .select("key", "row_id", "v", "label")
+      .collect().map(_.toSeq).toSet
+    val got = Skew.saltedJoin(fact, dim, Seq("key"), saltBy = col("row_id"), buckets = 8)
+      .select("key", "row_id", "v", "label")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 900 + fact.filter("key in ('k3','k5')").count())
+  }
+
+  test("distinctCountSkewAware equals countDistinct") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", s"v${i % 37}")).toDF("g", "v")
+    val expected = df.groupBy("g").agg(countDistinct("v").as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Skew.distinctCountSkewAware(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("TopK aggregator matches the window formulation") {
+    val rng = new scala.util.Random(11)
+    val scored = (0 until 2000).map { i =>
+      (i % 5L, rng.nextDouble(), i.toLong) // (queryId, score, candidateId)
+    }
+    val ds = scored.toDF("q", "score", "id").as[(Long, Double, Long)]
+
+    val viaAgg = ds.groupByKey(_._1)
+      .agg(TopK.topK(10).toColumn.name("top"))
+      .collect().map { case (q, top) => q -> top.map(_._2) }.toMap
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q").orderBy(col("score").desc, col("id"))
+    val viaWindow = ds.toDF("q", "score", "id")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .groupBy("q").agg(collect_list("id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (q, ids) => assert(ids == viaWindow(q), s"query $q") }
+  }
+
+  test("TopK input needs (score, id) — reduce keeps the k best with id tiebreak") {
+    val ds = Seq((1L, 0.5, 1L), (1L, 0.5, 2L), (1L, 0.9, 3L), (1L, 0.1, 4L))
+      .toDF("q", "score", "id").as[(Long, Double, Long)]
+    val got = ds.groupByKey(_._1).agg(TopK.topK(2).toColumn.name("top")).collect()
+    assert(got.head._2.map(_._2) == Seq(3L, 1L)) // 0.9 first, then 0.5 with smaller id
+  }
+}
