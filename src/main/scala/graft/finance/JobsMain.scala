@@ -1,0 +1,69 @@
+package graft.finance
+
+import org.apache.spark.sql.SparkSession
+import graft.finance.ml.CategoryClassifier
+
+/** Dagster-invokable entry point for the 7-job asset graph (SURVEY §2.11):
+  * each reference job name maps to a composition of [[Jobs]] steps, so an
+  * orchestrator launches `spark-submit --class graft.finance.JobsMain <jar>
+  * <warehouseDir> <jobName>` exactly where the reference launched a Dagster
+  * GraphQL run (north star: "Spark batch jobs within Dagster orchestration").
+  *
+  * | job | composition |
+  * |---|---|
+  * | 1_dagster_init                          | models → train → predict → models |
+  * | 2_ingest_and_predict                    | models → predict (ingest is the connector, driver-side) |
+  * | 3_run_all_dbt_models                    | models |
+  * | 4_refresh_validated_retrain_repredict   | models (incremental) → train → predict → models |
+  * | z_a_rebuild_historic_data               | full-refresh models → train → predict → models |
+  * | z_b_full_refresh_validated_trxns        | full-refresh models |
+  * | 5_full_refresh_validated_retrain_repredict | full-refresh models → train → predict → models |
+  */
+object JobsMain {
+
+  def main(args: Array[String]): Unit = {
+    val Array(warehouseDir, jobName) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, warehouseDir, jobName)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, warehouseDir: String, jobName: String): Unit = {
+    val store = new TableStore(spark, warehouseDir)
+    val jobs = new Jobs(spark, store)
+
+    def trainAndPredict(): Unit = jobs.trainClassifier() match {
+      case CategoryClassifier.Trained(model, labels, _, _, _, _) =>
+        val version = store.read("model_registry")
+          .filter(org.apache.spark.sql.functions.col("is_latest"))
+          .head.getAs[String]("model_version")
+        jobs.predict(model, labels, version)
+        jobs.runAllModels() // predictions flow into fct_trxns_with_predictions
+      case CategoryClassifier.Skipped(reason, n) =>
+        System.err.println(s"[train] skipped: $reason (n=$n)")
+    }
+
+    jobName match {
+      case "1_dagster_init" | "4_refresh_validated_retrain_repredict" =>
+        jobs.runAllModels(); trainAndPredict()
+      case "2_ingest_and_predict" =>
+        jobs.runAllModels()
+        trainAndPredict()
+      case "3_run_all_dbt_models" =>
+        jobs.runAllModels()
+      case "z_b_full_refresh_validated_trxns" =>
+        jobs.runAllModels(fullRefreshValidated = true)
+      case "z_a_rebuild_historic_data" | "5_full_refresh_validated_retrain_repredict" =>
+        jobs.runAllModels(fullRefreshValidated = true); trainAndPredict()
+      case other =>
+        throw new IllegalArgumentException(s"unknown job: $other")
+    }
+  }
+}

@@ -30,13 +30,36 @@ final class TableStore(spark: SparkSession, root: String) {
   def read(table: String): DataFrame =
     spark.read.parquet(dir(table).toString)
 
+  /** Full refresh with physical layout for big tables (SURVEY §4: the
+    * reference's B-tree indexes map to partition pruning + sorted files):
+    * hive-partition by `partitionBy` (e.g. import_date — scans with a date
+    * predicate prune whole directories) and sort rows within each file by
+    * `sortBy` (e.g. transaction_id — min/max page stats make point lookups
+    * skip row groups). */
+  def overwritePartitioned(
+      table: String, df: DataFrame,
+      partitionBy: Seq[String], sortBy: Seq[String]): Unit = {
+    val sorted =
+      if (sortBy.isEmpty) df
+      else df.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+    val target = dir(table)
+    val tmp = Paths.get(root, s".${table}__tmp")
+    deleteRecursively(tmp)
+    sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(tmp.toString)
+    swapInto(tmp, target)
+  }
+
   /** Full refresh: write to a temp sibling, swap atomically. */
   def overwrite(table: String, df: DataFrame): Unit = {
     val target = dir(table)
     val tmp = Paths.get(root, s".${table}__tmp")
     deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
-    val old = Paths.get(root, s".${table}__old")
+    swapInto(tmp, target)
+  }
+
+  private def swapInto(tmp: Path, target: Path): Unit = {
+    val old = Paths.get(root, s".${target.getFileName}__old")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.dotF
+
+/** IVF-style approximate-nearest-neighbor index over an `array<float>`
+  * embedding column — the scale path behind the catalog's `s2_topk_cosine_ivf`
+  * (which uses a precomputed label as its cell stand-in; this builds real
+  * cells with Spark ML KMeans).
+  *
+  * Shape at 100 TB: the index assignment is one KMeans fit on a sample plus
+  * a map-only transform; the indexed corpus is written partitioned by
+  * `cell`, so a search with `nProbe` cells prunes the scan to
+  * `nProbe / nCells` of the data at the parquet-directory level. Scoring
+  * uses the codegen'd dot product and a per-query top-k window over only
+  * the probed cells' candidates.
+  */
+object AnnIndex {
+
+  final case class Index(model: KMeansModel, indexed: DataFrame)
+
+  /** Fit `nCells` KMeans cells (on `trainFraction` of the corpus) and assign
+    * every row a cell id. Output columns: original columns + `cell`. */
+  def build(
+      corpus: DataFrame,
+      vecCol: String,
+      nCells: Int = 256,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0): Index = {
+    val withVec = corpus.withColumn("_vec", array_to_vector(col(vecCol)))
+    val trainSet =
+      if (trainFraction >= 1.0) withVec else withVec.sample(trainFraction, seed)
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("_vec").setPredictionCol("cell")
+      .fit(trainSet)
+    Index(model, model.transform(withVec).drop("_vec"))
+  }
+
+  private def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotF(a, b) / (normA * normB)
+
+  /** Top-k cosine neighbors per query, scanning only each query's `nProbe`
+    * nearest cells. Queries: (`idCol`, `vecCol`); result: query_id,
+    * neighbor_id, cos_sim, rank ≤ k. */
+  def searchTopK(
+      index: Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    // Cell centers are tiny (nCells rows) — cross them with the queries
+    // driver-free via broadcast, rank by distance, keep nProbe per query.
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centers = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "center")
+
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_emb"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("q_norm"))
+
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("_dist").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("_dist",
+        dotF(col("q_emb"), col("q_emb")) + dotF(col("center"), col("center"))
+          - lit(2.0) * dotF(col("q_emb"), col("center")))
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "q_emb", "q_norm", "cell")
+
+    val candidates = index.indexed.select(
+      col("cell"),
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_emb"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("c_norm"))
+
+    val scored = candidates.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos_sim"))
+
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rank)).filter(col("rank") <= k)
+  }
+
+  /** Exact brute-force top-k (the recall baseline for [[searchTopK]]). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("c_norm"))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rank)).filter(col("rank") <= k)
+  }
+}

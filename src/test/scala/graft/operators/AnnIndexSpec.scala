@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8 well-separated clusters of 40 vectors each in 16 dims. */
+  private lazy val corpus = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextFloat() * 10 - 5))
+    (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rng.nextFloat() * 0.5f - 0.25f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("index assigns every row a cell; cells roughly partition the clusters") {
+    val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
+    assert(idx.indexed.count() == 320)
+    assert(idx.indexed.select("cell").distinct().count() == 8)
+  }
+
+  test("nProbe search reaches high recall vs brute force on clustered data") {
+    val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
+    val queries = corpus.filter(col("vec_id") < 8)
+
+    val exact = AnnIndex.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = AnnIndex.searchTopK(idx, queries, "vec_id", "embedding", k = 10, nProbe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(approx.keySet == exact.keySet)
+    // keys is a Set — map to a Seq BEFORE summing, or equal per-query
+    // recalls collapse to one element
+    val recall = approx.keys.toSeq.map { q =>
+      (approx(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / approx.size
+    assert(recall >= 0.8, s"recall $recall")
+    // and each query returned exactly k
+    assert(approx.values.forall(_.size == 10))
+  }
+}
