@@ -167,6 +167,55 @@ object ParityCatalog {
         .select(col("region_rows"), (col("region_rows") === 0).as("needs_init"))
     },
 
+    // ---- F1: the §2.9 scalar-function surface in one projection -----------
+    QueryDef(
+      "f1_scalar_functions",
+      "SURVEY §2.9: lower/coalesce/concat/regexp_replace/trim/md5/abs/date_trunc/quarter/null-safe-eq in one pass",
+      Some("""
+        SELECT c_custkey,
+               lower(c_name) AS lname,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'other') AS seg,
+               c_name || '|' || c_mktsegment AS joined,
+               regexp_replace(trim(c_name), '[0-9]+$', '') AS stripped,
+               md5(c_name) AS name_hash,
+               abs(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_abs,
+               (c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')) AS nullsafe_self
+        FROM customer
+      """)) { (spark, dir) =>
+      Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("other")).as("seg"),
+        concat(col("c_name"), lit("|"), col("c_mktsegment")).as("joined"),
+        regexp_replace(trim(col("c_name")), "[0-9]+$", "").as("stripped"),
+        md5(col("c_name")).as("name_hash"),
+        abs(col("c_acctbal").cast("decimal(18,2)")).as("bal_abs"),
+        (col("c_mktsegment") <=> nullif(col("c_mktsegment"), lit("BUILDING"))).as("nullsafe_self"))
+    },
+
+    // ---- M9: calibration-curve binning ------------------------------------
+    QueryDef(
+      "m9_calibration_bins",
+      "SURVEY §2.10 M9 (classifier_train.py:271-290): uniform 10-bin calibration — mean predicted vs fraction positive",
+      Some("""
+        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+               AVG(p) AS mean_predicted,
+               AVG(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS fraction_positive,
+               COUNT(*) AS n
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) / 100.0 AS p, event_type
+              FROM events)
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val p = get_json_object(col("props"), "$.k").cast("int") / 100.0
+      Tables.events(spark, dir)
+        .select(p.as("p"), col("event_type"))
+        .groupBy(least(floor(col("p") * 10), lit(9)).cast("long").as("bin"))
+        .agg(
+          avg(col("p")).as("mean_predicted"),
+          avg(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("fraction_positive"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- O2: multi-column whitelisted sort + deep page --------------------
     QueryDef(
       "o2_multisort_page",
