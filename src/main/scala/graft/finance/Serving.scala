@@ -97,6 +97,25 @@ object Serving {
       .distinct()
       .orderBy(col("master_category"))
 
+  /** In-use category catalog (`services/category_service.py:13-31`): union
+    * of category names assigned anywhere in the pipeline — user overrides,
+    * the categorized fact, the predictions view's carried categories, and
+    * confident predictions. */
+  def inUseCategories(
+      userCategories: DataFrame,
+      fctCategorized: DataFrame,
+      fctWithPredictions: DataFrame): DataFrame = {
+    def names(df: DataFrame, c: String) =
+      df.select(col(c).as("category")).filter(col("category").isNotNull)
+    names(userCategories, "master_category")
+      .union(names(fctCategorized, "master_category"))
+      .union(names(fctWithPredictions, "master_category"))
+      .union(names(fctWithPredictions, "predicted_master_category")
+        .filter(col("category") =!= "UNCERTAIN"))
+      .distinct()
+      .orderBy(col("category"))
+  }
+
   /** Connection-health stats (`api/control_center.py:77-128`): J7
     * latest-import self-join, A6 min/max/count rollups, J8 null-safe
     * institution join (`IS NOT DISTINCT FROM` → `<=>`). */

@@ -1,0 +1,43 @@
+package graft.finance.ops
+
+import java.util.{Timer, TimerTask}
+
+/** Trailing-edge debouncer — the reference's editor-save coalescer
+  * (`ui/backend/services/dagster_trigger.py:29-53`, 45 s default from
+  * `constants.py:35`): every call cancels the pending action and
+  * re-schedules it `delayMs` out, so a burst of category edits launches
+  * exactly one retrain job.
+  *
+  * The scheduler is injectable for deterministic tests; the default uses a
+  * daemon Timer like the reference's daemon threading.Timer.
+  */
+final class Debouncer(
+    delayMs: Long,
+    schedule: (Long, () => Unit) => () => Unit = Debouncer.timerSchedule) {
+
+  private var cancelPending: Option[() => Unit] = None
+  private val lock = new Object
+
+  /** Schedule `action` after the delay, cancelling any pending schedule. */
+  def call(action: () => Unit): Unit = lock.synchronized {
+    cancelPending.foreach(_.apply())
+    cancelPending = Some(schedule(delayMs, () => {
+      lock.synchronized { cancelPending = None }
+      action()
+    }))
+  }
+
+  def hasPending: Boolean = lock.synchronized(cancelPending.isDefined)
+}
+
+object Debouncer {
+  val DefaultDebounceSeconds = 45 // EDITOR_FIX_DEBOUNCE_SECONDS (constants.py:35)
+
+  private lazy val timer = new Timer("graft-debounce", true)
+
+  private def timerSchedule(delayMs: Long, action: () => Unit): () => Unit = {
+    val task = new TimerTask { override def run(): Unit = action() }
+    timer.schedule(task, delayMs)
+    () => { task.cancel(); () }
+  }
+}

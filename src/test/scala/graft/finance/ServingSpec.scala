@@ -68,6 +68,17 @@ class ServingSpec extends SparkSpec {
     assert(page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq == Seq("t1"))
   }
 
+  test("inUseCategories unions the four pipeline sources, excluding UNCERTAIN") {
+    val uc = Seq(("t1", Some("Rent"))).toDF("transaction_id", "master_category")
+    val cat = Seq(("t2", Some("Dining"))).toDF("transaction_id", "master_category")
+    val wp = Seq(
+      ("t3", Some("Salary"), Some("Dining")),
+      ("t4", None: Option[String], Some("UNCERTAIN")))
+      .toDF("transaction_id", "master_category", "predicted_master_category")
+    val got = Serving.inUseCategories(uc, cat, wp).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Dining", "Rent", "Salary"))
+  }
+
   test("distinctCategories unions user + confident predicted, sorted") {
     val got = Serving.distinctCategories(fixture)
       .collect().map(_.getString(0)).toSeq

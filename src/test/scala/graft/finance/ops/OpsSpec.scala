@@ -1,0 +1,51 @@
+package graft.finance.ops
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import scala.collection.mutable
+
+class OpsSpec extends SparkSpec {
+
+  test("debouncer: burst of calls fires the action exactly once (trailing edge)") {
+    // deterministic fake scheduler: records scheduled actions, fires on demand
+    val pending = mutable.ArrayBuffer[(() => Unit, Array[Boolean])]()
+    def fakeSchedule(delay: Long, action: () => Unit): () => Unit = {
+      val cancelled = Array(false)
+      pending += ((action, cancelled))
+      () => cancelled(0) = true
+    }
+    val fired = mutable.ArrayBuffer[Int]()
+    val d = new Debouncer(45000, fakeSchedule)
+    d.call(() => fired += 1)
+    d.call(() => fired += 2)
+    d.call(() => fired += 3)
+    assert(pending.size == 3 && d.hasPending)
+    // the first two schedules were cancelled, only the last fires
+    pending.foreach { case (action, cancelled) => if (!cancelled(0)) action() }
+    assert(fired.toSeq == Seq(3))
+    assert(!d.hasPending)
+  }
+
+  test("snapshots: create, list, restore, retention pruning") {
+    val wh = Files.createTempDirectory("graft-wh")
+    val backups = Files.createTempDirectory("graft-bk").toString
+    Files.writeString(wh.resolve("table.parquet"), "data-v1")
+
+    val t1 = Instant.parse("2026-08-01T02:00:00Z")
+    val t2 = Instant.parse("2026-08-10T02:00:00Z")
+    val snap1 = Snapshots.create(wh.toString, backups, t1)
+    Files.writeString(wh.resolve("table.parquet"), "data-v2")
+    Snapshots.create(wh.toString, backups, t2)
+    assert(Snapshots.list(backups).size == 2)
+
+    // restore the old snapshot → v1 content back
+    Snapshots.restore(snap1, wh.toString)
+    assert(Files.readString(wh.resolve("table.parquet")) == "data-v1")
+
+    // 7-day retention at t2 deletes the t1 snapshot only
+    val deleted = Snapshots.applyRetention(backups, 7, t2)
+    assert(deleted == Seq(Snapshots.snapshotName(t1)))
+    assert(Snapshots.list(backups).size == 1)
+  }
+}
