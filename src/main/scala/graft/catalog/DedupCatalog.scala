@@ -39,15 +39,11 @@ object DedupCatalog {
   /** Whitespace tokens of lowercased text. */
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word 3-gram shingles; empty array when the doc has <3 tokens
-    * (sequence(1,0) in Spark would yield a DESCENDING range, not empty). */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", slice(t, i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word 3-gram shingles; empty array when the doc has <3 tokens.
+    * Native one-pass construction (graft.functions.WordShingles) — same
+    * output as the array_distinct/transform/slice formulation without the
+    * intermediate token array, index sequence, and per-window slices. */
+  private def shingles(c: Column): Column = graft.functions.WordShingles(c, 3)
 
   /** Same shingling in DuckDB SQL (1-based list indexing, range upper-exclusive). */
   private val shinglesSql =
