@@ -97,6 +97,37 @@ object Serving {
       .distinct()
       .orderBy(col("master_category"))
 
+  /** The validated-transactions read (O2, `api/validated_transactions.py:
+    * 54-134`): its own 7-column sort whitelist, 10000-row page cap,
+    * category equality / account ILIKE / description ILIKE filters, count
+    * twin, offset/limit. */
+  val validatedSortWhitelist: Set[String] = Set(
+    "transacted_date", "amount", "account_name", "master_category",
+    "description", "institution_name", "transaction_id")
+
+  def validatedTransactionPage(
+      validated: DataFrame,
+      category: Option[String] = None,
+      accountNameFilter: Option[String] = None,
+      descriptionSearch: Option[String] = None,
+      sortBy: String = "transacted_date",
+      ascending: Boolean = false,
+      limit: Int = 100,
+      offset: Int = 0): Page = {
+    require(limit <= 10000, "limit capped at 10000 (api/validated_transactions.py:55)")
+    val sortCol = if (validatedSortWhitelist(sortBy)) sortBy else "transacted_date"
+    var filtered = validated
+    category.foreach(c => filtered = filtered.filter(col("master_category") === c))
+    accountNameFilter.foreach(a =>
+      filtered = filtered.filter(lower(col("account_name")).contains(lower(lit(a)))))
+    descriptionSearch.foreach(s =>
+      filtered = filtered.filter(lower(col("description")).contains(lower(lit(s)))))
+    val ordered = filtered.orderBy(
+      if (ascending) col(sortCol).asc_nulls_last else col(sortCol).desc_nulls_last,
+      col("transaction_id"))
+    Page(ordered.offset(offset).limit(limit), filtered.count())
+  }
+
   /** In-use category catalog (`services/category_service.py:13-31`): union
     * of category names assigned anywhere in the pipeline — user overrides,
     * the categorized fact, the predictions view's carried categories, and

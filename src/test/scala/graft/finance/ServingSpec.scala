@@ -68,6 +68,25 @@ class ServingSpec extends SparkSpec {
     assert(page.rows.select("transaction_id").collect().map(_.getString(0)).toSeq == Seq("t1"))
   }
 
+  test("validatedTransactionPage: category/account filters, own whitelist, count twin") {
+    val v = Seq(
+      ("t1", "2024-01-05", "Dining", "Junior Checking", "starbucks"),
+      ("t2", "2024-01-03", "Dining", "Blue Cash", "pizza"),
+      ("t3", "2024-01-04", "Travel", "Junior Checking", "flight"))
+      .toDF("transaction_id", "d", "master_category", "account_name", "description")
+      .select(col("transaction_id"), col("d").cast("date").as("transacted_date"),
+        col("master_category"), col("account_name"), col("description"))
+    val p1 = Serving.validatedTransactionPage(v, category = Some("Dining"))
+    assert(p1.totalCount == 2)
+    assert(p1.rows.select("transaction_id").collect().map(_.getString(0)).toSeq == Seq("t1", "t2"))
+    val p2 = Serving.validatedTransactionPage(v,
+      accountNameFilter = Some("junior"), sortBy = "account_name", ascending = true)
+    assert(p2.totalCount == 2)
+    // non-whitelisted sort falls back to transacted_date
+    val p3 = Serving.validatedTransactionPage(v, sortBy = "evil; DROP TABLE")
+    assert(p3.rows.select("transaction_id").head.getString(0) == "t1")
+  }
+
   test("inUseCategories unions the four pipeline sources, excluding UNCERTAIN") {
     val uc = Seq(("t1", Some("Rent"))).toDF("transaction_id", "master_category")
     val cat = Seq(("t2", Some("Dining"))).toDF("transaction_id", "master_category")
