@@ -49,6 +49,23 @@ final class TableStore(spark: SparkSession, root: String) {
     swapInto(tmp, target)
   }
 
+  /** Bucketed managed table for co-located joins (SURVEY §4 / builder
+    * prompt: "bucketing for co-located joins"): both sides of a recurring
+    * equi-join written with the same bucket spec join WITHOUT a shuffle —
+    * the exchange disappears from the plan because each bucket pairs off
+    * by file. Registered in the session catalog under `table`; readers use
+    * `spark.table(table)`. At warehouse scale this is the fact–fact join
+    * strategy (e.g. transactions ⋈ predictions on transaction_id) where
+    * neither side broadcasts. */
+  def overwriteBucketed(
+      table: String, df: DataFrame, bucketCol: String, numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", dir(table).toString)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Full refresh: write to a temp sibling, swap atomically. */
   def overwrite(table: String, df: DataFrame): Unit = {
     val target = dir(table)

@@ -27,6 +27,19 @@ class TableStoreSpec extends SparkSpec {
     assert(got == Map("t1" -> "v1", "t2" -> "v2", "t3" -> "v2"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-bk").toString)
+    val a = (0 until 1000).map(i => (s"t$i", i * 2)).toDF("transaction_id", "x")
+    val b = (0 until 1000).map(i => (s"t$i", i * 3)).toDF("transaction_id", "y")
+    store.overwriteBucketed("bk_a", a, "transaction_id", numBuckets = 4)
+    store.overwriteBucketed("bk_b", b, "transaction_id", numBuckets = 4)
+    val joined = spark.table("bk_a").join(spark.table("bk_b"), "transaction_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
   test("registry flags recomputed by window: latest vs active") {
     val reg = Seq(
       ("v1", "2024-01-01 00:00:00", "trained"),
