@@ -22,14 +22,13 @@ import graft.io.Tables
   */
 object DedupCatalog {
 
-  /** Largest prime below 2^30 — the universal-hash modulus for minhash. */
-  private val MinhashP = 1073741789L
+  /** Largest prime below 2^30 — the universal-hash modulus for minhash
+    * (shared with the SQL function registration in GraftExtensions). */
+  private val MinhashP = graft.functions.GraftExtensions.DefaultModulus
 
   /** Nine fixed (a, b) affine coefficients, all < P: h_s = (a·h + b) mod P. */
-  private val minhashCoeffs: Seq[(Long, Long)] = Seq(
-    (912367261L, 83476291L), (734525851L, 921837463L), (598273217L, 45612839L),
-    (401239847L, 672348121L), (287561933L, 154729381L), (993847561L, 888213377L),
-    (174829363L, 562917841L), (648391247L, 239184673L), (862154329L, 710293847L))
+  private val minhashCoeffs: Seq[(Long, Long)] =
+    graft.functions.GraftExtensions.DefaultCoeffs
 
   /** First 15 md5 hex chars of a string as a positive BIGINT (< 2^60) —
     * byte-identical on Spark (`conv(...,16,10)`) and DuckDB (`'0x…'::BIGINT`). */

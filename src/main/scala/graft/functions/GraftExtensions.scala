@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the graft native expressions as
+  * SQL functions, so they are reachable from `spark.sql` / pure-SQL
+  * clients, not only the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * Registered: `float_vector_dot(a, b)`, `word_shingles(text, n)`,
+  * `minhash_signature(shingles)` (the default 9-seed banding config of
+  * `graft.catalog.DedupCatalog`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.floatVectorDot)
+    ext.injectFunction(GraftExtensions.wordShingles)
+    ext.injectFunction(GraftExtensions.minhashSignature)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Default minhash config — keep in sync with `graft.catalog.DedupCatalog`. */
+  val DefaultModulus = 1073741789L
+  val DefaultCoeffs: Seq[(Long, Long)] = Seq(
+    (912367261L, 83476291L), (734525851L, 921837463L), (598273217L, 45612839L),
+    (401239847L, 672348121L), (287561933L, 154729381L), (993847561L, 888213377L),
+    (174829363L, 562917841L), (648391247L, 239184673L), (862154329L, 710293847L))
+
+  val floatVectorDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("float_vector_dot"),
+    info("float_vector_dot", "_FUNC_(a, b) - dot product of two float vectors in double precision"),
+    { case Seq(a, b) => FloatVectorDot(a, b) })
+
+  val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    info("word_shingles", "_FUNC_(text[, n]) - distinct lowercased word n-gram shingles (default n=3)"),
+    {
+      case Seq(t) => WordShingles(t, 3)
+      case Seq(t, n) =>
+        WordShingles(t, n.eval().asInstanceOf[Number].intValue())
+    })
+
+  val minhashSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    info("minhash_signature", "_FUNC_(shingles) - 9-seed universal-hash MinHash signature"),
+    { case Seq(s) => new MinHashSignature(s, DefaultCoeffs, DefaultModulus) })
+}

@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  private def register(): Unit =
+    Seq(GraftExtensions.floatVectorDot, GraftExtensions.wordShingles,
+        GraftExtensions.minhashSignature)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
+
+  test("registered SQL functions evaluate through spark.sql") {
+    register()
+    val dot = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head.getDouble(0)
+    assert(dot == 11.0)
+
+    val sh = spark.sql("SELECT word_shingles('a b c d') AS s").head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+
+    val sh2 = spark.sql("SELECT word_shingles('a b c d', 2) AS s").head.getSeq[String](0)
+    assert(sh2 == Seq("a b", "b c", "c d"))
+
+    val mh = spark.sql("SELECT minhash_signature(word_shingles('a b c d e f')) AS m")
+      .head.getSeq[Long](0)
+    assert(mh.length == 9 && mh.forall(v => v >= 0 && v < GraftExtensions.DefaultModulus))
+  }
+}
