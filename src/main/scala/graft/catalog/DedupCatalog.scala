@@ -111,8 +111,12 @@ object DedupCatalog {
       // One-pass native signature (graft.functions.MinHashSignature): one
       // md5 per shingle with a reused digest, all 9 minima in a single
       // compiled loop — replaces 10 interpreted HOF passes per document.
+      // Drop null signatures (docs with <3 tokens): concat_ws below never
+      // returns null, so an all-null signature would otherwise band such
+      // docs into a shared "" bucket — the oracle emits no rows for them.
       val mhs = sh.select(col("doc_id"),
         graft.functions.MinHashSignature(col("shingles"), minhashCoeffs, MinhashP).as("mhs"))
+        .filter(col("mhs").isNotNull)
       val bands = mhs.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(2)),
             b => concat_ws("|",

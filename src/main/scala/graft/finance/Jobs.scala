@@ -117,8 +117,8 @@ final class Jobs(spark: SparkSession, store: TableStore) {
       .withColumn("accuracy", lit(metrics.get("accuracy").orNull).cast("double"))
       .withColumn("f1_macro", lit(metrics.get("f1_macro").orNull).cast("double"))
       .withColumn("f1_weighted", lit(metrics.get("f1_weighted").orNull).cast("double"))
-      .withColumn("precision_macro", lit(metrics.get("precision_weighted").orNull).cast("double"))
-      .withColumn("recall_macro", lit(metrics.get("recall_weighted").orNull).cast("double"))
+      .withColumn("precision_macro", lit(metrics.get("precision_macro").orNull).cast("double"))
+      .withColumn("recall_macro", lit(metrics.get("recall_macro").orNull).cast("double"))
       .withColumn("message", lit(null).cast("string"))
   }
 }

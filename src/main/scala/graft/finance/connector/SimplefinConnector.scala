@@ -74,7 +74,8 @@ object SimplefinConnector {
     val userInfo = Option(u.getUserInfo).getOrElse(
       throw new IllegalArgumentException("access URL must include credentials user:pass@"))
     require(userInfo.contains(":"), "access URL must include both username and password")
-    val base = s"https://${u.getHost}${Option(u.getPath).getOrElse("").stripSuffix("/")}"
+    val port = if (u.getPort != -1) s":${u.getPort}" else ""
+    val base = s"https://${u.getHost}$port${Option(u.getPath).getOrElse("").stripSuffix("/")}"
     val auth = "Basic " + Base64.getEncoder.encodeToString(
       userInfo.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     (base, auth)
@@ -169,7 +170,7 @@ object SimplefinConnector {
                 transactedAt.map(epochDate).orNull,
                 str(t \ "description").orNull,
                 java.lang.Boolean.valueOf(bool(t \ "pending").getOrElse(false)),
-                str(t \ "extra").orNull,
+                jsonText(t \ "extra"),
                 importTimestamp,
                 importDate)
               added += 1
@@ -209,6 +210,14 @@ object SimplefinConnector {
   private def bool(v: JValue): Option[Boolean] = v match {
     case JBool(b) => Some(b)
     case _ => None
+  }
+  /** The raw `extra` spillover is usually a JSON OBJECT — serialize any
+    * non-scalar JValue back to its JSON text (the reference stores the
+    * object as TEXT, `simplefin_api.py:231`). */
+  private def jsonText(v: JValue): String = v match {
+    case JNothing | JNull => null
+    case JString(s) => s
+    case other => JsonMethods.compact(JsonMethods.render(other))
   }
   private def epochDate(epoch: Long): String =
     LocalDate.ofInstant(Instant.ofEpochSecond(epoch), ZoneOffset.UTC).toString

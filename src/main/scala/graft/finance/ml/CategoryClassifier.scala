@@ -58,9 +58,12 @@ object CategoryClassifier {
 
   /** Deterministic stratified 80/20 split (M3): within each label, order by
     * a stable hash of transaction_id and cut at 80%. Classes with fewer
-    * than 2 rows go wholly to train (sklearn's stratify fallback).
-    * Hash-ordering makes the split identical across runs and partitionings —
-    * `randomSplit` is NOT (it is partition-dependent). */
+    * than 2 rows go wholly to train (sklearn's stratify fallback); classes
+    * with ≥2 rows always contribute ≥1 test row (the cut is capped at n-1,
+    * matching sklearn's per-class guarantee — a plain ceil sends 2-4-row
+    * classes entirely to train). Hash-ordering makes the split identical
+    * across runs and partitionings — `randomSplit` is NOT (it is
+    * partition-dependent). */
   def stratifiedSplit(df: DataFrame, testFraction: Double = 0.2, seed: Long = 42L)
       : (DataFrame, DataFrame) = {
     val byLabel = Window.partitionBy(col(labelCol))
@@ -69,7 +72,7 @@ object CategoryClassifier {
     val ranked = df
       .withColumn("_n", count(lit(1)).over(byLabel))
       .withColumn("_rk", row_number().over(ordered))
-    val trainCut = ceil(col("_n") * (1.0 - testFraction))
+    val trainCut = least(ceil(col("_n") * (1.0 - testFraction)), col("_n") - 1)
     val train = ranked.filter(col("_n") < 2 || col("_rk") <= trainCut).drop("_n", "_rk")
     val test = ranked.filter(col("_n") >= 2 && col("_rk") > trainCut).drop("_n", "_rk")
     (train, test)
@@ -155,15 +158,15 @@ object CategoryClassifier {
         "accuracy" -> m("accuracy"),
         "f1_weighted" -> m("weightedFMeasure"),
         "precision_weighted" -> m("weightedPrecision"),
-        "recall_weighted" -> m("weightedRecall"),
-        "f1_macro" -> macroF1(predictions))
+        "recall_weighted" -> m("weightedRecall")) ++ macroMetrics(predictions)
     }
     Trained(model, labels, metrics, train0.count(), test.count(), labels.length)
   }
 
-  /** Macro F1 with sklearn zero_division=0: per-class F1 (0 when no
-    * predictions or no support), unweighted mean over TRUE classes. */
-  private def macroF1(predictions: DataFrame): Double = {
+  /** Macro precision/recall/F1 with sklearn zero_division=0: per-class
+    * values (0 when no predictions or no support), unweighted mean over
+    * TRUE classes. */
+  private def macroMetrics(predictions: DataFrame): Map[String, Double] = {
     val perClass = predictions.groupBy(col("_label"))
       .agg(count(lit(1)).as("support"),
         sum(when(col("_prediction") === col("_label"), 1).otherwise(0)).as("tp"))
@@ -175,7 +178,10 @@ object CategoryClassifier {
       .withColumn("rec", col("tp") / col("support"))
       .withColumn("f1", when(col("prec") + col("rec") > 0,
         lit(2) * col("prec") * col("rec") / (col("prec") + col("rec"))).otherwise(0.0))
-    f1s.agg(avg(col("f1"))).head.getDouble(0)
+    val row = f1s.agg(avg(col("f1")), avg(col("prec")), avg(col("rec"))).head
+    Map("f1_macro" -> row.getDouble(0),
+      "precision_macro" -> row.getDouble(1),
+      "recall_macro" -> row.getDouble(2))
   }
 
   /** M10: score with confidence threshold — max class probability below the

@@ -36,7 +36,12 @@ object Debouncer {
   private lazy val timer = new Timer("graft-debounce", true)
 
   private def timerSchedule(delayMs: Long, action: () => Unit): () => Unit = {
-    val task = new TimerTask { override def run(): Unit = action() }
+    val task = new TimerTask {
+      // an escaping exception would kill the shared Timer thread and
+      // permanently disable every Debouncer — contain it
+      override def run(): Unit =
+        try action() catch { case e: Exception => e.printStackTrace() }
+    }
     timer.schedule(task, delayMs)
     () => { task.cancel(); () }
   }

@@ -39,22 +39,37 @@ object GraftExtensions {
     (401239847L, 672348121L), (287561933L, 154729381L), (993847561L, 888213377L),
     (174829363L, 562917841L), (648391247L, 239184673L), (862154329L, 710293847L))
 
+  private def badArity(name: String, usage: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name, "expectedNum" -> usage,
+        "actualNum" -> "see usage", "docroot" -> ""))
+
   val floatVectorDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("float_vector_dot"),
     info("float_vector_dot", "_FUNC_(a, b) - dot product of two float vectors in double precision"),
-    { case Seq(a, b) => FloatVectorDot(a, b) })
+    {
+      case Seq(a, b) => FloatVectorDot(a, b)
+      case _ => badArity("float_vector_dot", "2")
+    })
 
   val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_shingles"),
     info("word_shingles", "_FUNC_(text[, n]) - distinct lowercased word n-gram shingles (default n=3)"),
     {
       case Seq(t) => WordShingles(t, 3)
-      case Seq(t, n) =>
+      case Seq(t, n) if n.foldable && n.eval() != null =>
         WordShingles(t, n.eval().asInstanceOf[Number].intValue())
+      case Seq(_, _) =>
+        throw new IllegalArgumentException("word_shingles: n must be a non-null constant")
+      case _ => badArity("word_shingles", "1 or 2")
     })
 
   val minhashSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash_signature"),
     info("minhash_signature", "_FUNC_(shingles) - 9-seed universal-hash MinHash signature"),
-    { case Seq(s) => new MinHashSignature(s, DefaultCoeffs, DefaultModulus) })
+    {
+      case Seq(s) => new MinHashSignature(s, DefaultCoeffs, DefaultModulus)
+      case _ => badArity("minhash_signature", "1")
+    })
 }

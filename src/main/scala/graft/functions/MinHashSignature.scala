@@ -51,25 +51,30 @@ case class MinHashSignature(
     val mins = Array.fill(k)(Long.MaxValue)
     val md = localDigest.get()
     var i = 0
+    var nonNull = 0
     while (i < n) {
-      val bytes = md.digest(shingles.getUTF8String(i).getBytes)
-      md.reset()
-      // first 15 hex chars == first 7.5 bytes, big-endian → 60-bit value
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (bytes(j) & 0xffL); j += 1 }
-      v = (v << 4) | ((bytes(7) >> 4) & 0xfL)
-      val h = v % modulus
-      var s = 0
-      while (s < k) {
-        val (a, b) = coeffs(s)
-        val m = (h * a + b) % modulus
-        if (m < mins(s)) mins(s) = m
-        s += 1
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) { // null elements are skipped, as list_min skips NULLs
+        nonNull += 1
+        val bytes = md.digest(sh.getBytes)
+        md.reset()
+        // first 15 hex chars == first 7.5 bytes, big-endian → 60-bit value
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (bytes(j) & 0xffL); j += 1 }
+        v = (v << 4) | ((bytes(7) >> 4) & 0xfL)
+        val h = v % modulus
+        var s = 0
+        while (s < k) {
+          val (a, b) = coeffs(s)
+          val m = (h * a + b) % modulus
+          if (m < mins(s)) mins(s) = m
+          s += 1
+        }
       }
       i += 1
     }
-    if (n == 0) null else new GenericArrayData(mins)
+    if (nonNull == 0) null else new GenericArrayData(mins)
   }
 
   // empty shingle set → null signature (matches list_min over empty = NULL

@@ -47,5 +47,7 @@ object Skew {
       out: String = "n_distinct"): DataFrame =
     df.select((keys :+ value).map(col): _*)
       .groupBy((keys :+ value).map(col): _*).agg(lit(1))
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(out))
+      // count(col) skips the NULL distinct row, matching countDistinct's
+      // NULL handling while keeping all-NULL groups present with 0
+      .groupBy(keys.map(col): _*).agg(count(col(value)).as(out))
 }

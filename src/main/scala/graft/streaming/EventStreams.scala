@@ -39,8 +39,11 @@ object EventStreams {
   /** Streaming twin of e3: 30-minute-gap sessionization via
     * `flatMapGroupsWithState` — the stateful-operator shape the batch
     * catalog emulates with lag + running sum. State per user is one
-    * (sessionId, lastTs) pair; EventTimeTimeout + watermark expires idle
-    * users so state can't grow unboundedly. */
+    * (sessionId, lastTs) pair and is KEPT on event-time timeout: removing
+    * it would restart session numbering at 1 when the user returns,
+    * aliasing distinct sessions under one (user_id, session_id). State is
+    * therefore O(distinct users) — the standard keyed-state bound — not
+    * O(active users). */
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800,
@@ -52,8 +55,11 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionAssignment](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            // keep the counter; push the timeout out so it doesn't re-fire
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 365L * 86400 * 1000)
+            Iterator.empty
+          } else {
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
             val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
               val t = e.ts.getTime / 1000

@@ -22,8 +22,25 @@ class SimplefinConnectorSpec extends SparkSpec {
     assert(base == "https://bridge.example.org/simplefin")
     assert(auth == "Basic " + java.util.Base64.getEncoder.encodeToString(
       "user:secretpass".getBytes("UTF-8")))
+    // explicit port survives
+    assert(parseAccessUrl("https://u:p@bridge.example.org:8443/sf")._1
+      == "https://bridge.example.org:8443/sf")
     intercept[IllegalArgumentException](parseAccessUrl("http://u:p@x.org/sf"))
     intercept[IllegalArgumentException](parseAccessUrl("https://nocreds.org/sf"))
+  }
+
+  test("extra JSON object spillover is serialized, not dropped") {
+    val transport = new Transport {
+      def get(url: String, auth: String, t: Int): (Int, String) =
+        (200, """{"errors":[],"accounts":[{"id":"a1","name":"C",
+            "org":{"name":"B","domain":"d"},
+            "transactions":[{"id":"t1","amount":"-1.00","posted":1690000000,
+              "extra":{"payee":"ACME","code":7}}]}]}""")
+    }
+    val result = fetchAll(transport, accessUrl, 1700000000L,
+      RetryPolicy(total = 0, sleeper = _ => ()))
+    val extra = result.rows.head.getString(12)
+    assert(extra != null && extra.contains("\"payee\":\"ACME\"") && extra.contains("\"code\":7"))
   }
 
   test("chunking: 200-day lookback → 5 chunks of ≤45 days, contiguous") {

@@ -91,6 +91,29 @@ class CategoryClassifierSpec extends SparkSpec {
     }
   }
 
+  test("stratified split: 2-4-row classes still contribute a test row; singletons go to train") {
+    val data = labeled(90).limit(0)
+      .union(labeled(90).filter(col("master_category") === "Dining").limit(2))
+      .union(labeled(90).filter(col("master_category") === "Travel").limit(4))
+      .union(labeled(90).filter(col("master_category") === "Income").limit(1))
+    val (tr, te) = CategoryClassifier.stratifiedSplit(data)
+    val testByClass = te.groupBy("master_category").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(testByClass.get("Dining").contains(1L)) // n=2 → 1 test row
+    assert(testByClass.get("Travel").contains(1L)) // n=4 → ceil(3.2)=4 capped at 3 → 1 test
+    assert(!testByClass.contains("Income"))        // singleton → all train
+    assert(tr.filter(col("master_category") === "Income").count() == 1)
+  }
+
+  test("metrics include true macro precision/recall distinct from weighted") {
+    CategoryClassifier.train(labeled(120), fastCfg) match {
+      case CategoryClassifier.Trained(_, _, metrics, _, _, _) =>
+        assert(metrics.contains("precision_macro") && metrics.contains("recall_macro"))
+        assert(metrics("precision_macro") > 0.8 && metrics("recall_macro") > 0.8)
+      case other => fail(s"expected Trained, got $other")
+    }
+  }
+
   test("balanced weights follow n/(k*n_c)") {
     val df = labeled(90).filter(col("master_category") =!= "Income")
       .union(labeled(90).filter(col("master_category") === "Income").limit(10))

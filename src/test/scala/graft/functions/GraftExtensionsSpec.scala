@@ -28,4 +28,20 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(mh.length == 9 && mh.forall(v => v >= 0 && v < GraftExtensions.DefaultModulus))
   }
+
+  test("wrong arity raises an analysis error, not MatchError") {
+    register()
+    val e = intercept[Exception](spark.sql("SELECT float_vector_dot(array(CAST(1 AS FLOAT)))").collect())
+    assert(!e.isInstanceOf[scala.MatchError])
+  }
+
+  test("null shingle elements are skipped, matching list_min's NULL handling") {
+    register()
+    val withNull = spark.sql(
+      "SELECT minhash_signature(array('x y z', CAST(NULL AS STRING))) AS m")
+      .head.getSeq[Long](0)
+    val without = spark.sql("SELECT minhash_signature(array('x y z')) AS m")
+      .head.getSeq[Long](0)
+    assert(withNull == without)
+  }
 }

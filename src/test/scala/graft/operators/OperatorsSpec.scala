@@ -25,8 +25,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 900 + fact.filter("key in ('k3','k5')").count())
   }
 
-  test("distinctCountSkewAware equals countDistinct") {
-    val df = (0 until 500).map(i => (s"g${i % 3}", s"v${i % 37}")).toDF("g", "v")
+  test("distinctCountSkewAware equals countDistinct, nulls included") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", if (i % 11 == 0) null else s"v${i % 37}"))
+      .toDF("g", "v")
+      .union(Seq(("gnull", null), ("gnull", null)).toDF("g", "v"))
     val expected = df.groupBy("g").agg(countDistinct("v").as("n_distinct"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = Skew.distinctCountSkewAware(df, Seq("g"), "v")
