@@ -216,6 +216,31 @@ object ParityCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- K1/K2: sketch aggregates (north-star; SURVEY §2.4 note) ----------
+    // No oracle: HLL++ and quantile-sketch internals differ across engines,
+    // so the driver records the rows-only check. Exactness is bounded by
+    // the documented sketch error (HLL rsd 5%, quantile eps 1%).
+    QueryDef(
+      "k1_approx_distinct",
+      "North-star sketch: approx_count_distinct (HLL++) per group — the cardinality path when exact distinct would shuffle every value",
+      None) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    QueryDef(
+      "k2_approx_quantiles",
+      "North-star sketch: percentile_approx p50/p95/p99 per group — single-pass quantiles without a global sort",
+      None) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
+    },
+
     // ---- O2: multi-column whitelisted sort + deep page --------------------
     QueryDef(
       "o2_multisort_page",

@@ -112,6 +112,24 @@ object PropertiesCheck extends Properties("graft.finance") {
       }
     }
 
+  property("WordShingles == HOF formulation on arbitrary text") = {
+    import org.apache.spark.sql.functions._
+    val genWord = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("Ä", "ß", "İ", "é", "", " ", "ω", "This", "the"))
+    forAll(Gen.listOf(genWord).map(_.mkString(" "))) { text =>
+      import spark.implicits._
+      val df = Seq(text).toDF("text")
+      val t = split(lower(col("text")), " ")
+      val hof = when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", slice(t, i, lit(3))))))
+        .otherwise(array().cast("array<string>"))
+      val r = df.select(
+        graft.functions.WordShingles(col("text"), 3).as("native"), hof.as("hof")).head
+      r.getSeq[String](0).sorted == r.getSeq[String](1).sorted
+    }
+  }
+
   property("TopK aggregator == sort-take-k for arbitrary inputs (pure)") = {
     val agg = graft.operators.TopK.topK(5)
     forAll(Gen.listOf(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0L, 50L)))) { vs =>
