@@ -181,9 +181,10 @@ object DedupCatalog {
       // shared/(n1+n2-shared): integer-exact inputs, one double division —
       // bit-identical across engines, so the 0.5 threshold cannot flap.
       val jac = col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared"))
+      // per-doc counts grow with the corpus — no broadcast hint, AQE decides
       inter
-        .join(broadcast(cnt.select(col("doc_id").as("doc1"), col("n").as("n1"))), Seq("doc1"))
-        .join(broadcast(cnt.select(col("doc_id").as("doc2"), col("n").as("n2"))), Seq("doc2"))
+        .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+        .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
         .filter(jac >= 0.5)
         .select(col("doc1"), col("doc2"), jac.as("jaccard"))
     },

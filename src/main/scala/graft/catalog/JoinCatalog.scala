@@ -63,7 +63,9 @@ object JoinCatalog {
       """)) { (spark, dir) =>
       val o = Tables.orders(spark, dir)
       val c = Tables.customer(spark, dir)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      // no broadcast hint: customer grows with SF — AQE picks broadcast at
+      // small scale and shuffled join when the build side outgrows it
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
         .select(o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_mktsegment"))
     },
 

@@ -59,13 +59,16 @@ object ParityCatalog {
         SELECT event_id, event_type
         FROM events
         WHERE $predCol IS NULL
+          AND event_id IS NOT NULL
           AND event_id NOT IN (SELECT event_id FROM events WHERE event_id % 7 = 0 AND event_id IS NOT NULL)
       """)) { (spark, dir) =>
       val e = Tables.events(spark, dir)
       val validated = e.filter(col("event_id") % 7 === 0).select("event_id")
+      // the explicit isNotNull matches NOT IN's null-key semantics (a NULL
+      // probe row is dropped by NOT IN but kept by a left-anti join)
       e.withColumn("category",
           when(get_json_object(col("props"), "$.k").cast("int") >= 50, col("event_type")))
-        .filter(col("category").isNull)
+        .filter(col("category").isNull && col("event_id").isNotNull)
         .join(validated, Seq("event_id"), "left_anti")
         .select("event_id", "event_type")
     },
@@ -77,7 +80,7 @@ object ParityCatalog {
       Some("""
         SELECT event_id,
                CAST(value AS DECIMAL(18,2)) AS amount,
-               CAST(to_timestamp(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1700000000) AS TIMESTAMP) AS posted,
+               make_timestamp((CAST(json_extract_string(props, '$.k') AS BIGINT) + 1700000000) * 1000000) AS posted,
                CAST(ts AS DATE) AS posted_date,
                CAST(strptime(strftime(ts, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS import_date
         FROM events

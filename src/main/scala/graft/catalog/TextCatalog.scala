@@ -116,13 +116,13 @@ object TextCatalog {
                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS min_shingle_hash
         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
       """)) { (spark, dir) =>
-      val t = toks(col("text"))
+      // native shingle construction; md5-min over the (distinct) shingle
+      // set equals the min over all windows — duplicates can't change a min
+      val sh = graft.functions.WordShingles(col("text"), 3)
       Tables.documents(spark, dir).select(
         col("doc_id"),
         md5(lower(trim(col("text")))).as("content_hash"),
-        when(size(t) >= 3,
-          array_min(transform(sequence(lit(1), size(t) - 2),
-            i => md5(concat_ws(" ", slice(t, i, lit(3)))))))
+        when(size(sh) >= 1, array_min(transform(sh, x => md5(x))))
           .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
     })
 }
