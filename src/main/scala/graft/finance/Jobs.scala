@@ -22,6 +22,11 @@ import graft.finance.ml.CategoryClassifier
   */
 final class Jobs(spark: SparkSession, store: TableStore) {
 
+  /** Model artifacts live beside the tables (dot-prefixed: never a table
+    * name); registry file_path entries point INTO this store, so predict
+    * can load exactly what train saved. */
+  val modelStore = new graft.finance.ml.ModelStore(spark, s"${store.root}/.models")
+
   private def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (store.exists(table)) store.read(table)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -72,7 +77,10 @@ final class Jobs(spark: SparkSession, store: TableStore) {
     val result = CategoryClassifier.train(store.read("fct_validated_trxns"), cfg)
     val version = s"model_${System.currentTimeMillis()}"
     val row = result match {
-      case CategoryClassifier.Trained(_, _, metrics, nTrain, nTest, nClasses) =>
+      case CategoryClassifier.Trained(model, labels, metrics, nTrain, nTest, nClasses) =>
+        // persist the artifact FIRST: a registry row must never point at a
+        // path that does not exist
+        modelStore.save(model, labels, version)
         registryRow(version, "trained", metrics, nTrain, nTest, nClasses, null)
       case CategoryClassifier.Skipped(reason, _) =>
         registryRow(version, "skipped", Map.empty, 0L, 0L, 0, reason)
@@ -111,7 +119,7 @@ final class Jobs(spark: SparkSession, store: TableStore) {
     Seq((version, status, metricsJson, nTrain, nTest, nClasses, Option(reason)))
       .toDF("model_version", "status", "metrics_json", "n_train", "n_test", "n_classes", "reason")
       .withColumn("training_timestamp", current_timestamp())
-      .withColumn("file_path", lit(s"models/$version"))
+      .withColumn("file_path", lit(s"${store.root}/.models/$version"))
       .withColumn("is_active", lit(false))
       .withColumn("is_latest", lit(false))
       .withColumn("accuracy", lit(metrics.get("accuracy").orNull).cast("double"))

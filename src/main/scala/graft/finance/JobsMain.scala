@@ -48,14 +48,30 @@ object JobsMain {
         jobs.runAllModels() // predictions flow into fct_trxns_with_predictions
       case CategoryClassifier.Skipped(reason, n) =>
         System.err.println(s"[train] skipped: $reason (n=$n)")
+        predictWithExisting() // a previously trained model can still score
+    }
+
+    // Predict WITHOUT retraining (job 2's composition): load the active
+    // model from the store; nothing trained yet → log and skip.
+    def predictWithExisting(): Unit = {
+      val registry = if (store.exists("model_registry")) Some(store.read("model_registry")) else None
+      jobs.modelStore.loadForPredict(registry) match {
+        case Some((model, labels, version)) =>
+          jobs.predict(model, labels, version)
+          jobs.runAllModels()
+        case None =>
+          System.err.println("[predict] no trained model available; skipping predictions")
+      }
     }
 
     jobName match {
       case "1_dagster_init" | "4_refresh_validated_retrain_repredict" =>
         jobs.runAllModels(); trainAndPredict()
       case "2_ingest_and_predict" =>
+        // per the composition table: models → predict, NO retrain — the
+        // ingest poll must not churn the model on every run
         jobs.runAllModels()
-        trainAndPredict()
+        predictWithExisting()
       case "3_run_all_dbt_models" =>
         jobs.runAllModels()
       case "z_b_full_refresh_validated_trxns" =>

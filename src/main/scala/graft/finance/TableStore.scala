@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * against a transactional table format's MERGE — the call sites don't
   * change, only this class.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, val root: String) {
 
   private def dir(table: String): Path = Paths.get(root, table)
 
@@ -58,13 +58,28 @@ final class TableStore(spark: SparkSession, root: String) {
     * strategy (e.g. transactions ⋈ predictions on transaction_id) where
     * neither side broadcasts. */
   def overwriteBucketed(
-      table: String, df: DataFrame, bucketCol: String, numBuckets: Int = 32): Unit =
+      table: String, df: DataFrame, bucketCol: String, numBuckets: Int = 32): Unit = {
+    // bucketing metadata lives in the catalog, so the directory-swap
+    // protocol doesn't apply; instead each overwrite writes a fresh
+    // versioned path and atomically repoints the catalog entry, then
+    // removes the previous generation — readers resolve via the catalog
+    // and never list a half-written directory.
+    val previous: Option[String] =
+      try {
+        val t = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        t.storage.locationUri.map(Paths.get(_).toString)
+      } catch { case _: Exception => None }
+    val versioned = Paths.get(root, s".${table}__gen${System.nanoTime()}")
     df.write.mode("overwrite")
       .format("parquet")
-      .option("path", dir(table).toString)
+      .option("path", versioned.toString)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+    previous.filter(_ != versioned.toString)
+      .foreach(p => deleteRecursively(Paths.get(p)))
+  }
 
   /** Full refresh: write to a temp sibling, swap atomically. */
   def overwrite(table: String, df: DataFrame): Unit = {
@@ -102,11 +117,7 @@ final class TableStore(spark: SparkSession, root: String) {
       overwrite(table, kept.unionByName(batch))
     }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+  private def deleteRecursively(p: Path): Unit = graft.finance.ops.FileTrees.delete(p)
 }
 
 object TableStore {

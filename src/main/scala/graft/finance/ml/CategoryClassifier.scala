@@ -105,6 +105,10 @@ object CategoryClassifier {
     val indexer = new StringIndexer()
       .setInputCol(labelCol).setOutputCol("_label")
       .setStringOrderType("alphabetAsc") // deterministic class indexing
+      // scoring input has master_category NULL on every row; "keep" makes
+      // the transform well-defined there instead of relying on Catalyst
+      // pruning the _label column out of the scoring plan
+      .setHandleInvalid("keep")
     val rf = new RandomForestClassifier()
       .setFeaturesCol("features").setLabelCol("_label").setWeightCol("_weight")
       .setNumTrees(cfg.numTrees).setMaxDepth(cfg.maxDepth)

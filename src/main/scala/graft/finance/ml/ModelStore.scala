@@ -33,7 +33,11 @@ final class ModelStore(spark: SparkSession, root: String) {
   }
 
   /** Predict-time selection: the registry's active model, else the newest
-    * trained row, else the `latest` directory; None when nothing exists. */
+    * trained row, else the `latest` directory; None when nothing was ever
+    * trained. A version the registry DOES name but that fails to load is an
+    * error, not None — swallowing it would turn a corrupt/moved artifact
+    * into a silent no-predictions state (the reference raises
+    * FileNotFoundError here, `classifier_predict.py:78-81`). */
   def loadForPredict(registry: Option[DataFrame]): Option[(PipelineModel, Array[String], String)] = {
     val fromRegistry = registry.flatMap { reg =>
       val trained = reg.filter(col("status") === "trained")
@@ -43,25 +47,26 @@ final class ModelStore(spark: SparkSession, root: String) {
         else trained.orderBy(col("training_timestamp").desc).limit(1)
       pick.collect().headOption.map(_.getAs[String]("model_version"))
     }
-    val version = fromRegistry.orElse(
-      if (Files.exists(Paths.get(root, "latest"))) Some("latest") else None)
-    version.flatMap { v =>
-      try { val (m, l) = load(v); Some((m, l, v)) }
-      catch { case _: Exception => None }
+    fromRegistry match {
+      case Some(v) =>
+        val (m, l) =
+          try load(v)
+          catch { case e: Exception =>
+            throw new IllegalStateException(
+              s"registry names model '$v' but its artifact failed to load " +
+                s"(moved or deleted?): ${e.getMessage}", e)
+          }
+        Some((m, l, v))
+      case None =>
+        if (Files.exists(Paths.get(root, "latest"))) {
+          val (m, l) = load("latest")
+          Some((m, l, "latest"))
+        } else None
     }
   }
 
-  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(from).iterator().asScala.foreach { p =>
-      val dest = to.resolve(from.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(dest)
-      else { Files.createDirectories(dest.getParent); Files.copy(p, dest) }
-    }
-  }
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    graft.finance.ops.FileTrees.copy(from, to)
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    graft.finance.ops.FileTrees.delete(p)
 }

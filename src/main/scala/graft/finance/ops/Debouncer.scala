@@ -15,19 +15,30 @@ final class Debouncer(
     delayMs: Long,
     schedule: (Long, () => Unit) => () => Unit = Debouncer.timerSchedule) {
 
-  private var cancelPending: Option[() => Unit] = None
+  // (cancel fn, identity token). The firing wrapper clears the slot ONLY if
+  // it still holds its own token: a task that starts firing concurrently
+  // with a newer call() must not wipe the newer registration (that race
+  // would leave hasPending=false while a task is scheduled, and let a
+  // subsequent call() skip the cancel — firing the action more than once).
+  private var pending: Option[(() => Unit, AnyRef)] = None
   private val lock = new Object
 
   /** Schedule `action` after the delay, cancelling any pending schedule. */
   def call(action: () => Unit): Unit = lock.synchronized {
-    cancelPending.foreach(_.apply())
-    cancelPending = Some(schedule(delayMs, () => {
-      lock.synchronized { cancelPending = None }
-      action()
-    }))
+    pending.foreach(_._1.apply())
+    val token = new Object
+    val cancel = schedule(delayMs, () => {
+      val stillCurrent = lock.synchronized {
+        val current = pending.exists(_._2 eq token)
+        if (current) pending = None
+        current
+      }
+      if (stillCurrent) action()
+    })
+    pending = Some((cancel, token))
   }
 
-  def hasPending: Boolean = lock.synchronized(cancelPending.isDefined)
+  def hasPending: Boolean = lock.synchronized(pending.isDefined)
 }
 
 object Debouncer {

@@ -59,14 +59,6 @@ object Snapshots {
       .filter(_.startsWith("warehouse_backup_")).sorted
   }
 
-  private def copyTree(from: Path, to: Path): Unit =
-    Files.walk(from).iterator().asScala.foreach { p =>
-      val dest = to.resolve(from.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(dest)
-      else { Files.createDirectories(dest.getParent); Files.copy(p, dest) }
-    }
-
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  private def copyTree(from: Path, to: Path): Unit = FileTrees.copy(from, to)
+  private def deleteTree(p: Path): Unit = FileTrees.delete(p)
 }

@@ -42,8 +42,11 @@ object Multimodal {
       DecodedImage(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024), 3)
     }
     /** Deterministic fixed-dim "embedding" of the payload: a rolling hash
-      * folded into `dim` float buckets — stands in for a vision encoder. */
-    def featurize(payload: Array[Byte], dim: Int): Array[Float] = {
+      * folded into `dim` float buckets — stands in for a vision encoder.
+      * Null payloads embed as the zero vector (schema allows them; a real
+      * codec would likewise need a missing-payload policy). */
+    def featurize(payload0: Array[Byte], dim: Int): Array[Float] = {
+      val payload = if (payload0 == null) Array.emptyByteArray else payload0
       val acc = new Array[Float](dim)
       var h = 1125899906842597L
       var i = 0
@@ -96,6 +99,9 @@ object Multimodal {
     assets
       .withColumn("n_frames",
         ceil(length(col("payload")) / lit(frameBytes)).cast("int"))
+      // empty payloads have no frames: without this filter the clamp below
+      // (which only guards sequence(0,-1)) would emit a phantom frame 0
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         filter(sequence(lit(0), greatest(col("n_frames") - 1, lit(0))),
           i => i % stride === 0))

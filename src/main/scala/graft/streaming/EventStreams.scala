@@ -77,8 +77,10 @@ object EventStreams {
   }
 
   /** Incremental-fact twin (SURVEY §2.8 as a stream): append-only dedup by
-    * key across micro-batches — `dropDuplicates` with watermark-bounded
-    * state, the streaming analogue of the left-anti incremental merge. */
+    * key across micro-batches. `dropDuplicatesWithinWatermark` is the form
+    * whose state the watermark actually evicts — plain
+    * `dropDuplicates("event_id")` (without the event-time column in the
+    * subset) keeps every key ever seen and grows state forever. */
   def appendOnlyByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 }

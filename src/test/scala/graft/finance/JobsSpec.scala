@@ -48,6 +48,11 @@ class JobsSpec extends SparkSpec {
     val reg = store.read("model_registry")
     assert(reg.count() == 1)
     assert(reg.head.getAs[Boolean]("is_active") && reg.head.getAs[Boolean]("is_latest"))
+    // the artifact the registry points at actually exists and loads
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(reg.head.getAs[String]("file_path"))))
+    val loaded = jobs.modelStore.loadForPredict(Some(reg))
+    assert(loaded.exists(_._2.toSeq == trained.labels.toSeq))
 
     // Predict and re-run models: predictions join into fct_trxns_with_predictions.
     jobs.predict(trained.model, trained.labels,

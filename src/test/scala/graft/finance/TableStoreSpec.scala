@@ -27,12 +27,18 @@ class TableStoreSpec extends SparkSpec {
     assert(got == Map("t1" -> "v1", "t2" -> "v2", "t3" -> "v2"))
   }
 
-  test("bucketed tables join without a shuffle") {
-    val store = new TableStore(spark, Files.createTempDirectory("graft-bk").toString)
+  test("bucketed tables join without a shuffle; re-overwrite cleans old generation") {
+    val root = Files.createTempDirectory("graft-bk")
+    val store = new TableStore(spark, root.toString)
     val a = (0 until 1000).map(i => (s"t$i", i * 2)).toDF("transaction_id", "x")
     val b = (0 until 1000).map(i => (s"t$i", i * 3)).toDF("transaction_id", "y")
     store.overwriteBucketed("bk_a", a, "transaction_id", numBuckets = 4)
+    store.overwriteBucketed("bk_a", a, "transaction_id", numBuckets = 4) // repoint + cleanup
     store.overwriteBucketed("bk_b", b, "transaction_id", numBuckets = 4)
+    import scala.jdk.CollectionConverters._
+    val genDirs = Files.list(root).iterator().asScala
+      .count(_.getFileName.toString.startsWith(".bk_a__gen"))
+    assert(genDirs == 1, s"stale bucketed generations not cleaned (found $genDirs)")
     val joined = spark.table("bk_a").join(spark.table("bk_b"), "transaction_id")
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -47,5 +47,9 @@ class ModelStoreSpec extends SparkSpec {
     val emptyStore = new ModelStore(spark, Files.createTempDirectory("graft-empty").toString)
     val none = emptyStore.loadForPredict(Some(reg.filter(lit(false))))
     assert(none.isEmpty)
+
+    // registry NAMES a version whose artifact is gone → loud error, not None
+    val e = intercept[IllegalStateException](emptyStore.loadForPredict(Some(reg)))
+    assert(e.getMessage.contains("failed to load"))
   }
 }

@@ -27,6 +27,27 @@ class OpsSpec extends SparkSpec {
     assert(!d.hasPending)
   }
 
+  test("debouncer: a task firing concurrently with a newer call cannot clear or duplicate it") {
+    val pending = mutable.ArrayBuffer[(() => Unit, Array[Boolean])]()
+    def fakeSchedule(delay: Long, action: () => Unit): () => Unit = {
+      val cancelled = Array(false)
+      pending += ((action, cancelled))
+      () => cancelled(0) = true
+    }
+    val fired = mutable.ArrayBuffer[String]()
+    val d = new Debouncer(45000, fakeSchedule)
+    d.call(() => fired += "A")
+    d.call(() => fired += "B")
+    // simulate the race: A's timer popped before call(B)'s cancel landed —
+    // run A's wrapper anyway; the token check must keep B registered
+    pending(0)._1.apply()
+    assert(fired.isEmpty)
+    assert(d.hasPending) // B still pending, not wiped by A's wrapper
+    pending(1)._1.apply()
+    assert(fired.toSeq == Seq("B"))
+    assert(!d.hasPending)
+  }
+
   test("snapshots: create, list, restore, retention pruning") {
     val wh = Files.createTempDirectory("graft-wh")
     val backups = Files.createTempDirectory("graft-bk").toString
