@@ -194,22 +194,92 @@ object DedupCatalog {
       "d4_simhash_signature",
       "North-star dedup: 32-bit SimHash over token frequencies; bit j = sign of sum(±count) keyed on md5 hex digit high-bit",
       Some(simhashOracleSql)) { (spark, dir) =>
-      val tf = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-        // md5 hoisted to ONE evaluation per (doc, tok) row — the 32 bit-sum
-        // aggregates below each take a substring of this column; inlining
-        // md5(tok) in every aggregate costs 32× (measured 8.5 s → 0.6 s).
-        .withColumn("h", md5(col("tok")))
-      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val bitSums = (0 until 32).map { j =>
-        sum(when(substring(col("h"), j + 1, 1).isin(hexHigh: _*), col("cnt"))
-          .otherwise(-col("cnt"))).as(s"s$j")
-      }
-      val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val bits = (0 until 32).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
-      sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      simhashDF(spark, dir)
+    },
+
+    // ---- D5: SimHash near-dup pairs via chunk banding ---------------------
+    QueryDef(
+      "d5_simhash_neardup_pairs",
+      "North-star dedup: hamming<=1 SimHash pairs; 2x16-bit chunk banding bounds candidates (a <=1-bit flip preserves at least one exact chunk), hamming verified only on candidates",
+      Some(simhashPairsOracleSql)) { (spark, dir) =>
+      // Signatures carried as a 32-bit integer: per-pair hamming is one
+      // codegen'd bit_count(xor) instead of 32 substring comparisons.
+      val sh = simhashDF(spark, dir)
+        .select(col("doc_id"), col("simhash"),
+          conv(col("simhash"), 2, 10).cast("long").as("sh_int"))
+      val chunks = sh.select(col("doc_id"), col("sh_int"),
+          posexplode(array(
+            substring(col("simhash"), 1, 16),
+            substring(col("simhash"), 17, 16))))
+        .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
+      // per-bucket doc lists instead of a self-join (which would evaluate
+      // the whole signature pipeline once per side) — same trick as d2
+      val buckets = chunks.groupBy(col("c"), col("chunk"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sh_int")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val candidates = buckets.select(explode(flatten(
+          transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))),
+              y => struct(
+                x("doc_id").as("doc1"), y("doc_id").as("doc2"),
+                x("sh_int").as("sh1"), y("sh_int").as("sh2")))))).as("p"))
+        .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
+          col("p.sh1").as("sh1"), col("p.sh2").as("sh2"))
+      // map-side hamming, filter BEFORE the dedup shuffle (drops ~92% of
+      // candidates; a pair matching on both chunks is verified twice,
+      // cheaply, instead of being distinct'd first)
+      candidates
+        .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        .filter(col("hamming") <= 1)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .distinct()
     })
+
+  /** Shared SimHash signature frame: (doc_id, 32-char bitstring). md5 is
+    * hoisted to ONE evaluation per (doc, tok) row — inlining it in each of
+    * the 32 bit-sum aggregates costs 32× (measured 8.5 s → 0.6 s). */
+  private def simhashDF(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bitSums = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(hexHigh: _*), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until 32).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
+    sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** d5 oracle: the d4 CTEs + chunk banding + hamming verify. */
+  private def simhashPairsOracleSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""
+      WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      sums AS (SELECT doc_id, $bitSums FROM tf GROUP BY doc_id),
+      sh AS (SELECT doc_id, $bits AS simhash FROM sums),
+      chunks AS (
+        SELECT doc_id, simhash, c, substr(simhash, c*16+1, 16) AS chunk
+        FROM sh, unnest(range(0, 2)) AS t(c)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.simhash AS sh1, b.simhash AS sh2
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT doc1, doc2,
+             CAST(bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) <= 1
+    """
+  }
 
   private def simhashOracleSql: String = {
     val bitSums = (0 until 32).map { j =>
