@@ -170,6 +170,40 @@ object ParityCatalog {
         .select(col("region_rows"), (col("region_rows") === 0).as("needs_init"))
     },
 
+    // ---- Q3: multi-join flagship (TPC-H Q3 shape) -------------------------
+    QueryDef(
+      "q3_shipping_priority",
+      "Flagship 3-table join (customer ⋈ orders ⋈ lineitem) + decimal revenue agg + deterministic top-10 — the classic join-order/AQE showcase",
+      Some("""
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)) { (spark, dir) =>
+      val cutoff = lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+      val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // ---- F1: the §2.9 scalar-function surface in one projection -----------
     QueryDef(
       "f1_scalar_functions",
