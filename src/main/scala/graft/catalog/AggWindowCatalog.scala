@@ -8,7 +8,10 @@ import graft.io.Tables
   *
   * All aggregates are partial-aggregation-friendly (plain hash aggregates);
   * window dedups shuffle exactly once on their partition key. Money sums are
-  * DECIMAL(18,2) (SURVEY §4d).
+  * DECIMAL(18,2) internally (SURVEY §4d), cast to DOUBLE at the output
+  * boundary — the driver's pandas compare renders Spark DECIMAL as
+  * object(Decimal) ('123.40') but DuckDB DECIMAL as float64 ('123.4'), so a
+  * final DECIMAL column hash-mismatches on any trailing-zero value.
   */
 object AggWindowCatalog {
   private val D = "decimal(18,2)"
@@ -21,7 +24,7 @@ object AggWindowCatalog {
       "SURVEY §2.4 A1/A2 GROUP BY date_trunc('month') SUM with NOT IN category filter (02_net_change_by_month.ipynb)",
       Some("""
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net_amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS net_amount
         FROM orders
         WHERE o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
           AND o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
@@ -31,7 +34,7 @@ object AggWindowCatalog {
         .filter(!col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
           && col("o_orderdate") >= lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(sum(col("o_totalprice").cast(D)).as("net_amount"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("net_amount"))
     },
 
     // ---- A3: yearly net by category ---------------------------------------
@@ -41,13 +44,13 @@ object AggWindowCatalog {
       Some("""
         SELECT year(o_orderdate) AS year,
                o_orderpriority AS category,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY 1, 2
       """)) { (spark, dir) =>
       Tables.orders(spark, dir)
         .groupBy(year(col("o_orderdate")).as("year"), col("o_orderpriority").as("category"))
-        .agg(sum(col("o_totalprice").cast(D)).as("total"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("total"))
     },
 
     // ---- A4: pivot period × category with fill 0 --------------------------
@@ -56,17 +59,17 @@ object AggWindowCatalog {
       "SURVEY §2.4 A4 pivot_table(index=year, columns=category, fill_value=0) (00 nb cell 8, 01 cell 5)",
       Some("""
         SELECT year(o_orderdate) AS year,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "F",
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "O",
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS "P"
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS "F",
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS "O",
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS "P"
         FROM orders
         GROUP BY 1
       """)) { (spark, dir) =>
       val pivoted = Tables.orders(spark, dir)
         .groupBy(year(col("o_orderdate")).as("year"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))   // value list given → no extra scan
-        .agg(sum(col("o_totalprice").cast(D)))
-      pivoted.na.fill(0, Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double"))
+      pivoted.na.fill(0.0, Seq("F", "O", "P"))
     },
 
     // ---- A4 quarterly variant ---------------------------------------------
@@ -76,7 +79,7 @@ object AggWindowCatalog {
       Some("""
         SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
                o_orderstatus AS category,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY 1, 2
       """)) { (spark, dir) =>
@@ -85,7 +88,7 @@ object AggWindowCatalog {
           concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
             quarter(col("o_orderdate")).cast("string")).as("quarter"),
           col("o_orderstatus").as("category"))
-        .agg(sum(col("o_totalprice").cast(D)).as("total"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("total"))
     },
 
     // ---- A5/W6: cumulative sum over ordered months ------------------------
@@ -94,8 +97,8 @@ object AggWindowCatalog {
       "SURVEY §2.4 A5 / §2.5 W6 running total over monthly net (02 nb cell 8)",
       Some("""
         SELECT month,
-               net,
-               SUM(net) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative
+               CAST(net AS DOUBLE) AS net,
+               CAST(SUM(net) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative
         FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net
               FROM orders GROUP BY 1)
@@ -105,8 +108,10 @@ object AggWindowCatalog {
         .agg(sum(col("o_totalprice").cast(D)).as("net"))
       // Single-partition window is fine: cardinality = #months, tiny by
       // construction; the heavy lifting happened in the distributed groupBy.
+      // Running total stays decimal (exact) and is double-cast only on output.
       val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      monthly.select(col("month"), col("net"), sum(col("net")).over(w).as("cumulative"))
+      monthly.select(col("month"), col("net").cast("double").as("net"),
+        sum(col("net")).over(w).cast("double").as("cumulative"))
     },
 
     // ---- A6/A7: per-entity health stats ------------------------------------
@@ -238,22 +243,26 @@ object AggWindowCatalog {
       "o1_sorted_page",
       "SURVEY §2.6 O1/O2 dynamic sort, explicit NULLS LAST, LIMIT/OFFSET page (transaction_service.py:196-213)",
       Some("""
-        SELECT o_orderkey, sort_amt
-        FROM (SELECT o_orderkey,
-                     CASE WHEN o_orderstatus = 'P' THEN NULL
-                          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS sort_amt
-              FROM orders)
-        ORDER BY sort_amt DESC NULLS LAST, o_orderkey
-        LIMIT 50 OFFSET 100
+        SELECT o_orderkey, CAST(sort_amt AS DOUBLE) AS sort_amt
+        FROM (SELECT o_orderkey, sort_amt
+              FROM (SELECT o_orderkey,
+                           CASE WHEN o_orderstatus = 'P' THEN NULL
+                                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS sort_amt
+                    FROM orders)
+              ORDER BY sort_amt DESC NULLS LAST, o_orderkey
+              LIMIT 50 OFFSET 100)
       """)) { (spark, dir) =>
       // PG `DESC NULLS LAST` made explicit (Spark desc default is nulls-last,
       // but asc default is nulls-FIRST — always spell it out, SURVEY §4b).
+      // Page selection orders on the exact decimal; double-cast only the
+      // projected output of the already-selected 50 rows.
       Tables.orders(spark, dir)
         .select(col("o_orderkey"),
           when(col("o_orderstatus") === "P", lit(null).cast(D))
             .otherwise(col("o_totalprice").cast(D)).as("sort_amt"))
         .orderBy(col("sort_amt").desc_nulls_last, col("o_orderkey").asc_nulls_last)
         .offset(100).limit(50)
+        .select(col("o_orderkey"), col("sort_amt").cast("double").as("sort_amt"))
     },
 
     // ---- O3: top-1 latest row ---------------------------------------------

@@ -23,7 +23,7 @@ object EventsCatalog {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
       """)) { (spark, dir) =>
@@ -32,7 +32,7 @@ object EventsCatalog {
           date_trunc("hour", col("ts")).as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(D)).as("total_value"))
+          sum(col("value").cast(D)).cast("double").as("total_value"))
     },
 
     // ---- E2: JSON property extraction -------------------------------------
@@ -60,8 +60,10 @@ object EventsCatalog {
         SELECT event_id, user_id, ts, session_id
         FROM (
           SELECT event_id, user_id, ts,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 -- BIGINT cast: DuckDB SUM(int) yields HUGEINT, which lands
+                 -- in pandas as float64 ('1.0' vs Spark's long '1')
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM (
             SELECT event_id, user_id, ts,
                    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new

@@ -138,10 +138,10 @@ object JoinCatalog {
       "SURVEY §2.8 append-only incremental: target ∪ (incoming anti-join target by key) (fct_validated_trxns.sql:13-19)",
       Some("""
         WITH target AS (
-          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amount, 'existing' AS provenance
+          SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount, 'existing' AS provenance
           FROM orders WHERE o_orderstatus = 'F'),
         incoming AS (
-          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amount, 'incremental' AS provenance
+          SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount, 'incremental' AS provenance
           FROM orders WHERE o_totalprice > 100000)
         SELECT * FROM target
         UNION ALL
@@ -150,10 +150,10 @@ object JoinCatalog {
       """)) { (spark, dir) =>
       val orders = Tables.orders(spark, dir)
       val target = orders.filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), col("o_totalprice").cast(D).as("amount"),
+        .select(col("o_orderkey"), col("o_totalprice").cast(D).cast("double").as("amount"),
           lit("existing").as("provenance"))
       val incoming = orders.filter(col("o_totalprice") > 100000)
-        .select(col("o_orderkey"), col("o_totalprice").cast(D).as("amount"),
+        .select(col("o_orderkey"), col("o_totalprice").cast(D).cast("double").as("amount"),
           lit("incremental").as("provenance"))
       val fresh = incoming.join(target.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       target.unionByName(fresh)

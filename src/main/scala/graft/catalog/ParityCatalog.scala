@@ -79,7 +79,7 @@ object ParityCatalog {
       "P12 (stg_simplefin.sql:30-38): ::numeric, epoch→timestamp, ::date, string-format date parse",
       Some("""
         SELECT event_id,
-               CAST(value AS DECIMAL(18,2)) AS amount,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount,
                make_timestamp((CAST(json_extract_string(props, '$.k') AS BIGINT) + 1700000000) * 1000000) AS posted,
                CAST(ts AS DATE) AS posted_date,
                CAST(strptime(strftime(ts, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS import_date
@@ -87,7 +87,7 @@ object ParityCatalog {
       """)) { (spark, dir) =>
       Tables.events(spark, dir).select(
         col("event_id"),
-        col("value").cast("decimal(18,2)").as("amount"),
+        col("value").cast("decimal(18,2)").cast("double").as("amount"),
         timestamp_seconds(get_json_object(col("props"), "$.k").cast("long") + 1700000000L)
           .cast("timestamp_ntz").as("posted"),
         col("ts").cast("date").as("posted_date"),
@@ -123,7 +123,7 @@ object ParityCatalog {
       Some("""
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                o_orderpriority AS category,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net_amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS net_amount
         FROM orders
         GROUP BY 1, 2
       """)) { (spark, dir) =>
@@ -131,7 +131,7 @@ object ParityCatalog {
         .groupBy(
           date_trunc("month", col("o_orderdate")).cast("date").as("month"),
           col("o_orderpriority").as("category"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("net_amount"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("net_amount"))
     },
 
     // ---- A7: per-account data-range check ---------------------------------
@@ -175,20 +175,24 @@ object ParityCatalog {
       "q3_shipping_priority",
       "Flagship 3-table join (customer ⋈ orders ⋈ lineitem) + decimal revenue agg + deterministic top-10 — the classic join-order/AQE showcase",
       Some("""
-        SELECT l_orderkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
-               CAST(o_orderdate AS DATE) AS orderdate,
-               o_orderpriority
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-        ORDER BY revenue DESC, l_orderkey
-        LIMIT 10
+        SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, orderdate, o_orderpriority
+        FROM (
+          SELECT l_orderkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+                 CAST(o_orderdate AS DATE) AS orderdate,
+                 o_orderpriority
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10)
       """)) { (spark, dir) =>
+      // Top-10 selection orders on the exact decimal revenue; the double
+      // cast happens on the already-selected page only.
       val cutoff = lit("1995-03-15 00:00:00").cast("timestamp_ntz")
       val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
@@ -202,6 +206,8 @@ object ParityCatalog {
           (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+        .select(col("l_orderkey"), col("revenue").cast("double").as("revenue"),
+          col("orderdate"), col("o_orderpriority"))
     },
 
     // ---- F1: the §2.9 scalar-function surface in one projection -----------
@@ -215,7 +221,7 @@ object ParityCatalog {
                c_name || '|' || c_mktsegment AS joined,
                regexp_replace(trim(c_name), '[0-9]+$', '') AS stripped,
                md5(c_name) AS name_hash,
-               abs(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_abs,
+               CAST(abs(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_abs,
                (c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')) AS nullsafe_self
         FROM customer
       """)) { (spark, dir) =>
@@ -226,7 +232,7 @@ object ParityCatalog {
         concat(col("c_name"), lit("|"), col("c_mktsegment")).as("joined"),
         regexp_replace(trim(col("c_name")), "[0-9]+$", "").as("stripped"),
         md5(col("c_name")).as("name_hash"),
-        abs(col("c_acctbal").cast("decimal(18,2)")).as("bal_abs"),
+        abs(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_abs"),
         (col("c_mktsegment") <=> nullif(col("c_mktsegment"), lit("BUILDING"))).as("nullsafe_self"))
     },
 
@@ -270,12 +276,17 @@ object ParityCatalog {
 
     QueryDef(
       "k2_approx_quantiles",
-      "North-star sketch: percentile_approx p50/p95/p99 per group — single-pass quantiles without a global sort",
+      "North-star sketch: percentile_approx p50/p95/p99 per group — single-pass quantiles without a global sort. Scalar output columns: the driver's rows-only check still sorts by every column, and an ARRAY column crashes that sort (round-1 lesson).",
       None) { (spark, dir) =>
+      val qs = percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"))
+        .agg(qs.as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p95"),
+          element_at(col("qs"), 3).as("p99"))
     },
 
     // ---- O2: multi-column whitelisted sort + deep page --------------------

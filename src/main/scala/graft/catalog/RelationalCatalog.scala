@@ -12,8 +12,16 @@ import graft.io.Tables
   * Each query keeps Catalyst fully declarative: filters/projections sit
   * directly on the parquet scan (pushdown + pruning), aggregates are
   * hash-aggregates with map-side partials, and money arithmetic is
-  * DECIMAL(18,2) end-to-end so results are bit-stable across engines
+  * DECIMAL(18,2) internally so results are bit-stable across engines
   * (cf. SURVEY §4: "decimal (not double) arithmetic for amount").
+  *
+  * Output-boundary rule (round-2 driver lesson): the driver loads Spark
+  * parquet via pyarrow (DECIMAL -> object Decimal, '123.40') and the
+  * oracle via duckdb.fetchdf (DECIMAL -> float64, '123.4'), so a DECIMAL
+  * column in the FINAL schema hash-mismatches whenever a value has a
+  * trailing zero. Keep sums/compares exact in decimal, then cast the
+  * outermost money columns to DOUBLE on BOTH sides — the exact decimal
+  * value maps to the identical double on both engines.
   */
 object RelationalCatalog {
   private val D = "decimal(18,2)"
@@ -26,9 +34,9 @@ object RelationalCatalog {
       "SURVEY §2.4 A1/A3 grouped SUM over casted NUMERIC (stg_simplefin.sql:30 cast; notebooks 00 cell 6)",
       Some("""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -38,9 +46,9 @@ object RelationalCatalog {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(D)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D)).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))).as("sum_disc_price"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 
@@ -50,7 +58,7 @@ object RelationalCatalog {
       "SURVEY §2.2 P1 schema-align + §2.7 unionByName (int_trxns.sql:13-71)",
       Some("""
         SELECT CAST(o_orderkey AS VARCHAR) AS txn_id,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
                CAST(o_orderdate AS DATE) AS txn_date,
                o_orderpriority AS category,
                CAST(NULL AS VARCHAR) AS detail,
@@ -58,7 +66,7 @@ object RelationalCatalog {
         FROM orders
         UNION ALL
         SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS txn_id,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
                CAST(l_shipdate AS DATE) AS txn_date,
                l_returnflag AS category,
                l_linestatus AS detail,
@@ -67,14 +75,14 @@ object RelationalCatalog {
       """)) { (spark, dir) =>
       val o = Tables.orders(spark, dir).select(
         col("o_orderkey").cast("string").as("txn_id"),
-        col("o_totalprice").cast(D).as("amount"),
+        col("o_totalprice").cast(D).cast("double").as("amount"),
         col("o_orderdate").cast("date").as("txn_date"),
         col("o_orderpriority").as("category"),
         lit(null).cast("string").as("detail"),
         lit("orders").as("source_name"))
       val l = Tables.lineitem(spark, dir).select(
         concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")).as("txn_id"),
-        col("l_extendedprice").cast(D).as("amount"),
+        col("l_extendedprice").cast(D).cast("double").as("amount"),
         col("l_shipdate").cast("date").as("txn_date"),
         col("l_returnflag").as("category"),
         col("l_linestatus").as("detail"),
@@ -155,7 +163,7 @@ object RelationalCatalog {
       Some("""
         SELECT o_orderkey,
                CASE WHEN amt < 0 THEN 1 ELSE 0 END AS is_negative,
-               abs(amt) AS amount_abs,
+               CAST(abs(amt) AS DOUBLE) AS amount_abs,
                CASE WHEN amt IS NULL THEN 5
                     WHEN abs(amt) <= 1000 THEN 0
                     WHEN abs(amt) <= 50000 THEN 1
@@ -174,7 +182,7 @@ object RelationalCatalog {
         .select(
           col("o_orderkey"),
           when(col("amt") < 0, 1).otherwise(0).as("is_negative"),
-          abs(col("amt")).as("amount_abs"),
+          abs(col("amt")).cast("double").as("amount_abs"),
           when(col("amt").isNull, 5)
             .when(abs(col("amt")) <= 1000, 0)
             .when(abs(col("amt")) <= 50000, 1)

