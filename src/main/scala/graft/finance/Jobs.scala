@@ -71,9 +71,15 @@ final class Jobs(spark: SparkSession, store: TableStore) {
   }
 
   /** Train step of `4_refresh_validated_retrain_repredict`: fit on the
-    * validated fact, record a registry row with window-derived flags. */
+    * validated fact, record a registry row with window-derived flags.
+    *
+    * Returns the generated model version alongside the result so callers
+    * can hand it straight to [[predict]] — re-deriving it from the
+    * registry's is_latest row would stamp predictions with a different
+    * row's version if a pre-existing row has a later training_timestamp
+    * (clock skew, restored backup). */
   def trainClassifier(cfg: CategoryClassifier.Config = CategoryClassifier.Config())
-      : CategoryClassifier.TrainResult = {
+      : Jobs.TrainRun = {
     val result = CategoryClassifier.train(store.read("fct_validated_trxns"), cfg)
     val version = s"model_${System.currentTimeMillis()}"
     val row = result match {
@@ -89,7 +95,7 @@ final class Jobs(spark: SparkSession, store: TableStore) {
       if (store.exists("model_registry")) store.read("model_registry").unionByName(row)
       else row
     store.overwrite("model_registry", TableStore.recomputeRegistryFlags(registry))
-    result
+    Jobs.TrainRun(result, version)
   }
 
   /** Predict step (`2_ingest_and_predict` tail): score the uncategorized
@@ -129,4 +135,11 @@ final class Jobs(spark: SparkSession, store: TableStore) {
       .withColumn("recall_macro", lit(metrics.get("recall_macro").orNull).cast("double"))
       .withColumn("message", lit(null).cast("string"))
   }
+}
+
+object Jobs {
+  /** Outcome of [[Jobs.trainClassifier]]: the classifier result plus the
+    * registry version generated for this run (the version [[Jobs.predict]]
+    * should stamp on scores). */
+  final case class TrainRun(result: CategoryClassifier.TrainResult, version: String)
 }

@@ -40,13 +40,13 @@ object JobsMain {
     val jobs = new Jobs(spark, store)
 
     def trainAndPredict(): Unit = jobs.trainClassifier() match {
-      case CategoryClassifier.Trained(model, labels, _, _, _, _) =>
-        val version = store.read("model_registry")
-          .filter(org.apache.spark.sql.functions.col("is_latest"))
-          .head.getAs[String]("model_version")
+      case Jobs.TrainRun(CategoryClassifier.Trained(model, labels, _, _, _, _), version) =>
+        // version comes from the train run itself, not an is_latest lookup —
+        // a restored-backup registry row with a newer timestamp must not
+        // mislabel this model's predictions
         jobs.predict(model, labels, version)
         jobs.runAllModels() // predictions flow into fct_trxns_with_predictions
-      case CategoryClassifier.Skipped(reason, n) =>
+      case Jobs.TrainRun(CategoryClassifier.Skipped(reason, n), _) =>
         System.err.println(s"[train] skipped: $reason (n=$n)")
         predictWithExisting() // a previously trained model can still score
     }

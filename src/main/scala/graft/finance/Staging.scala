@@ -80,9 +80,14 @@ object Staging {
       col("import_timestamp").cast("timestamp").as("import_timestamp"),
       col("import_date").cast("timestamp").as("import_date"))
 
-    // W1: one row per transaction_id, latest import wins.
+    // W1: one row per transaction_id, latest import wins. The reference
+    // orders only by import_timestamp desc (stg_simplefin.sql:39-42), which
+    // keeps an arbitrary row on ties; the extra keys make the kept row
+    // deterministic (repo determinism contract) without changing which
+    // IMPORT wins — they only break exact-timestamp ties.
     val w1 = Window.partitionBy(col("transaction_id"))
-      .orderBy(col("import_timestamp").desc)
+      .orderBy(col("import_timestamp").desc, col("account_id").asc_nulls_last,
+        col("posted").asc_nulls_last, col("description").asc_nulls_last)
     val unique = cast
       .withColumn("unique__check", row_number().over(w1))
       .filter(col("unique__check") === 1)

@@ -21,12 +21,19 @@ object Tables {
       // the raw int64 nanos and integer-divide to a µs TIMESTAMP_NTZ — NTZ to
       // match how Spark reads the other tables' isAdjustedToUTC=false columns
       // (and how DuckDB sees them: naive timestamps).
+      //
+      // The nanosAsLong conf is a deliberate session-level side effect: it is
+      // the only way to open NANOS parquet (no per-read option exists), it
+      // only affects how NANOS columns — absent from every other fixture —
+      // are typed, and it must be set before THIS read plans its schema.
+      // The epoch-anchored timestampadd keeps the NTZ value independent of
+      // spark.sql.session.timeZone (timestamp_micros(...).cast("timestamp_ntz")
+      // would shift values in a non-UTC session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+          org.apache.spark.sql.functions.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -13,11 +13,14 @@ import graft.functions.VectorExpressions.dotF
   * cells with Spark ML KMeans).
   *
   * Shape at 100 TB: the index assignment is one KMeans fit on a sample plus
-  * a map-only transform; the indexed corpus is written partitioned by
-  * `cell`, so a search with `nProbe` cells prunes the scan to
-  * `nProbe / nCells` of the data at the parquet-directory level. Scoring
-  * uses the codegen'd dot product and a per-query top-k window over only
-  * the probed cells' candidates.
+  * a map-only transform. Persist the assignment with [[writePartitioned]]
+  * (parquet `partitionBy("cell")`); a search over that layout prunes to
+  * `~nProbe / nCells` of the data at the parquet-directory level — via
+  * dynamic partition pruning from the broadcast join on `cell`, or
+  * guaranteed-static via `staticCellPrune = true`, which resolves the probe
+  * cells first (tiny: queries × centers) and plants a literal
+  * `cell IN (...)` filter on the scan. Scoring uses the codegen'd dot
+  * product and a per-query top-k window over only the probed candidates.
   */
 object AnnIndex {
 
@@ -40,6 +43,19 @@ object AnnIndex {
     Index(model, model.transform(withVec).drop("_vec"))
   }
 
+  /** Persist the indexed corpus in the layout searches prune against:
+    * parquet partitioned by `cell`. Pair with [[loadPartitioned]]. */
+  def writePartitioned(index: Index, path: String): Unit =
+    index.indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Reopen a [[writePartitioned]] corpus. Searches over the returned index
+    * scan only the probed cells' directories (partition pruning). */
+  def loadPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      model: KMeansModel,
+      path: String): Index =
+    Index(model, spark.read.parquet(path))
+
   private def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dotF(a, b) / (normA * normB)
 
@@ -52,7 +68,8 @@ object AnnIndex {
       idCol: String,
       vecCol: String,
       k: Int = 10,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      staticCellPrune: Boolean = false): DataFrame = {
     // Cell centers are tiny (nCells rows) — cross them with the queries
     // driver-free via broadcast, rank by distance, keep nProbe per query.
     val spark = queries.sparkSession
@@ -76,7 +93,17 @@ object AnnIndex {
       .filter(col("_pr") <= nProbe)
       .select("query_id", "q_emb", "q_norm", "cell")
 
-    val candidates = index.indexed.select(
+    // Over a writePartitioned corpus the broadcast join on `cell` already
+    // enables dynamic partition pruning; staticCellPrune trades one tiny
+    // driver action (probe cells = queries × nProbe ints) for a literal
+    // partition filter the scan can always push down.
+    val pruned =
+      if (staticCellPrune) {
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.indexed.filter(col("cell").isin(cells: _*))
+      } else index.indexed
+    val candidates = pruned.select(
       col("cell"),
       col(idCol).as("neighbor_id"),
       col(vecCol).as("c_emb"),

@@ -41,8 +41,8 @@ class JobsSpec extends SparkSpec {
     assert(store.read("fct_trxns_uncategorized").count() == 63) // simplefin rows
 
     // Train on the validated fact (60 rows ≥ min 50).
-    val result = jobs.trainClassifier(CategoryClassifier.Config(numTrees = 20, maxDepth = 8))
-    val trained = result.asInstanceOf[CategoryClassifier.Trained]
+    val run = jobs.trainClassifier(CategoryClassifier.Config(numTrees = 20, maxDepth = 8))
+    val trained = run.result.asInstanceOf[CategoryClassifier.Trained]
     assert(trained.nClasses == 2)
 
     val reg = store.read("model_registry")
@@ -54,9 +54,11 @@ class JobsSpec extends SparkSpec {
     val loaded = jobs.modelStore.loadForPredict(Some(reg))
     assert(loaded.exists(_._2.toSeq == trained.labels.toSeq))
 
+    // The returned version is the row the registry just gained.
+    assert(reg.head.getAs[String]("model_version") == run.version)
+
     // Predict and re-run models: predictions join into fct_trxns_with_predictions.
-    jobs.predict(trained.model, trained.labels,
-      reg.head.getAs[String]("model_version"), confidenceThreshold = 0.0)
+    jobs.predict(trained.model, trained.labels, run.version, confidenceThreshold = 0.0)
     assert(store.read("predicted_transactions").count() == 63)
     jobs.runAllModels()
     val withPred = store.read("fct_trxns_with_predictions")

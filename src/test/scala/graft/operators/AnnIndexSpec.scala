@@ -45,4 +45,34 @@ class AnnIndexSpec extends SparkSpec {
     // and each query returned exactly k
     assert(approx.values.forall(_.size == 10))
   }
+
+  test("partitioned round-trip + static cell prune return the same neighbors") {
+    val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    try {
+      AnnIndex.writePartitioned(idx, dir)
+      // cell really is the parquet partition key: one directory per cell
+      val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+      assert(cellDirs.length == 8)
+
+      val reopened = AnnIndex.loadPartitioned(spark, idx.model, dir)
+      val queries = corpus.filter(col("vec_id") < 8)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+      val base = pairs(AnnIndex.searchTopK(idx, queries, "vec_id", "embedding", k = 5, nProbe = 2))
+      val fromDisk = pairs(AnnIndex.searchTopK(reopened, queries, "vec_id", "embedding", k = 5, nProbe = 2))
+      val pruned = pairs(AnnIndex.searchTopK(reopened, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2, staticCellPrune = true))
+      assert(fromDisk == base)
+      assert(pruned == base)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
