@@ -7,7 +7,7 @@ object Catalog {
   val defs: Seq[QueryDef] = {
     val all =
       RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all ++
-        ParityCatalog.all ++
+        ParityCatalog.all ++ ExtensionCatalog.all ++
         DedupCatalog.all ++ TextCatalog.all ++ EventsCatalog.all ++ SimilarityCatalog.all
     // a duplicate name would silently shadow an earlier query in the toMap
     // below, shrinking the verified surface with no error

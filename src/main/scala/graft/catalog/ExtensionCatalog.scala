@@ -1,0 +1,177 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.AsOfJoin
+
+/** Engine extensions past the reference's own surface: the operator
+  * families a 100 TB pipeline needs that Spark lacks as builtins (as-of
+  * join, banded range join) plus the multidimensional-aggregate and
+  * moment-statistics surface (ROLLUP/CUBE, exact-accumulator stddev/corr).
+  *
+  * Oracle notes: DuckDB runs a native `ASOF LEFT JOIN` against our
+  * union+window formulation — two entirely different algorithms agreeing
+  * bit-for-bit. Moment statistics deliberately avoid both engines'
+  * built-in stddev/corr (Welford vs power-sum internals differ in the
+  * last ulp) and instead compute from exact DECIMAL power sums with the
+  * IDENTICAL final double arithmetic on both sides.
+  */
+object ExtensionCatalog {
+  private val D = "decimal(18,2)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- X1: backward as-of join ------------------------------------------
+    QueryDef(
+      "x1_asof_join",
+      "Point-in-time lookup (pandas merge_asof / DuckDB ASOF JOIN): each click joined to the user's latest purchase at-or-before it; union+window formulation, no pair blowup",
+      Some("""
+        WITH purchases AS (
+          SELECT user_id, ts, value, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase'),
+        uniq_purchases AS (SELECT user_id, ts, value FROM purchases WHERE rn = 1),
+        clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN uniq_purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val events = Tables.events(spark, dir)
+      val purchaseRank = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(purchaseRank))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.backward(
+        clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "purchase_ts",
+        payload = Seq("purchase_ts", "purchase_value"))
+    },
+
+    // ---- X2: banded range join --------------------------------------------
+    QueryDef(
+      "x2_range_band_join",
+      "Range (theta) join against a tiny band dimension: value BETWEEN lo AND hi via broadcast — map-side at any fact scale, no shuffle of the big side",
+      Some("""
+        SELECT e.event_id, b.band, e.value
+        FROM events e
+        JOIN (VALUES ('micro', 0.0, 10.0), ('small', 10.0, 100.0),
+                     ('large', 100.0, 1000.0)) AS b(band, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val bands = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row("micro", 0.0, 10.0), Row("small", 10.0, 100.0),
+          Row("large", 100.0, 1000.0)),
+        StructType(Seq(StructField("band", StringType),
+          StructField("lo", DoubleType), StructField("hi", DoubleType))))
+      // BroadcastNestedLoopJoin against 3 rows = a codegen'd per-row band
+      // scan; the correct plan for small-dim range joins at 100 TB (the
+      // large-large case would bucketize both sides on floor(value/step)).
+      Tables.events(spark, dir)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .select(col("event_id"), col("band"), col("value"))
+    },
+
+    // ---- A12/A13: multidimensional aggregates -----------------------------
+    QueryDef(
+      "a12_rollup",
+      "GROUP BY ROLLUP(year, priority): subtotal + grand-total rows with GROUPING() indicators, one pass",
+      Some("""
+        SELECT year(o_orderdate) AS year,
+               o_orderpriority AS priority,
+               CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        // pre-project: grouping() must reference a real grouping column,
+        // not an alias introduced inside rollup(...)
+        .select(year(col("o_orderdate")).as("year"),
+          col("o_orderpriority").as("priority"), col("o_totalprice"))
+        .rollup(col("year"), col("priority"))
+        .agg(
+          grouping(col("year")).cast("int").as("g_year"),
+          grouping(col("priority")).cast("int").as("g_priority"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"),
+          count(lit(1)).as("n"))
+    },
+
+    QueryDef(
+      "a13_cube",
+      "GROUP BY CUBE(status, priority): every grouping-set combination with GROUPING() indicators",
+      Some("""
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"), col("o_totalprice"))
+        .cube(col("status"), col("priority"))
+        .agg(
+          grouping(col("status")).cast("int").as("g_status"),
+          grouping(col("priority")).cast("int").as("g_priority"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- F2: moment statistics from exact accumulators --------------------
+    QueryDef(
+      "f2_stats_moments",
+      "mean/sample-stddev/correlation per group from exact DECIMAL power sums (single pass, map-side partials); built-in stddev/corr differ across engines in the last ulp, the shared final double arithmetic does not",
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem
+          GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               sx / n AS mean_qty,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+               (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+        FROM sums
+      """)) { (spark, dir) =>
+      val x = col("l_quantity").cast(D)
+      val y = col("l_extendedprice").cast(D)
+      val sums = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+      sums.select(
+        col("l_returnflag"),
+        (col("sx") / col("n")).as("mean_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+    })
+}
