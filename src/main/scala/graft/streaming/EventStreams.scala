@@ -83,4 +83,32 @@ object EventStreams {
     * subset) keeps every key ever seen and grows state forever. */
   def appendOnlyByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream interval join: each click matched to the
+    * same user's purchases within the preceding `maxLagSeconds` (the
+    * streaming analog of the batch as-of/range lookup in
+    * `x1_asof_join`/`x2_range_band_join`). The event-time range condition
+    * is what lets Structured Streaming EVICT join state: purchase rows age
+    * out once the click-side watermark passes `p_ts + maxLag`, so state is
+    * O(events in the lag window), not O(stream history). Both sides may be
+    * filters of one source stream — Spark plans them as two branches of the
+    * same scan. */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      maxLagSeconds: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("p_ts") <= col("c_ts")
+        && col("p_ts") >= col("c_ts") - expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
+        col("purchase_value"))
+  }
 }

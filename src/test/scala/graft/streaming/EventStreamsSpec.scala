@@ -73,4 +73,27 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("appendonly").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches clicks to in-window purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.clickPurchaseJoin(events, maxLagSeconds = 3600)
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 09:30:00"), 1L, "purchase", 10.0), // 30 min before -> match
+        (2L, ts("2024-01-01 08:30:00"), 1L, "purchase", 20.0), // 90 min before -> out of window
+        (3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 30.0), // after click   -> no match
+        (4L, ts("2024-01-01 09:45:00"), 2L, "purchase", 40.0), // other user    -> no match
+        (5L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select("event_id", "user_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((5L, 1L, 10.0)))
+    } finally q.stop()
+  }
 }
