@@ -161,23 +161,27 @@ object DedupCatalog {
         JOIN cnt c2 ON doc2 = c2.doc_id
         WHERE shared * 1.0 / (c1.n + c2.n - shared) >= 0.5
       """)) { (spark, dir) =>
-      val sh = Tables.documents(spark, dir)
+      val sh = Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
         .select(col("doc_id"), shingleHash(col("shingle")).as("shingle"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // Pair generation: per-shingle sorted doc list, pairs expanded inside
       // one array expression — replaces the sort-merge self-join (same 1.3M
-      // pairs, one fewer shuffle+sort of the exploded shingle table).
+      // pairs, one fewer shuffle+sort of the exploded shingle table). The
+      // pair is packed into ONE long (doc ids fit 32 bits by corpus
+      // contract) so the 1.3M-row count shuffle moves an 8-byte key
+      // instead of a 16-byte struct and groups on a primitive.
       val docLists = sh.groupBy(col("shingle"))
         .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) > 1)
       val pairs = docLists.select(explode(flatten(
         transform(col("docs"), (x, i) =>
           transform(slice(col("docs"), i + 2, size(col("docs"))),
-            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+            y => shiftleft(x, 32) + y)))).as("pk"))
       val inter = pairs
-        .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-        .agg(count(lit(1)).as("shared"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("shared"))
+        .select(shiftright(col("pk"), 32).as("doc1"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("shared"))
       // shared/(n1+n2-shared): integer-exact inputs, one double division —
       // bit-identical across engines, so the 0.5 threshold cannot flap.
       val jac = col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared"))
@@ -217,29 +221,33 @@ object DedupCatalog {
       val buckets = chunks.groupBy(col("c"), col("chunk"))
         .agg(array_sort(collect_list(struct(col("doc_id"), col("sh_int")))).as("ds"))
         .filter(size(col("ds")) > 1)
-      val candidates = buckets.select(explode(flatten(
+      // hamming is computed and thresholded INSIDE the pair expansion, so
+      // the ~92% of candidates that fail never materialize as rows, and the
+      // surviving pair travels as one packed long (doc ids fit 32 bits) —
+      // the distinct shuffle moves 8-byte keys. A pair matching on both
+      // chunks is verified twice, cheaply, instead of being distinct'd
+      // first.
+      val hits = buckets.select(explode(flatten(
           transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + 2, size(col("ds"))),
-              y => struct(
-                x("doc_id").as("doc1"), y("doc_id").as("doc2"),
-                x("sh_int").as("sh1"), y("sh_int").as("sh2")))))).as("p"))
-        .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
-          col("p.sh1").as("sh1"), col("p.sh2").as("sh2"))
-      // map-side hamming, filter BEFORE the dedup shuffle (drops ~92% of
-      // candidates; a pair matching on both chunks is verified twice,
-      // cheaply, instead of being distinct'd first)
-      candidates
-        .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
-        .filter(col("hamming") <= 1)
-        .select(col("doc1"), col("doc2"), col("hamming"))
+            filter(
+              transform(slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(
+                  (shiftleft(x("doc_id"), 32) + y("doc_id")).as("pk"),
+                  bit_count(x("sh_int").bitwiseXOR(y("sh_int"))).as("hamming"))),
+              p => p("hamming") <= 1)))).as("p"))
+      // hamming is a function of the pair, so distinct on (pk, hamming)
+      // equals distinct on the pair
+      hits.select(col("p.pk").as("pk"), col("p.hamming").as("hamming"))
         .distinct()
+        .select(shiftright(col("pk"), 32).as("doc1"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring). md5 is
     * hoisted to ONE evaluation per (doc, tok) row — inlining it in each of
     * the 32 bit-sum aggregates costs 32× (measured 8.5 s → 0.6 s). */
   private def simhashDF(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val tf = Tables.documents(spark, dir)
+    val tf = Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok")))

@@ -37,6 +37,16 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** `documents` fanned out to one partition per core BEFORE the CPU-heavy
+    * per-row stages (tokenize / shingle / hash). The fixtures are
+    * single-row-group parquet, so the raw scan is ONE task no matter the
+    * split config — without this, a 32-core run tokenizes on one core. The
+    * exchanged payload is just the raw text (~MBs), trivially cheap next to
+    * the 32× map parallelism it buys; on a many-file production corpus the
+    * same repartition is how you decouple map parallelism from file layout. */
+  def documentsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).repartition(spark.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
