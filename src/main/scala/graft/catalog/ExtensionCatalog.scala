@@ -149,9 +149,9 @@ object ExtensionCatalog {
           FROM lineitem
           GROUP BY l_returnflag)
         SELECT l_returnflag,
-               sx / n AS mean_qty,
-               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-               (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+               round(sx / n, 10) AS mean_qty,
+               round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
+               round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 10) AS corr_qty_price
         FROM sums
       """)) { (spark, dir) =>
       val x = col("l_quantity").cast(D)
@@ -165,13 +165,18 @@ object ExtensionCatalog {
           sum(y).cast("double").as("sy"),
           sum(y * y).cast("double").as("syy"),
           sum(x * y).cast("double").as("sxy"))
+      // round(_, 10): the exactness guarantee lives in the decimal
+      // accumulators; the composite corr expression can still differ from
+      // DuckDB in the LAST ulp (expression compilers may fuse/reassociate
+      // float ops), observed once at sf0.001. Ten decimals is far beyond
+      // statistical meaning and far above ulp noise.
       sums.select(
         col("l_returnflag"),
-        (col("sx") / col("n")).as("mean_qty"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        round(col("sx") / col("n"), 10).as("mean_qty"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 10)
           .as("stddev_qty"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
           sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-            (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+            (col("syy") - col("sy") * col("sy") / col("n"))), 10).as("corr_qty_price"))
     })
 }
