@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property check: AsOfJoin.backward agrees with the obviously-correct
+  * quadratic reference (per left row: scan every right row, keep the
+  * latest with same key and ts <= left ts, ties by highest tiebreak) on
+  * random key/timestamp data with heavy collisions.
+  */
+object AsOfJoinCheck extends Properties("graft.operators.AsOfJoin") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.SparkSpec.session
+
+  private case class L(id: Long, k: String, ts: Long)
+  private case class R(k: String, ts: Long, rid: Long, v: Double)
+
+  private val genL = for {
+    id <- Gen.choose(1L, 1000L)
+    k <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(0L, 20L)
+  } yield L(id, k, ts)
+  private val genR = for {
+    k <- Gen.oneOf("a", "b", "c", "d")
+    ts <- Gen.choose(0L, 20L)
+    rid <- Gen.choose(1L, 1000L)
+    v <- Gen.choose(0, 99).map(_.toDouble)
+  } yield R(k, ts, rid, v)
+
+  private def naive(ls: List[L], rs: List[R]): Map[Long, Option[(Long, Double)]] =
+    ls.map { l =>
+      val best = rs.filter(r => r.k == l.k && r.ts <= l.ts)
+        .sortBy(r => (r.ts, r.rid)).lastOption
+      l.id -> best.map(r => (r.rid, r.v))
+    }.toMap
+
+  property("matches the quadratic reference under key/ts collisions") =
+    forAll(Gen.listOfN(30, genL), Gen.listOfN(30, genR)) { (ls0, rs) =>
+      // distinct left ids: the naive map keys by id
+      val ls = ls0.groupBy(_.id).map(_._2.head).toList
+      import spark.implicits._
+      val left = ls.toDF("id", "k", "lts")
+      val right = rs.toDF("k", "rts", "rid", "v")
+      val got = AsOfJoin.backward(left, right,
+          keys = Seq("k"), leftTs = "lts", rightTs = "rts",
+          payload = Seq("rid", "v"), rightOrder = Seq(col("rid")))
+        .collect().map { row =>
+          val rid = Option(row.getAs[Any]("rid")).map(_.asInstanceOf[Long])
+          val v = Option(row.getAs[Any]("v")).map(_.asInstanceOf[Double])
+          row.getAs[Long]("id") -> rid.map(r => (r, v.get))
+        }.toMap
+      got == naive(ls, rs)
+    }
+}
