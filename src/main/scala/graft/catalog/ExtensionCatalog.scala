@@ -133,6 +133,26 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- O4: keyset (seek) pagination -------------------------------------
+    QueryDef(
+      "o4_keyset_page",
+      "Keyset pagination (SURVEY §7.4.6 scale path): resume strictly after a (sortValue, id) cursor — the predicate pushes into the scan, so page cost is O(page), not O(offset+page)",
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 50000.0
+           OR (o_totalprice = 50000.0 AND o_orderkey > 100)
+        ORDER BY o_totalprice, o_orderkey
+        LIMIT 100
+      """)) { (spark, dir) =>
+      graft.finance.Serving.keysetPage(
+        Tables.orders(spark, dir),
+        sortBy = "o_totalprice", idCol = "o_orderkey",
+        after = Some((lit(50000.0), lit(100L))),
+        limit = 100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
     // ---- F2: moment statistics from exact accumulators --------------------
     QueryDef(
       "f2_stats_moments",

@@ -85,6 +85,34 @@ object Serving {
     Page(ordered.offset(offset).limit(limit), filtered.count())
   }
 
+  /** Keyset ("seek") pagination — the scale path SURVEY §7.4.6 notes where
+    * [[transactionPage]] keeps the reference's offset/limit shape for
+    * parity. Page N+1 resumes strictly after the last (sortValue, id) of
+    * page N: `WHERE (s, id) > (afterSort, afterId)` as a row comparison.
+    * Unlike offset, the predicate pushes into the scan, so each page costs
+    * O(page) rows read from a sorted/clustered table instead of
+    * O(offset + page) rows sorted then discarded — at 100 TB, deep offset
+    * pages are quadratic-in-depth aggregate work, keyset pages are flat.
+    * Ascending-only, non-null sort keys (use a coalesce sentinel for
+    * nullable ones). First page: no cursor. Column whitelisting is the
+    * ROUTER's job (as in the reference, `api/transactions.py:40-47`) —
+    * this library function sorts on whatever column the caller resolved. */
+  def keysetPage(
+      joined: DataFrame,
+      sortBy: String,
+      idCol: String = "transaction_id",
+      after: Option[(Column, Column)] = None,
+      limit: Int = 100): DataFrame = {
+    require(limit <= 1000, "limit capped at 1000 (api/transactions.py:40)")
+    val page = after match {
+      case Some((afterSort, afterId)) =>
+        joined.filter(col(sortBy) > afterSort ||
+          (col(sortBy) === afterSort && col(idCol) > afterId))
+      case None => joined
+    }
+    page.orderBy(col(sortBy).asc, col(idCol).asc).limit(limit)
+  }
+
   /** Distinct master-category list (A9, `validated_transactions.py:179-188`):
     * union of user-assigned and confidently-predicted categories, sorted. */
   def distinctCategories(joined: DataFrame): DataFrame =

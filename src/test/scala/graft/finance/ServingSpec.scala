@@ -103,4 +103,24 @@ class ServingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("Dining", "Travel")) // UNCERTAIN excluded
   }
+
+  test("keyset pages stitch into the full sorted list without gaps or repeats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // amounts collide on purpose: the cursor must disambiguate via the id
+    val rows = (1 to 57).map(i => (s"t%03d".format(i), (i % 7) * 10.0)).toDF("transaction_id", "amt")
+    val expected = rows.orderBy($"amt".asc, $"transaction_id".asc)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+    var cursor: Option[(String, Double)] = None
+    val stitched = Iterator.continually {
+      val page = Serving.keysetPage(rows, sortBy = "amt",
+          after = cursor.map { case (id, amt) => (lit(amt), lit(id)) }, limit = 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      cursor = page.lastOption.map { case (id, amt) => (id, amt) }
+      page
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+
+    assert(stitched == expected)
+  }
 }
