@@ -133,6 +133,41 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- X3: large-large interval overlap join ----------------------------
+    QueryDef(
+      "x3_interval_overlap_join",
+      "Bucketized interval overlap join (operators/RangeJoin): order activity windows x shipment windows, exactly-once via canonical bucket — an equi-shuffle join where naive overlap is a quadratic nested loop",
+      Some("""
+        SELECT o_orderkey, l_orderkey, l_linenumber,
+               least(o_hi, l_hi) - greatest(o_lo, l_lo) + 1 AS overlap_days
+        FROM (SELECT o_orderkey,
+                     CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS o_lo,
+                     CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 14 AS o_hi
+              FROM orders WHERE o_orderkey % 97 = 0) o
+        JOIN (SELECT l_orderkey, l_linenumber,
+                     CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS l_lo,
+                     CAST(l_shipdate AS DATE) - DATE '1970-01-01' + 3 AS l_hi
+              FROM lineitem WHERE l_orderkey % 89 = 0) l
+          ON o_lo <= l_hi AND l_lo <= o_hi
+      """)) { (spark, dir) =>
+      import graft.operators.RangeJoin
+      val epoch = lit("1970-01-01").cast("date")
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("o_lo"),
+          (datediff(col("o_orderdate").cast("date"), epoch) + 14).as("o_hi"))
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 89 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), epoch).as("l_lo"),
+          (datediff(col("l_shipdate").cast("date"), epoch) + 3).as("l_hi"))
+      RangeJoin.overlapJoin(o, li, "o_lo", "o_hi", "l_lo", "l_hi", width = 16)
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          (least(col("o_hi"), col("l_hi")) - greatest(col("o_lo"), col("l_lo")) + 1)
+            .as("overlap_days"))
+    },
+
     // ---- O4: keyset (seek) pagination -------------------------------------
     QueryDef(
       "o4_keyset_page",
