@@ -82,6 +82,36 @@ object ExtensionCatalog {
         .select(col("event_id"), col("band"), col("value"))
     },
 
+    // ---- X4/X5: skew-mitigation operators through the oracle gate ---------
+    QueryDef(
+      "x4_salted_join",
+      "Salted equi-join (operators/Skew.saltedJoin): hot fact keys spread over 16 salted reducers, dimension replicated per bucket — result equals the unsalted join exactly, which is precisely what the oracle checks",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, s_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      """)) { (spark, dir) =>
+      graft.operators.Skew.saltedJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_suppkey").as("s_suppkey")),
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        keys = Seq("s_suppkey"),
+        saltBy = col("l_orderkey") * 8 + col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("s_name"))
+    },
+
+    QueryDef(
+      "x5_twophase_distinct",
+      "Two-phase distinct aggregation (operators/Skew.distinctCountSkewAware): groupBy(key, value) then groupBy(key) — countDistinct without funneling a hot key through one reducer",
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)) { (spark, dir) =>
+      graft.operators.Skew.distinctCountSkewAware(
+        Tables.lineitem(spark, dir), keys = Seq("l_returnflag"), value = "l_partkey")
+    },
+
     // ---- A12/A13: multidimensional aggregates -----------------------------
     QueryDef(
       "a12_rollup",
