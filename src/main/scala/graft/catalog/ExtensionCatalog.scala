@@ -112,6 +112,32 @@ object ExtensionCatalog {
         Tables.lineitem(spark, dir), keys = Seq("l_returnflag"), value = "l_partkey")
     },
 
+    // ---- X6: bounded-heap top-k per group ---------------------------------
+    QueryDef(
+      "x6_topk_per_key",
+      "Exact top-3 per key via the bounded-heap Aggregator (operators/TopK): only k x partitions candidates cross the wire, vs the window formulation shuffling every row — oracle IS the window formulation",
+      Some("""
+        SELECT l_orderkey, rank, price, candidate
+        FROM (SELECT l_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_extendedprice DESC, l_partkey ASC) AS rank,
+                     l_extendedprice AS price,
+                     l_partkey AS candidate
+              FROM lineitem)
+        WHERE rank <= 3
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_partkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .agg(graft.operators.TopK.topK(3).toColumn)
+        .flatMap { case (key, top) =>
+          top.zipWithIndex.map { case ((score, id), i) => (key, i + 1, score, id) }
+        }
+        .toDF("l_orderkey", "rank", "price", "candidate")
+    },
+
     // ---- A12/A13: multidimensional aggregates -----------------------------
     QueryDef(
       "a12_rollup",
