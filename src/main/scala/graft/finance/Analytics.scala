@@ -75,4 +75,30 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly.withColumn("cumulative_savings", sum(col("net_change")).over(running))
   }
+
+  /** Point-in-time balance: for each (account_id, as_of_date) probe, the
+    * account's running balance at the latest transaction on-or-before that
+    * date. Running balances are one window per account (decimal, exact);
+    * the probe lookup is [[graft.operators.AsOfJoin]] — a single shuffle
+    * of balances+probes per account, no per-probe scans (the naive
+    * formulation re-filters and re-sums the ledger per probe: quadratic).
+    * Probes: columns `account_id`, `as_of_date`; transactions need a
+    * unique `transaction_id` for the deterministic tiebreak. Accounts
+    * with no transaction yet get a null balance. */
+  def balanceAsOf(trxns: DataFrame, probes: DataFrame): DataFrame = {
+    val perAccount = Window.partitionBy(col("account_id"))
+      .orderBy(col("transacted_date").asc, col("transaction_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val balances = trxns.select(
+      col("account_id"),
+      col("transacted_date"),
+      col("transaction_id"),
+      sum(col("amount")).over(perAccount).as("balance"))
+    graft.operators.AsOfJoin.backward(
+      probes, balances,
+      keys = Seq("account_id"),
+      leftTs = "as_of_date", rightTs = "transacted_date",
+      payload = Seq("balance"),
+      rightOrder = Seq(col("transaction_id")))
+  }
 }

@@ -51,4 +51,31 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getDecimal(2).toPlainString))
     assert(got.toSeq == Seq((2023, "Dining", "-51.00"), (2024, "Dining", "-10.00")))
   }
+
+  test("balanceAsOf returns the running balance at the latest txn on-or-before each probe") {
+    val ledger = Seq(
+      ("acct1", "2023-10-01", "t1", "100.00"),
+      ("acct1", "2023-10-10", "t2", "-30.00"),
+      ("acct1", "2023-10-10", "t3", "-20.00"), // same-day: tiebreak by id
+      ("acct1", "2023-11-01", "t4", "5.00"),
+      ("acct2", "2023-10-05", "t5", "7.00"))
+      .toDF("account_id", "d", "transaction_id", "a")
+      .select(col("account_id"), col("d").cast("date").as("transacted_date"),
+        col("transaction_id"), col("a").cast("decimal(18,2)").as("amount"))
+    val probes = Seq(
+      (1L, "acct1", "2023-10-10"),  // exactly at t2/t3 day -> 50.00 (both counted)
+      (2L, "acct1", "2023-10-31"),  // between              -> 50.00
+      (3L, "acct1", "2023-12-01"),  // after all            -> 55.00
+      (4L, "acct2", "2023-10-01"),  // before any           -> null
+      (5L, "acct3", "2023-10-01"))  // unknown account      -> null
+      .toDF("probe_id", "account_id", "d")
+      .select(col("probe_id"), col("account_id"), col("d").cast("date").as("as_of_date"))
+
+    val got = Analytics.balanceAsOf(ledger, probes)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        Option(r.getAs[java.math.BigDecimal]("balance")).map(_.toPlainString)).toMap
+    assert(got == Map(
+      1L -> Some("50.00"), 2L -> Some("50.00"), 3L -> Some("55.00"),
+      4L -> None, 5L -> None))
+  }
 }
