@@ -115,11 +115,11 @@ object ExtensionCatalog {
     // ---- X6: bounded-heap top-k per group ---------------------------------
     QueryDef(
       "x6_topk_per_key",
-      "Exact top-3 per key via the bounded-heap Aggregator (operators/TopK): only k x partitions candidates cross the wire, vs the window formulation shuffling every row — oracle IS the window formulation",
+      "Exact top-3 per supplier via the bounded-heap Aggregator (operators/TopK): ~600 candidates funnel into a 3-slot map-side heap per group, so only k x partitions rows cross the wire — oracle IS the full window formulation. (Keyed on the FEW-groups-MANY-candidates side: per-order grouping would mean 150k four-row groups, where the heap's per-group buffer overhead exceeds the shuffle it saves.)",
       Some("""
-        SELECT l_orderkey, rank, price, candidate
-        FROM (SELECT l_orderkey,
-                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        SELECT l_suppkey, rank, price, candidate
+        FROM (SELECT l_suppkey,
+                     ROW_NUMBER() OVER (PARTITION BY l_suppkey
                                         ORDER BY l_extendedprice DESC, l_partkey ASC) AS rank,
                      l_extendedprice AS price,
                      l_partkey AS candidate
@@ -128,14 +128,14 @@ object ExtensionCatalog {
       """)) { (spark, dir) =>
       import spark.implicits._
       Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_partkey"))
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_partkey"))
         .as[(Long, Double, Long)]
         .groupByKey(_._1)
         .agg(graft.operators.TopK.topK(3).toColumn)
         .flatMap { case (key, top) =>
           top.zipWithIndex.map { case ((score, id), i) => (key, i + 1, score, id) }
         }
-        .toDF("l_orderkey", "rank", "price", "candidate")
+        .toDF("l_suppkey", "rank", "price", "candidate")
     },
 
     // ---- A12/A13: multidimensional aggregates -----------------------------
