@@ -52,6 +52,32 @@ object EventsCatalog {
         .filter(col("k") >= 50)
     },
 
+    // ---- E4: batch twin of the stream-stream interval join ----------------
+    QueryDef(
+      "e4_interval_join",
+      "Batch twin of streaming clickPurchaseJoin (EventStreams): each click matched to same-user purchases within the preceding day — the event-time range condition that lets the streaming form evict join state",
+      Some("""
+        SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts <= c.ts
+         AND p.ts >= c.ts - INTERVAL 24 HOURS
+      """)) { (spark, dir) =>
+      val events = Tables.events(spark, dir)
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("value").as("purchase_value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id")
+            && col("p_ts") <= col("c_ts")
+            && col("p_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS"))
+        .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
+          col("purchase_value"))
+    },
+
     // ---- E3: gap-based sessionization --------------------------------------
     QueryDef(
       "e3_sessionize",
