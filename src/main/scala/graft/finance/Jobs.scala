@@ -81,7 +81,11 @@ final class Jobs(spark: SparkSession, store: TableStore) {
   def trainClassifier(cfg: CategoryClassifier.Config = CategoryClassifier.Config())
       : Jobs.TrainRun = {
     val result = CategoryClassifier.train(store.read("fct_validated_trxns"), cfg)
-    val version = s"model_${System.currentTimeMillis()}"
+    // millis + process-monotonic counter: two trains in the same
+    // millisecond (tests, backfills) must not collide on the registry key
+    // that predictions are stamped with
+    val version =
+      s"model_${System.currentTimeMillis()}_${Jobs.trainSeq.getAndIncrement()}"
     val row = result match {
       case CategoryClassifier.Trained(model, labels, metrics, nTrain, nTest, nClasses) =>
         // persist the artifact FIRST: a registry row must never point at a
@@ -142,4 +146,7 @@ object Jobs {
     * registry version generated for this run (the version [[Jobs.predict]]
     * should stamp on scores). */
   final case class TrainRun(result: CategoryClassifier.TrainResult, version: String)
+
+  /** Uniquifies model versions generated within one millisecond. */
+  private[finance] val trainSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

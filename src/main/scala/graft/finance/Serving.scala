@@ -88,29 +88,42 @@ object Serving {
   /** Keyset ("seek") pagination — the scale path SURVEY §7.4.6 notes where
     * [[transactionPage]] keeps the reference's offset/limit shape for
     * parity. Page N+1 resumes strictly after the last (sortValue, id) of
-    * page N: `WHERE (s, id) > (afterSort, afterId)` as a row comparison.
-    * Unlike offset, the predicate pushes into the scan, so each page costs
-    * O(page) rows read from a sorted/clustered table instead of
-    * O(offset + page) rows sorted then discarded — at 100 TB, deep offset
-    * pages are quadratic-in-depth aggregate work, keyset pages are flat.
-    * Ascending-only, non-null sort keys (use a coalesce sentinel for
-    * nullable ones). First page: no cursor. Column whitelisting is the
-    * ROUTER's job (as in the reference, `api/transactions.py:40-47`) —
-    * this library function sorts on whatever column the caller resolved. */
+    * page N: `WHERE (s, id) > (afterSort, afterId)` as a row comparison
+    * under the page's total order. Unlike offset, the predicate pushes into
+    * the scan, so each page costs O(page) rows read from a sorted/clustered
+    * table instead of O(offset + page) rows sorted then discarded — at
+    * 100 TB, deep offset pages are quadratic-in-depth aggregate work,
+    * keyset pages are flat.
+    *
+    * Total order: (sortBy ASC|DESC NULLS LAST, idCol ASC) — the same shape
+    * as the offset-parity page O1, nullable sort keys included. A cursor in
+    * the non-null region is `Some((Some(value), id))`; once a page ends
+    * inside the null tail, resume with `Some((None, id))`. First page: no
+    * cursor. Column whitelisting is the ROUTER's job (as in the reference,
+    * `api/transactions.py:40-47`) — this library function sorts on
+    * whatever column the caller resolved. */
   def keysetPage(
       joined: DataFrame,
       sortBy: String,
       idCol: String = "transaction_id",
-      after: Option[(Column, Column)] = None,
-      limit: Int = 100): DataFrame = {
+      after: Option[(Option[Column], Column)] = None,
+      limit: Int = 100,
+      ascending: Boolean = true): DataFrame = {
+    require(limit > 0, "limit must be positive")
     require(limit <= 1000, "limit capped at 1000 (api/transactions.py:40)")
+    val s = col(sortBy)
+    val id = col(idCol)
     val page = after match {
-      case Some((afterSort, afterId)) =>
-        joined.filter(col(sortBy) > afterSort ||
-          (col(sortBy) === afterSort && col(idCol) > afterId))
       case None => joined
+      // cursor inside the null tail: only later-id null-key rows remain
+      case Some((None, afterId)) => joined.filter(s.isNull && id > afterId)
+      case Some((Some(afterSort), afterId)) =>
+        val strictly = if (ascending) s > afterSort else s < afterSort
+        // NULLS LAST: the whole null tail still lies after any non-null cursor
+        joined.filter(strictly || (s === afterSort && id > afterId) || s.isNull)
     }
-    page.orderBy(col(sortBy).asc, col(idCol).asc).limit(limit)
+    val sortOrder = if (ascending) s.asc_nulls_last else s.desc_nulls_last
+    page.orderBy(sortOrder, id.asc).limit(limit)
   }
 
   /** Distinct master-category list (A9, `validated_transactions.py:179-188`):

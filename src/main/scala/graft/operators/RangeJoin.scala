@@ -32,13 +32,32 @@ object RangeJoin {
       right: DataFrame,
       leftLo: String, leftHi: String,
       rightLo: String, rightHi: String,
-      width: Long): DataFrame = {
+      width: Long,
+      maxBucketsPerRow: Long = 1L << 16): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must not collide")
 
-    def buckets(lo: String, hi: String) =
-      explode(sequence(floor(col(lo) / width), floor(col(hi) / width))).as("_bucket")
+    // Bucket ids go through double division; |bound| < 2^53 keeps
+    // floor(col/width) exact. Beyond that (e.g. nanosecond epochs) buckets
+    // would silently coarsen — fail fast instead and let the caller rescale
+    // the number line (a nanosecond axis with a >=1s width loses nothing by
+    // dividing both by 1e9).
+    def guarded(c: String) =
+      when(abs(col(c)) < (1L << 53), col(c))
+        .otherwise(raise_error(lit(s"$c exceeds 2^53: rescale the interval axis")))
+    // A degenerate huge interval would otherwise explode into millions of
+    // bucket rows on one task — fail fast with the fix in the message.
+    def buckets(lo: String, hi: String) = {
+      val bLo = floor(guarded(lo) / width)
+      val bHi = floor(guarded(hi) / width)
+      explode(sequence(
+        when(bHi - bLo < maxBucketsPerRow, bLo).otherwise(raise_error(lit(
+          s"interval [$lo, $hi] spans >$maxBucketsPerRow buckets: raise width " +
+            "or split the outlier interval"))),
+        bHi)).as("_bucket")
+    }
 
     val l = left.select(col("*"), buckets(leftLo, leftHi))
     val r = right.select(col("*"), buckets(rightLo, rightHi))

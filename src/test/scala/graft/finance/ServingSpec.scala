@@ -115,12 +115,44 @@ class ServingSpec extends SparkSpec {
     var cursor: Option[(String, Double)] = None
     val stitched = Iterator.continually {
       val page = Serving.keysetPage(rows, sortBy = "amt",
-          after = cursor.map { case (id, amt) => (lit(amt), lit(id)) }, limit = 10)
+          after = cursor.map { case (id, amt) => (Some(lit(amt)), lit(id)) }, limit = 10)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       cursor = page.lastOption.map { case (id, amt) => (id, amt) }
       page
     }.takeWhile(_.nonEmpty).flatten.toSeq
 
     assert(stitched == expected)
+  }
+
+  test("keyset pages stitch DESC NULLS LAST with nullable sort keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // ids 1..57; every 5th amount is null — the cursor must cross from the
+    // descending non-null region into the null tail and keep paging by id
+    val rows = (1 to 57)
+      .map(i => (s"t%03d".format(i), if (i % 5 == 0) None else Some((i % 7) * 10.0)))
+      .toDF("transaction_id", "amt")
+    val expected = rows.orderBy($"amt".desc_nulls_last, $"transaction_id".asc)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+
+    var cursor: Option[(String, Option[Double])] = None
+    val stitched = Iterator.continually {
+      val page = Serving.keysetPage(rows, sortBy = "amt",
+          after = cursor.map { case (id, amt) =>
+            (amt.map(lit(_)), lit(id))
+          }, limit = 10, ascending = false)
+        .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+      cursor = page.lastOption
+      page
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+
+    assert(stitched == expected)
+  }
+
+  test("keysetPage rejects non-positive limits") {
+    intercept[IllegalArgumentException] {
+      Serving.keysetPage(fixture, sortBy = "amount", limit = 0)
+    }
+    ()
   }
 }

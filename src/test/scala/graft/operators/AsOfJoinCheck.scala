@@ -39,9 +39,13 @@ object AsOfJoinCheck extends Properties("graft.operators.AsOfJoin") {
     }.toMap
 
   property("matches the quadratic reference under key/ts collisions") =
-    forAll(Gen.listOfN(30, genL), Gen.listOfN(30, genR)) { (ls0, rs) =>
-      // distinct left ids: the naive map keys by id
+    forAll(Gen.listOfN(30, genL), Gen.listOfN(30, genR)) { (ls0, rs0) =>
+      // distinct left ids: the naive map keys by id; distinct right
+      // (k, ts, rid): two right rows tying on the full sort key but
+      // carrying different v would make BOTH the operator and the naive
+      // reference nondeterministic — not a property worth flaking over
       val ls = ls0.groupBy(_.id).map(_._2.head).toList
+      val rs = rs0.groupBy(r => (r.k, r.ts, r.rid)).map(_._2.head).toList
       import spark.implicits._
       val left = ls.toDF("id", "k", "lts")
       val right = rs.toDF("k", "rts", "rid", "v")
