@@ -351,6 +351,47 @@ object ExtensionCatalog {
         limit = 100, ascending = false)
     },
 
+    // ---- O5: registry metrics history --------------------------------------
+    QueryDef(
+      "o5_registry_history",
+      "Registry metrics history (model_metrics.py:56-143): trained rows only, chronological with a materialized seq (the endpoint reads DESC then reverses; seq makes the ordering oracle-checkable under the driver's sorted-row hash) — registry synthesized from orders so the read shape runs on the shared fixtures",
+      Some("""
+        WITH reg AS (
+          SELECT 'model_' || CAST(o_orderkey AS VARCHAR) AS model_version,
+                 CASE WHEN o_orderstatus = 'F' THEN 'trained' ELSE 'skipped' END AS status,
+                 o_orderdate AS training_timestamp,
+                 o_totalprice / 600000.0 AS accuracy,
+                 o_totalprice / 600000.0 * 0.9 AS f1_macro,
+                 o_totalprice / 600000.0 * 0.95 AS f1_weighted,
+                 o_totalprice / 600000.0 * 0.92 AS precision_macro,
+                 o_totalprice / 600000.0 * 0.91 AS recall_macro,
+                 o_custkey AS n_train,
+                 o_custkey % 100 AS n_test,
+                 CAST(10 AS INTEGER) AS n_classes
+          FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT ROW_NUMBER() OVER (ORDER BY training_timestamp ASC, model_version ASC) AS seq,
+               model_version, training_timestamp, accuracy, f1_macro, f1_weighted,
+               precision_macro, recall_macro, n_train, n_test, n_classes
+        FROM reg WHERE status = 'trained'
+      """)) { (spark, dir) =>
+      val acc = col("o_totalprice") / 600000.0
+      val reg = Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          concat(lit("model_"), col("o_orderkey")).as("model_version"),
+          when(col("o_orderstatus") === "F", "trained").otherwise("skipped").as("status"),
+          col("o_orderdate").as("training_timestamp"),
+          acc.as("accuracy"),
+          (acc * 0.9).as("f1_macro"),
+          (acc * 0.95).as("f1_weighted"),
+          (acc * 0.92).as("precision_macro"),
+          (acc * 0.91).as("recall_macro"),
+          col("o_custkey").as("n_train"),
+          (col("o_custkey") % 100).as("n_test"),
+          lit(10).as("n_classes"))
+      graft.finance.TableStore.metricsHistory(reg)
+    },
+
     // ---- F2: moment statistics from exact accumulators --------------------
     QueryDef(
       "f2_stats_moments",

@@ -259,6 +259,30 @@ object ParityCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- M3: deterministic stratified split, count contract ---------------
+    QueryDef(
+      "m3_stratified_split",
+      "SURVEY §2.10 M3 (classifier_train.py train_test_split stratify): per-class train/test counts of the hash-ordered 80/20 split — n<2 classes go wholly to train, n>=2 classes keep >=1 test row; the oracle derives the same counts from the closed-form cut",
+      Some("""
+        SELECT c_mktsegment AS master_category,
+               CASE WHEN n < 2 THEN n
+                    ELSE least(CAST(ceil(n * 0.8) AS BIGINT), n - 1) END AS n_train,
+               CASE WHEN n < 2 THEN 0
+                    ELSE n - least(CAST(ceil(n * 0.8) AS BIGINT), n - 1) END AS n_test
+        FROM (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1)
+      """)) { (spark, dir) =>
+      import graft.finance.ml.CategoryClassifier
+      val labeled = Tables.customer(spark, dir).select(
+        col("c_custkey").as("transaction_id"),
+        col("c_mktsegment").as(CategoryClassifier.labelCol))
+      val (tr, te) = CategoryClassifier.stratifiedSplit(labeled, 0.2, 42L)
+      tr.groupBy(col(CategoryClassifier.labelCol)).agg(count(lit(1)).as("n_train"))
+        .join(
+          te.groupBy(col(CategoryClassifier.labelCol)).agg(count(lit(1)).as("n_test")),
+          Seq(CategoryClassifier.labelCol), "full_outer")
+        .na.fill(0L, Seq("n_train", "n_test"))
+    },
+
     // ---- K1/K2: sketch aggregates (north-star; SURVEY §2.4 note) ----------
     // No oracle: HLL++ and quantile-sketch internals differ across engines,
     // so the driver records the rows-only check. Exactness is bounded by

@@ -135,4 +135,31 @@ object TableStore {
       .withColumn("is_active",
         row_number().over(trainedByTime) === 1 && col("status") === "trained")
   }
+
+  /** Registry metrics history (`ui/backend/api/model_metrics.py:56-143`):
+    * trained rows only, in chronological order — the endpoint reads
+    * `ORDER BY training_timestamp DESC` then reverses the list; `seq`
+    * materializes that chronological position (model_version breaks
+    * timestamp ties deterministically, which the reference leaves to the
+    * database). The registry is control-plane-small, so the global window
+    * sort is one task by design. */
+  def metricsHistory(registry: DataFrame): DataFrame = {
+    val chrono = Window.orderBy(col("training_timestamp").asc, col("model_version"))
+    registry.filter(col("status") === "trained")
+      .withColumn("seq", row_number().over(chrono).cast("long"))
+      .select(col("seq"), col("model_version"), col("training_timestamp"),
+        col("accuracy"), col("f1_macro"), col("f1_weighted"),
+        col("precision_macro"), col("recall_macro"),
+        col("n_train"), col("n_test"), col("n_classes"))
+  }
+
+  /** Latest training status (`model_metrics.py` /training-status): the
+    * newest registry row's status/reason — 'trained', 'skipped', or an
+    * empty frame when no registry exists yet ('not_found' at the API). */
+  def trainingStatus(registry: DataFrame): DataFrame =
+    registry
+      .orderBy(col("training_timestamp").desc, col("model_version"))
+      .limit(1)
+      .select(col("model_version"), col("status"), col("reason"),
+        col("training_timestamp"), col("n_train"), col("n_classes"))
 }

@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-preserving batch iteration,
-  * output shapes — is real and tested. The codec step itself is a STUB
-  * (`StubCodec`): the image/audio libraries are not in this container, so
-  * decode is a deterministic fake keyed on the payload bytes. Swapping in a
-  * real codec changes ONLY `StubCodec`; every signature, schema, and the
-  * `mapPartitions` batching stays as-is. `mapPartitions` (not a per-row UDF)
-  * is deliberate: real codecs amortize model/codec init per partition,
-  * exactly like a Pandas-UDF batch would.
+  * output shapes — is real and tested, and so is IMAGE DECODE: `Codec`
+  * parses actual PNG/JPEG/GIF/BMP bytes through the JDK's `javax.imageio`
+  * (no external dependency) for true width/height/channels. Payloads
+  * ImageIO cannot parse fall back to a deterministic payload-keyed fake so
+  * the operators stay total over synthetic corpora (the container has no
+  * real image fixtures); a production corpus would route undecodable
+  * assets to quarantine instead. The FEATURIZER remains a declared
+  * stand-in: a deterministic rolling-hash embedding in place of a vision
+  * encoder (the model weights aren't in this container). `mapPartitions`
+  * (not a per-row UDF) is deliberate: real codecs amortize model/codec
+  * init per partition, exactly like a Pandas-UDF batch would.
   */
 object Multimodal {
 
@@ -33,13 +37,26 @@ object Multimodal {
 
   final case class DecodedImage(width: Int, height: Int, channels: Int)
 
-  /** STUB codec — deterministic fake decode keyed on payload bytes.
-    * Replace with a real imaging/audio library at deployment; nothing
-    * outside this object changes. */
-  object StubCodec {
+  /** Image decode + payload featurization.
+    *
+    * `decodeImage` is REAL: `javax.imageio.ImageIO` parses the encoded
+    * bytes and reports true geometry and the raster's band count (3 for
+    * opaque RGB, 4 with alpha, 1 for grayscale). Unparseable payloads get
+    * a deterministic fake keyed on the bytes — same total-function
+    * contract, synthetic fixtures keep working, and the fallback dims are
+    * >= 64 so they cannot be mistaken for a tiny real image. */
+  object Codec {
     def decodeImage(payload: Array[Byte]): DecodedImage = {
-      val h = java.util.Arrays.hashCode(payload)
-      DecodedImage(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024), 3)
+      val real =
+        if (payload == null || payload.isEmpty) None
+        else try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+            .map(img => DecodedImage(img.getWidth, img.getHeight, img.getRaster.getNumBands))
+        } catch { case _: java.io.IOException => None }
+      real.getOrElse {
+        val h = java.util.Arrays.hashCode(payload)
+        DecodedImage(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024), 3)
+      }
     }
     /** Deterministic fixed-dim "embedding" of the payload: a rolling hash
       * folded into `dim` float buckets — stands in for a vision encoder.
@@ -72,7 +89,7 @@ object Multimodal {
     assets.select("asset_id", "payload").mapPartitions { rows =>
       // per-partition init happens HERE with a real codec
       rows.map { r =>
-        val d = StubCodec.decodeImage(r.getAs[Array[Byte]]("payload"))
+        val d = Codec.decodeImage(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), d.width, d.height, d.channels)
       }
     }(enc)
@@ -87,7 +104,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(out)
     assets.select("asset_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getLong(0), StubCodec.featurize(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+        Row(r.getLong(0), Codec.featurize(r.getAs[Array[Byte]]("payload"), dim).toSeq)
       }
     }(enc)
   }

@@ -69,4 +69,45 @@ class OpsSpec extends SparkSpec {
     assert(deleted == Seq(Snapshots.snapshotName(t1)))
     assert(Snapshots.list(backups).size == 1)
   }
+
+  test("backup schedule: cron next-run follows APScheduler semantics") {
+    import java.time.LocalDateTime
+    val now = LocalDateTime.parse("2026-08-12T14:30:15") // a Wednesday
+    // default daily-at-02:00 schedule fires tomorrow 02:00
+    assert(BackupSchedule.nextRun("0 2 * * *", now)
+      .contains(LocalDateTime.parse("2026-08-13T02:00")))
+    // same-day fire when still ahead of us
+    assert(BackupSchedule.nextRun("0 18 * * *", now)
+      .contains(LocalDateTime.parse("2026-08-12T18:00")))
+    // every 15 minutes
+    assert(BackupSchedule.nextRun("*/15 * * * *", now)
+      .contains(LocalDateTime.parse("2026-08-12T14:45")))
+    // strictly after: a boundary instant does not fire "now"
+    assert(BackupSchedule.nextRun("0 2 * * *", LocalDateTime.parse("2026-08-13T02:00"))
+      .contains(LocalDateTime.parse("2026-08-14T02:00")))
+    // day_of_week 0 = Monday (APScheduler), not Sunday (classic cron)
+    assert(BackupSchedule.nextRun("0 9 * * 0", now)
+      .contains(LocalDateTime.parse("2026-08-17T09:00")))
+    // day-of-month AND day-of-week (APScheduler), not classic cron's OR:
+    // next 13th that is also a Monday-indexed 4 (= Friday)
+    assert(BackupSchedule.nextRun("0 0 13 * 4", now)
+      .contains(LocalDateTime.parse("2026-11-13T00:00")))
+    // ranges and lists
+    assert(BackupSchedule.nextRun("30 8-10 * * 0-4", now)
+      .contains(LocalDateTime.parse("2026-08-13T08:30")))
+  }
+
+  test("backup schedule: disabled, invalid, and never-firing crons persist no next run") {
+    import java.time.LocalDateTime
+    val now = LocalDateTime.parse("2026-08-12T14:30")
+    assert(BackupSchedule.nextRunFor(
+      BackupSchedule.Schedule(enabled = false), now).isEmpty)
+    assert(BackupSchedule.nextRun("not a cron", now).isEmpty)
+    assert(BackupSchedule.nextRun("0 2 * *", now).isEmpty)     // 4 fields
+    assert(BackupSchedule.nextRun("99 2 * * *", now).isEmpty)  // out of range
+    assert(BackupSchedule.nextRun("0 2 30 2 *", now).isEmpty)  // Feb 30 never
+    assert(BackupSchedule.nextRunFor(
+      BackupSchedule.Schedule(enabled = true), now)
+      .contains(LocalDateTime.parse("2026-08-13T02:00")))
+  }
 }

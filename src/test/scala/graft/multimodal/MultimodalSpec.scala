@@ -41,6 +41,44 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall { case (n, off) => off == n * 10 })
   }
 
+  // Real encoded PNG bytes, produced in-test through the same JDK encoder
+  // the codec decodes with — no binary fixture files needed.
+  private def pngBytes(w: Int, h: Int, imgType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    (0 until w).foreach(x => img.setRGB(x, 0, x * 2654435761L.toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def realAssets = {
+    val rows = Seq(
+      Row(1L, "image", "image/png",
+        pngBytes(200, 80, java.awt.image.BufferedImage.TYPE_3BYTE_BGR),
+        Row(null, null, null, null)),
+      Row(2L, "image", "image/png",
+        pngBytes(33, 47, java.awt.image.BufferedImage.TYPE_INT_ARGB),
+        Row(null, null, null, null)))
+    spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+  }
+
+  test("decodeImages reads REAL PNG bytes: true geometry and channel count") {
+    val got = Multimodal.decodeImages(realAssets).orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 200, 80, 3), (2L, 33, 47, 4))) // ARGB carries alpha
+  }
+
+  test("withResizeTarget computes true target geometry from real bytes") {
+    val r = Multimodal.withResizeTarget(realAssets, maxEdge = 100)
+      .filter(col("asset_id") === 1L).head
+    assert(r.getAs[Int]("target_width") == 100)  // 200x80 halves to 100x40
+    assert(r.getAs[Int]("target_height") == 40)
+    val small = Multimodal.withResizeTarget(realAssets, maxEdge = 100)
+      .filter(col("asset_id") === 2L).head
+    assert(small.getAs[Int]("target_width") == 33) // already within the cap
+    assert(small.getAs[Int]("target_height") == 47)
+  }
+
   test("withResizeTarget caps the long edge") {
     val out = Multimodal.withResizeTarget(assets, maxEdge = 128)
     val bad = out.filter(greatest(col("target_width"), col("target_height")) > 128)
