@@ -259,6 +259,56 @@ object DedupCatalog {
         .distinct()
         .select(shiftright(col("pk"), 32).as("doc1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
+    },
+
+    // ---- D6: canonical selection — keep the best doc per dup cluster ------
+    // d1 answers "which docs are duplicates"; the pipeline's next question
+    // is "which ONE do we keep". Rank each exact-dup cluster by the t2
+    // quality gate (desc, doc_id tiebreak) and keep rank 1 — one shuffle on
+    // the content hash, rank-limit window (WindowGroupLimit pushes the
+    // rn=1 filter map-side in Spark 4).
+    QueryDef(
+      "d6_canonical_keep_best",
+      "North-star dedup: per-duplicate-cluster canonical selection — keep the highest-quality doc (t2 gate score, doc_id tiebreak) of each exact-hash group",
+      Some("""
+        WITH q AS (
+          SELECT doc_id,
+                 md5(lower(trim(text))) AS h,
+                 (CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+                  + CASE WHEN len(list_filter(toks, x -> list_contains(
+                      ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(toks) >= 0.05
+                    THEN 1 ELSE 0 END
+                  + CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3
+                    THEN 1 ELSE 0 END) AS quality_score
+          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents))
+        SELECT doc_id AS canonical_id, dup_count, quality_score
+        FROM (SELECT doc_id, quality_score,
+                     COUNT(*) OVER (PARTITION BY h) AS dup_count,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                       ORDER BY quality_score DESC, doc_id ASC) AS rn
+              FROM q)
+        WHERE rn = 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val t = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("h"),
+        split(lower(col("text")), " ").as("toks"))
+      val stopHits = size(filter(col("toks"),
+        x => array_contains(array(en.map(lit): _*), x)))
+      val q = t.select(col("doc_id"), col("h"),
+        (when(size(col("toks")).between(20, 200), 1).otherwise(0)
+          + when(stopHits * lit(1.0) / size(col("toks")) >= 0.05, 1).otherwise(0)
+          + when(size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks")) >= 0.3, 1)
+            .otherwise(0)).as("quality_score"))
+      val cluster = Window.partitionBy(col("h"))
+      val best = Window.partitionBy(col("h"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      q.withColumn("dup_count", count(lit(1)).over(cluster))
+        .withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("canonical_id"), col("dup_count"), col("quality_score"))
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring).

@@ -351,6 +351,46 @@ object ExtensionCatalog {
         limit = 100, ascending = false)
     },
 
+    // ---- X7: deterministic hash sharding -----------------------------------
+    QueryDef(
+      "x7_hash_shard",
+      "Deterministic train/val/test sharding by content-independent hash (md5 of the id, not xxhash — cross-engine reproducible): 80/10/10, stable across runs, partitionings, and engines; map-only, shuffle-free at any corpus scale",
+      Some("""
+        SELECT doc_id,
+               bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS shard
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+              FROM documents)
+      """)) { (spark, dir) =>
+      // The shard assignment must survive recomputation on ANY engine or
+      // partitioning — the one property a training/eval split cannot lose.
+      // md5-derived bucket (not xxhash64, whose seeds differ per engine),
+      // positive by construction (15 hex chars < 2^60).
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(100))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("shard",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+    },
+
+    // ---- X8: sequence packing (rows-only: bin assignment is an imperative
+    // per-partition algorithm, not SQL) --------------------------------------
+    QueryDef(
+      "x8_sequence_pack",
+      "LLM-batch sequence packing (operators/SequencePack): documents into <=512-token bins, next-fit-decreasing per hash-assigned partition — bins never span partitions, O(1) packing state; rows-only check (packing is not SQL-expressible)",
+      None) { (spark, dir) =>
+      val withTokens = Tables.documents(spark, dir)
+        .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tokens"))
+      graft.operators.SequencePack.pack(withTokens, "doc_id", "n_tokens", budget = 512)
+    },
+
     // ---- O5: registry metrics history --------------------------------------
     QueryDef(
       "o5_registry_history",

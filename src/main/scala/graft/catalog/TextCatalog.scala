@@ -28,6 +28,15 @@ object TextCatalog {
     s"len(list_filter(toks, x -> list_contains([$lst], x)))"
   }
 
+  /** RE2-safe PII patterns shared verbatim by the Spark and DuckDB sides of
+    * t5. Literal dots are written as `[.]` character classes so the SAME
+    * string is valid in a DuckDB `'...'` literal (backslashes literal), a
+    * Spark SQL `'...'` literal (backslashes escape), and the Scala-side
+    * regexp_replace API — no backslash anywhere, nothing to mis-escape. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "555-[0-9]+-[0-9]+"
+  private val Ipv4Re = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- T1: language identification --------------------------------------
@@ -124,5 +133,50 @@ object TextCatalog {
         md5(lower(trim(col("text")))).as("content_hash"),
         when(size(sh) >= 1, array_min(transform(sh, x => md5(x))))
           .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
+    },
+
+    // ---- T5: PII scrubbing -------------------------------------------------
+    // The corpus fixtures carry no real PII, so each doc gets a
+    // deterministic synthetic contact line first — the scrub then has
+    // real matches to count and redact, and both engines inject/scrub the
+    // identical text. Patterns are RE2-safe (no backrefs/lookaround) so
+    // Java regex (Spark) and RE2 (DuckDB) agree; DuckDB needs the 'g' flag
+    // to match Spark's replace-all semantics. Map-only, shuffle-free.
+    QueryDef(
+      "t5_pii_scrub",
+      "North-star text analysis: PII redaction (emails/phones/IPv4) with per-kind match counts — the pre-training scrub pass, map-only at any corpus scale",
+      Some(s"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-' || CAST(doc_id AS VARCHAR)
+                      || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
+               len(regexp_extract_all(raw, '$PhoneRe')) AS n_phones,
+               len(regexp_extract_all(raw, '$Ipv4Re')) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g'),
+                 '$Ipv4Re', '<IP>', 'g') AS scrubbed
+        FROM injected
+      """)) { (spark, dir) =>
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"), col("doc_id").cast("string"),
+        lit("-1234 from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")).as("n_phones"),
+          size(expr(s"regexp_extract_all(raw, '$Ipv4Re', 0)")).as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+            Ipv4Re, "<IP>").as("scrubbed"))
     })
+
 }
