@@ -351,6 +351,42 @@ object ExtensionCatalog {
         limit = 100, ascending = false)
     },
 
+    // ---- I3: SCD2 interval build -------------------------------------------
+    QueryDef(
+      "i3_scd2_intervals",
+      "Slowly-changing-dimension (type 2) interval build from a change stream: each purchase value valid from its timestamp until the user's next one (open-ended tail) — one window pass, the warehouse-history twin of the reference's historic mapping join (J2)",
+      Some("""
+        SELECT user_id,
+               value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events
+        WHERE event_type = 'purchase'
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(byUser).as("valid_to"))
+    },
+
+    // ---- K3: mergeable HLL sketches (rows-only: sketch bytes are
+    // engine-specific, the POINT is the partial-merge pattern) ---------------
+    QueryDef(
+      "k3_hll_mergeable",
+      "Mergeable-sketch pattern (Apache DataSketches HLL via Spark 4 builtins): per-(flag,status) partial sketches union-merged up to per-flag estimates — the reaggregation shape that lets 100 TB cardinality roll up without re-scanning; rows-only (sketch internals differ across engines), exact twin column bounds the error in-row",
+      None) { (spark, dir) =>
+      val partials = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          count_distinct(col("l_partkey")).as("exact_within_group"))
+      partials.groupBy(col("l_returnflag"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_merged"),
+          sum(col("exact_within_group")).as("sum_groupwise_exact"))
+    },
+
     // ---- X7: deterministic hash sharding -----------------------------------
     QueryDef(
       "x7_hash_shard",

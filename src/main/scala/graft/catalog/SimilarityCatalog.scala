@@ -123,5 +123,49 @@ object SimilarityCatalog {
         .select(col("vec1"), col("vec2"),
           (dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))).as("cos_sim"))
         .filter(col("cos_sim") >= 0.45)
+    },
+
+    // ---- S4: int8 scalar quantization of embeddings ------------------------
+    // The storage-side half of similarity search at 100 TB: affine per-vector
+    // int8 quantization (the FAISS SQ8 scheme) shrinks a float corpus 4×.
+    // Scalar outputs only — per-vector range and reconstruction MSE — so the
+    // whole transform is oracle-checkable (all math in double after exact
+    // float→double casts; the element fold is the same left-to-right order
+    // on both engines, like the dot products above).
+    QueryDef(
+      "s4_embedding_quantize",
+      "North-star similarity: per-vector int8 affine quantization stats — range, quantized reconstruction MSE; map-only, the compression pass before ANN indexing",
+      Some("""
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+               CAST(list_max(embedding) AS DOUBLE) AS qmax,
+               CASE WHEN list_max(embedding) = list_min(embedding) THEN 0.0
+                    ELSE list_sum(list_transform(embedding, x ->
+                      power(CAST(x AS DOUBLE)
+                        - (CAST(list_min(embedding) AS DOUBLE)
+                           + floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                                   / ((CAST(list_max(embedding) AS DOUBLE)
+                                       - CAST(list_min(embedding) AS DOUBLE)) / 255.0) + 0.5)
+                             * ((CAST(list_max(embedding) AS DOUBLE)
+                                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0)), 2)))
+                      / len(embedding)
+               END AS mse
+        FROM embeddings
+      """)) { (spark, dir) =>
+      val emb = col("embedding")
+      val qmin = array_min(emb).cast("double")
+      val qmax = array_max(emb).cast("double")
+      val scale = (qmax - qmin) / 255.0
+      val err2 = aggregate(emb, lit(0.0), (acc, e) => {
+        val xd = e.cast("double")
+        val recon = qmin + floor((xd - qmin) / scale + 0.5) * scale
+        acc + pow(xd - recon, 2)
+      })
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"),
+        qmin.as("qmin"),
+        qmax.as("qmax"),
+        when(array_max(emb) === array_min(emb), 0.0)
+          .otherwise(err2 / size(emb)).as("mse"))
     })
 }
