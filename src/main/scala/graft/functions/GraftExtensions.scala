@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Registered: `float_vector_dot(a, b)`, `word_shingles(text, n)`,
   * `minhash_signature(shingles)` (the default 9-seed banding config of
-  * `graft.catalog.DedupCatalog`).
+  * `graft.catalog.DedupCatalog`), `simhash_signature(tokens)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.floatVectorDot)
     ext.injectFunction(GraftExtensions.wordShingles)
     ext.injectFunction(GraftExtensions.minhashSignature)
+    ext.injectFunction(GraftExtensions.simhashSignature)
   }
 }
 
@@ -71,5 +72,13 @@ object GraftExtensions {
     {
       case Seq(s) => new MinHashSignature(s, DefaultCoeffs, DefaultModulus)
       case _ => badArity("minhash_signature", "1")
+    })
+
+  val simhashSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_signature"),
+    info("simhash_signature", "_FUNC_(tokens) - 32-bit tf-weighted SimHash as a bitstring"),
+    {
+      case Seq(t) => new SimHashSignature(t)
+      case _ => badArity("simhash_signature", "1")
     })
 }

@@ -6,7 +6,7 @@ class GraftExtensionsSpec extends SparkSpec {
 
   private def register(): Unit =
     Seq(GraftExtensions.floatVectorDot, GraftExtensions.wordShingles,
-        GraftExtensions.minhashSignature)
+        GraftExtensions.minhashSignature, GraftExtensions.simhashSignature)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -27,6 +27,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val mh = spark.sql("SELECT minhash_signature(word_shingles('a b c d e f')) AS m")
       .head.getSeq[Long](0)
     assert(mh.length == 9 && mh.forall(v => v >= 0 && v < GraftExtensions.DefaultModulus))
+
+    val sim = spark.sql("SELECT simhash_signature(array('tok1', 'tok2')) AS s")
+      .head.getString(0)
+    assert(sim.length == 32 && sim.forall(c => c == '0' || c == '1'))
   }
 
   test("wrong arity raises an analysis error, not MatchError") {
