@@ -109,5 +109,19 @@ object EventsCatalog {
             || col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
         .withColumn("session_id", sum(col("is_new")).over(running))
         .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+    },
+
+    // ---- E5: stream-static enrichment join ---------------------------------
+    QueryDef(
+      "e5_stream_static_enrich",
+      "Streaming analog (EventStreams.enrichWithCustomers): enrich every event with the customer dimension via a broadcast stream-static left join — stateless, no watermark, dimension refresh picked up per micro-batch",
+      Some("""
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+      """)) { (spark, dir) =>
+      graft.streaming.EventStreams.enrichWithCustomers(
+        Tables.events(spark, dir), Tables.customer(spark, dir))
     })
 }

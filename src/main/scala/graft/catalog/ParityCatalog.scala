@@ -210,6 +210,31 @@ object ParityCatalog {
           col("orderdate"), col("o_orderpriority"))
     },
 
+    // ---- Q6: forecasting revenue change (TPC-H Q6 shape) -------------------
+    QueryDef(
+      "q6_forecast_revenue",
+      "TPC-H Q6 shape: tight-filter single aggregate — every predicate (date range, discount band, quantity cap) must reach the parquet scan as a pushed filter; the plan is one pruned scan + one partial-agg exchange of a single row",
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """)) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- F1: the §2.9 scalar-function surface in one projection -----------
     QueryDef(
       "f1_scalar_functions",

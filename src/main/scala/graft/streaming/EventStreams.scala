@@ -84,6 +84,23 @@ object EventStreams {
   def appendOnlyByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: attach dimension attributes to every
+    * event as it arrives — the standard "enrich the stream with the
+    * customer table" shape. STATELESS: the static side is broadcast into
+    * each micro-batch (no watermark, no join state to evict), and for a
+    * file-backed dimension Spark re-plans the static side per batch, so a
+    * refreshed dimension snapshot is picked up without restarting the
+    * query. Left-outer: an event with no matching dimension row flows
+    * through with a null segment rather than being dropped. Batch twin:
+    * `e5_stream_static_enrich`. */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(
+          customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's purchases within the preceding `maxLagSeconds` (the
     * streaming analog of the batch as-of/range lookup in

@@ -96,4 +96,29 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == Set((5L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("enrichWithCustomers broadcasts the static dim into each micro-batch, left-outer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrichWithCustomers(events, customers)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+        (2L, ts("2024-01-01 10:01:00"), 9L, "view", 0.0)) // no dim row → null
+      q.processAllAvailable()
+      input.addData( // second micro-batch re-joins the static side
+        (3L, ts("2024-01-01 10:02:00"), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      assert(got == Map(1L -> Some("BUILDING"), 2L -> None, 3L -> Some("MACHINERY")))
+    } finally q.stop()
+  }
 }
