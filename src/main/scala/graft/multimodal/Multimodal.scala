@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * ImageIO cannot parse fall back to a deterministic payload-keyed fake so
   * the operators stay total over synthetic corpora (the container has no
   * real image fixtures); a production corpus would route undecodable
-  * assets to quarantine instead. The FEATURIZER remains a declared
-  * stand-in: a deterministic rolling-hash embedding in place of a vision
-  * encoder (the model weights aren't in this container). `mapPartitions`
-  * (not a per-row UDF) is deliberate: real codecs amortize model/codec
-  * init per partition, exactly like a Pandas-UDF batch would.
+  * assets to quarantine instead. FEATURIZE is likewise real for decodable
+  * images — an aHash-family average-pooled luminance grid (visually
+  * similar images are cosine-near) — with the rolling-hash fold only as
+  * the undecodable-payload fallback; a learned vision encoder would slot
+  * into the same signature (the model weights aren't in this container).
+  * `mapPartitions` (not a per-row UDF) is deliberate: real codecs
+  * amortize model/codec init per partition, exactly like a Pandas-UDF
+  * batch would.
   */
 object Multimodal {
 
@@ -58,12 +61,57 @@ object Multimodal {
         DecodedImage(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024), 3)
       }
     }
-    /** Deterministic fixed-dim "embedding" of the payload: a rolling hash
-      * folded into `dim` float buckets — stands in for a vision encoder.
-      * Null payloads embed as the zero vector (schema allows them; a real
-      * codec would likewise need a missing-payload policy). */
+    /** Fixed-dim embedding of the payload. For payloads that DECODE as
+      * images this is a REAL feature vector: the image average-pooled onto
+      * a `rows×cols ≈ dim` grid of mean luminances in [0,1] — the classic
+      * aHash/pHash-family thumbnail feature (visually similar images land
+      * near each other in cosine space), pure JDK. Undecodable payloads
+      * fall back to the deterministic rolling-hash fold so the operator
+      * stays total over synthetic corpora; null payloads embed as the zero
+      * vector (a real pipeline likewise needs a missing-payload policy). */
     def featurize(payload0: Array[Byte], dim: Int): Array[Float] = {
       val payload = if (payload0 == null) Array.emptyByteArray else payload0
+      val img =
+        if (payload.isEmpty) None
+        else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      img.map(pooledLuminance(_, dim)).getOrElse(hashFold(payload, dim))
+    }
+
+    /** Mean luminance (ITU-R BT.601 weights) per cell of a rows×cols grid,
+      * rows = floor(sqrt(dim)), cols = dim/rows; trailing dims stay 0. */
+    private def pooledLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val cols = math.max(1, dim / rows)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var r = 0
+      while (r < rows) {
+        val y0 = r * h / rows; val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+        var c = 0
+        while (c < cols) {
+          val x0 = c * w / cols; val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(r * cols + c) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    private def hashFold(payload: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Float](dim)
       var h = 1125899906842597L
       var i = 0

@@ -68,6 +68,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 200, 80, 3), (2L, 33, 47, 4))) // ARGB carries alpha
   }
 
+  test("featurize of a real image is the pooled-luminance grid, not a hash") {
+    // 64x64 PNG: left half black, right half white → on the 8x8 grid the
+    // left 4 columns pool to ~0 luminance and the right 4 to ~1
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 32 until 64) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(Row(1L, "image", "image/png", bos.toByteArray,
+      Row(null, null, null, null)))
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val emb = Multimodal.featurize(df, dim = 64).head.getSeq[Float](1)
+    assert(emb.size == 64)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val v = emb(r * 8 + c)
+      if (c < 4) assert(v < 0.1f, s"cell ($r,$c)=$v should be dark")
+      else assert(v > 0.9f, s"cell ($r,$c)=$v should be bright")
+    }
+  }
+
   test("withResizeTarget computes true target geometry from real bytes") {
     val r = Multimodal.withResizeTarget(realAssets, maxEdge = 100)
       .filter(col("asset_id") === 1L).head
