@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession builder preconfigured the way every
+  * graft deployment should start, so `GraftSession.builder("app")
+  * .master(...).getOrCreate()` is the one-liner between "cluster" and
+  * "running the catalog".
+  *
+  * What it pins, and why:
+  *  - `spark.sql.extensions` → [[graft.functions.GraftExtensions]]: the
+  *    native expressions (`float_vector_dot`, `word_shingles`,
+  *    `minhash_signature`, `simhash_signature`) become SQL functions for
+  *    pure-SQL clients, not only the Column API.
+  *  - `spark.sql.session.timeZone=UTC`: every oracle-checked operator in
+  *    this library derives timestamps tz-independently; pinning the
+  *    session zone removes the one remaining way a deployment could skew
+  *    date_trunc/window boundaries between clusters.
+  *  - `spark.sql.adaptive.skewJoin.enabled=true` (explicit, though
+  *    default-on in Spark 4): AQE skew splitting is the first line of
+  *    defense for hot keys; `operators/Skew` is for the cases it can't
+  *    fix.
+  *  - `spark.sql.parquet.compression.codec=zstd`: at 100 TB the scan is
+  *    IO-bound; zstd trades a little CPU for materially smaller files
+  *    than the default snappy.
+  *  - `spark.sql.shuffle.partitions`: caller-sized (default 200) — size
+  *    it so a partition of your largest shuffle fits executor memory;
+  *    AQE coalesces the small ones back down at runtime.
+  */
+object GraftSession {
+
+  /** The configuration contract, exposed for inspection/tests. */
+  def configs(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString)
+
+  def builder(appName: String, shufflePartitions: Int = 200): SparkSession.Builder = {
+    require(shufflePartitions > 0, "shufflePartitions must be positive")
+    configs(shufflePartitions).foldLeft(
+      SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+  }
+}
