@@ -140,14 +140,16 @@ object SimilarityCatalog {
                CAST(list_min(embedding) AS DOUBLE) AS qmin,
                CAST(list_max(embedding) AS DOUBLE) AS qmax,
                CASE WHEN list_max(embedding) = list_min(embedding) THEN 0.0
-                    ELSE list_sum(list_transform(embedding, x ->
-                      power(CAST(x AS DOUBLE)
-                        - (CAST(list_min(embedding) AS DOUBLE)
-                           + floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
-                                   / ((CAST(list_max(embedding) AS DOUBLE)
-                                       - CAST(list_min(embedding) AS DOUBLE)) / 255.0) + 0.5)
-                             * ((CAST(list_max(embedding) AS DOUBLE)
-                                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0)), 2)))
+                    ELSE list_sum(list_transform(
+                      list_transform(embedding, x ->
+                        CAST(x AS DOUBLE)
+                          - (CAST(list_min(embedding) AS DOUBLE)
+                             + floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                                     / ((CAST(list_max(embedding) AS DOUBLE)
+                                         - CAST(list_min(embedding) AS DOUBLE)) / 255.0) + 0.5)
+                               * ((CAST(list_max(embedding) AS DOUBLE)
+                                   - CAST(list_min(embedding) AS DOUBLE)) / 255.0))),
+                      d -> d * d))
                       / len(embedding)
                END AS mse
         FROM embeddings
@@ -156,10 +158,14 @@ object SimilarityCatalog {
       val qmin = array_min(emb).cast("double")
       val qmax = array_max(emb).cast("double")
       val scale = (qmax - qmin) / 255.0
+      // d*d, never pow(d,2): Math.pow and DuckDB's pow can disagree in the
+      // last ulp (observed on exactly one sf0.1 vector); multiplication of
+      // identical doubles cannot
       val err2 = aggregate(emb, lit(0.0), (acc, e) => {
         val xd = e.cast("double")
         val recon = qmin + floor((xd - qmin) / scale + 0.5) * scale
-        acc + pow(xd - recon, 2)
+        val d = xd - recon
+        acc + d * d
       })
       Tables.embeddings(spark, dir).select(
         col("vec_id"),
