@@ -261,6 +261,38 @@ object DedupCatalog {
           col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
     },
 
+    // ---- D7: benchmark decontamination -------------------------------------
+    // The eval-set overlap check every pretraining pipeline runs: flag
+    // training documents sharing >= 3 distinct word-3-gram shingles with
+    // ANY evaluation document (here the eval set is the doc_id < 25 slice
+    // of the corpus — at production scale it is a benchmark suite, tiny by
+    // definition, so its distinct-shingle set BROADCASTS and the check is
+    // a map-side semi-join over the training scan: no shuffle of the big
+    // side, no pair blowup).
+    QueryDef(
+      "d7_decontamination",
+      "North-star dedup: train-vs-eval n-gram contamination — training docs sharing >=3 distinct 3-gram shingles with the (broadcastable) eval set, with the shared count",
+      Some(s"""
+        WITH $shinglesSql,
+        shh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        eval_sh AS (SELECT DISTINCT h FROM shh WHERE doc_id < 25)
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM shh t JOIN eval_sh e ON t.h = e.h
+        WHERE t.doc_id >= 25
+        GROUP BY t.doc_id
+        HAVING COUNT(*) >= 3
+      """)) { (spark, dir) =>
+      val sh = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+      val evalSh = sh.filter(col("doc_id") < 25).select(col("h")).distinct()
+      sh.filter(col("doc_id") >= 25)
+        .join(broadcast(evalSh), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    },
+
     // ---- D6: canonical selection — keep the best doc per dup cluster ------
     // d1 answers "which docs are duplicates"; the pipeline's next question
     // is "which ONE do we keep". Rank each exact-dup cluster by the t2

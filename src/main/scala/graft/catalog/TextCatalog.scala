@@ -177,6 +177,36 @@ object TextCatalog {
             EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>"),
             Ipv4Re, "<IP>").as("scrubbed"))
+    },
+
+    // ---- T6: repetition scoring --------------------------------------------
+    QueryDef(
+      "t6_repetition",
+      "North-star text analysis: intra-document repetition ratio — 1 − distinct/total word-3-gram windows (the boilerplate/spam signal pretraining filters threshold on); map-only, shuffle-free",
+      Some("""
+        SELECT doc_id,
+               n_windows,
+               CASE WHEN n_windows > 0
+                    THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                    ELSE 0.0 END AS dup_ratio
+        FROM (
+          SELECT doc_id,
+                 greatest(len(toks) - 2, 0) AS n_windows,
+                 len(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+      """)) { (spark, dir) =>
+      val nWindows = greatest(size(split(lower(col("text")), " ")) - 2, lit(0))
+      val nDistinct = size(graft.functions.WordShingles(col("text"), 3))
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        nWindows.as("n_windows"),
+        // WordShingles returns null (size -1) for <3-token docs — the
+        // n_windows=0 branch makes that irrelevant on both engines
+        when(nWindows > 0,
+          lit(1.0) - nDistinct.cast("double") / nWindows.cast("double"))
+          .otherwise(0.0).as("dup_ratio"))
     })
 
 }
