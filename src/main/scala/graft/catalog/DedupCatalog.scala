@@ -34,8 +34,9 @@ object DedupCatalog {
     * shingle/band/chunk shared by more than this many docs is boilerplate —
     * it carries no dedup signal and would otherwise concentrate an O(n²)
     * expansion (and an unbounded collect_list buffer) on one reducer.
-    * Enforced two-phase by [[graft.operators.Dedup.boundedDocLists]];
-    * mirrored in each oracle as `HAVING COUNT(*) BETWEEN 2 AND cap`. */
+    * Enforced pre-collect (windowed count, filter, THEN collect_list) by
+    * [[graft.operators.Dedup.boundedDocLists]]; mirrored in each oracle
+    * as `HAVING COUNT(*) BETWEEN 2 AND cap`. */
   private val MaxBucket = graft.operators.Dedup.DefaultMaxBucket
 
   /** First 15 md5 hex chars of a string as a positive BIGINT (< 2^60) —

@@ -202,8 +202,8 @@ object TextCatalog {
       Tables.documents(spark, dir).select(
         col("doc_id"),
         nWindows.as("n_windows"),
-        // WordShingles returns null (size -1) for <3-token docs — the
-        // n_windows=0 branch makes that irrelevant on both engines
+        // WordShingles returns an EMPTY array for <3-token docs (null only
+        // for null input) — the n_windows=0 branch covers that case anyway
         when(nWindows > 0,
           lit(1.0) - nDistinct.cast("double") / nWindows.cast("double"))
           .otherwise(0.0).as("dup_ratio"))

@@ -61,7 +61,11 @@ object BackupSchedule {
 
   private def parse(cron: String): Option[Parsed] = {
     val parts = cron.trim.split("\\s+")
-    if (parts.length < 5) return None // reference warns and keeps no job
+    // <5 fields: reference warns and keeps no job. >5 fields: the
+    // reference reads parts[0..4] and IGNORES the rest — a pasted 6-field
+    // seconds-style cron is silently reinterpreted. Inherited deliberately
+    // (this module's charter is reference parity), documented here.
+    if (parts.length < 5) return None
     for {
       mi <- fieldValues(parts(0), 0, 59)
       h <- fieldValues(parts(1), 0, 23)

@@ -50,12 +50,17 @@ object Multimodal {
     * >= 64 so they cannot be mistaken for a tiny real image. */
   object Codec {
     def decodeImage(payload: Array[Byte]): DecodedImage = {
+      // NonFatal, not just IOException: JDK decoders throw RuntimeExceptions
+      // (ArrayIndexOutOfBounds, CMMException, …) on payloads whose header a
+      // reader claims but whose body is garbage — exactly the undecodable
+      // case the fallback exists for; an escaping exception would kill the
+      // task instead of routing the row to the fallback
       val real =
         if (payload == null || payload.isEmpty) None
         else try {
           Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
             .map(img => DecodedImage(img.getWidth, img.getHeight, img.getRaster.getNumBands))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       real.getOrElse {
         val h = java.util.Arrays.hashCode(payload)
         DecodedImage(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024), 3)
@@ -74,7 +79,7 @@ object Multimodal {
       val img =
         if (payload.isEmpty) None
         else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None } // see decodeImage
       img.map(pooledLuminance(_, dim)).getOrElse(hashFold(payload, dim))
     }
 

@@ -30,9 +30,13 @@ object AsOfJoin {
 
   /** Internal column names used by the tagged-union shape; inputs must not
     * collide with them (checked — a caller column literally named `_ts`
-    * would otherwise silently corrupt the window result). */
+    * would otherwise silently corrupt the window result). `_payb`/`_payf`
+    * are only created by `nearest`, but they are reserved for every
+    * direction: rejecting a rare column name beats direction-dependent
+    * corruption semantics. */
   private def reserved(rightOrderN: Int): Seq[String] =
-    Seq("_ts", "_tag", "_pay") ++ (0 until rightOrderN).map(i => s"_ro$i")
+    Seq("_ts", "_tag", "_pay", "_payb", "_payf") ++
+      (0 until rightOrderN).map(i => s"_ro$i")
 
   def backward(
       left: DataFrame,

@@ -23,14 +23,14 @@ object Dedup {
   val DefaultMaxBucket = 64
 
   /** Per-key sorted candidate lists with a hard size bound: only keys whose
-    * document frequency is in [2, cap] survive, and the bound is enforced
-    * two-phase so no aggregation buffer ever exceeds `cap` elements:
-    *
-    *  1. `groupBy(keys).count` — constant-size sum buffers, map-side
-    *     combined, safe at any frequency;
-    *  2. join the kept keys back (both sides hash-partitioned on `keys`,
-    *     and the following groupBy reuses that partitioning — no third
-    *     shuffle), THEN `collect_list` — provably ≤ cap per buffer.
+    * document frequency is in [2, cap] survive, and the frequency filter
+    * runs BEFORE the list aggregate, so no `collect_list` buffer can ever
+    * exceed `cap` elements. One shuffle on the keys: a windowed per-key
+    * count over that exchange, the [2, cap] filter, then the groupBy
+    * (which reuses the same partitioning) collects the surviving lists.
+    * At extreme skew the window's own buffer is WindowExec's spill-backed
+    * row array — a multi-million-doc boilerplate key costs disk and time,
+    * never heap.
     *
     * Result: one row per kept key with `payload` values sorted ascending in
     * `docs`. Equal to the naive collect-then-filter for every key at or
