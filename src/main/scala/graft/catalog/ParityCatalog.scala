@@ -210,6 +210,46 @@ object ParityCatalog {
           col("orderdate"), col("o_orderpriority"))
     },
 
+    // ---- Q5: local-supplier volume (TPC-H Q5 shape) ------------------------
+    QueryDef(
+      "q5_local_supplier",
+      "TPC-H Q5 shape: six-table star join (region→nation→customer/supplier→orders→lineitem) with the local-supplier condition — Catalyst picks the join order and broadcasts every dimension; the fact table shuffles once, for the final aggregate",
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+      """)) { (spark, dir) =>
+      val D = "decimal(18,2)"
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey")) // local supplier
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- Q6: forecasting revenue change (TPC-H Q6 shape) -------------------
     QueryDef(
       "q6_forecast_revenue",
