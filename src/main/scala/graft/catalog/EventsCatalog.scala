@@ -111,6 +111,31 @@ object EventsCatalog {
         .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
     },
 
+    // ---- E6: sliding-window aggregation ------------------------------------
+    // Spark's window(ts, '1 hour', '15 minutes') is epoch-aligned, so each
+    // event belongs to exactly the 4 windows whose starts are
+    // floor15(ts) − k·15min, k = 0..3. The oracle reproduces those starts
+    // tz-independently: epoch_us of the NTZ timestamp, integer-floored to
+    // the slide, back through make_timestamp (micros, tz-free — the
+    // round-2 lesson: to_timestamp would yield TIMESTAMPTZ).
+    QueryDef(
+      "e6_sliding_window",
+      "Streaming analog (EventStreams.slidingCounts): 1-hour windows sliding every 15 min — each event in 4 overlapping windows; batch twin of the watermarked sliding aggregate",
+      Some("""
+        SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000
+                              - k * 900000000) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events, unnest(range(0, 4)) AS t(k)
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"))
+    },
+
     // ---- E5: stream-static enrichment join ---------------------------------
     QueryDef(
       "e5_stream_static_enrich",

@@ -271,6 +271,34 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- A14: IQR outlier fence --------------------------------------------
+    QueryDef(
+      "a14_outlier_fence",
+      "Per-group quartiles + Tukey outlier count: exact interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same type-7 formula — probe-verified bit-identical) joined back over the broadcastable per-group stats; k2's sketch is the approximate scale path for when the exact per-group sort is too dear",
+      Some("""
+        WITH q AS (
+          SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.25) AS p25,
+                 quantile_cont(o_totalprice, 0.50) AS p50,
+                 quantile_cont(o_totalprice, 0.75) AS p75
+          FROM orders GROUP BY 1)
+        SELECT q.o_orderpriority, p25, p50, p75,
+               CAST(SUM(CASE WHEN o_totalprice > p75 + 1.5 * (p75 - p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM orders o JOIN q USING (o_orderpriority)
+        GROUP BY 1, 2, 3, 4
+      """)) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val q = o.groupBy(col("o_orderpriority")).agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.50)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      o.join(broadcast(q), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("p25"), col("p50"), col("p75"))
+        .agg(sum(when(col("o_totalprice") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
+          .otherwise(0)).as("n_outliers"))
+    },
+
     // ---- X3: large-large interval overlap join ----------------------------
     QueryDef(
       "x3_interval_overlap_join",

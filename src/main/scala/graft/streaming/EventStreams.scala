@@ -30,6 +30,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming twin of e6: 1-hour windows sliding every 15 minutes —
+    * each event lands in 4 overlapping windows (trend smoothing without
+    * waiting a full hour for the next point). Same watermark/state story
+    * as [[tumblingCounts]], ×4 open-window state. */
+  def slidingCounts(
+      events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)

@@ -97,6 +97,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts places each event in its 4 overlapping hour windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.slidingCounts(events)
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:31:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(starts == Set( // 10:31 falls in windows starting 09:45..10:30
+        ("2024-01-01 09:45:00.0", 1L), ("2024-01-01 10:00:00.0", 1L),
+        ("2024-01-01 10:15:00.0", 1L), ("2024-01-01 10:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("enrichWithCustomers broadcasts the static dim into each micro-batch, left-outer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
