@@ -15,6 +15,21 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
+  /** Read a CSV seed under its declared schema (S4, the dbt-seed ingestion
+    * path: `dbt_project.yml:6-16`): header row, explicit schema — never
+    * inferSchema, which would scan twice and type-drift between runs.
+    * FAILFAST: a malformed seed row is a config error to surface, not a
+    * null to propagate silently into the mapping joins. */
+  def readSeedCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: StructType): org.apache.spark.sql.DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .csv(path)
+
   /** Raw SimpleFIN extract — `public.simplefin` (`init_db.py:91-131`). */
   val simplefinRaw: StructType = StructType(Seq(
     StructField("transaction_id", StringType),
