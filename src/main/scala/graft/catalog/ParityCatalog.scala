@@ -250,6 +250,60 @@ object ParityCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- J10: EXISTS semi-join (TPC-H Q4 shape) ----------------------------
+    QueryDef(
+      "j10_exists_semi",
+      "TPC-H Q4 shape: orders with at least one heavy lineitem, counted per priority — EXISTS compiles to a LEFT SEMI join, which stops probing a key at its first match and never duplicates the left side (the correctness trap a plain inner join + distinct would re-fix at shuffle cost)",
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+      """)) { (spark, dir) =>
+      val heavy = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // ---- F3: set operators -------------------------------------------------
+    QueryDef(
+      "f3_set_ops",
+      "INTERSECT / EXCEPT surface: nations supplying both heavy and light parts vs only heavy — set semantics (implicit distinct) on both engines; Spark plans these as aggregated semi/anti joins",
+      Some("""
+        SELECT nat, 'both' AS side FROM (
+          SELECT s_nationkey AS nat FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          WHERE l_quantity > 45
+          INTERSECT
+          SELECT s_nationkey AS nat FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          WHERE l_quantity < 5)
+        UNION ALL
+        SELECT nat, 'heavy_only' AS side FROM (
+          SELECT s_nationkey AS nat FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          WHERE l_quantity > 45
+          EXCEPT
+          SELECT s_nationkey AS nat FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          WHERE l_quantity < 5)
+      """)) { (spark, dir) =>
+      def nations(pred: org.apache.spark.sql.Column) =
+        Tables.supplier(spark, dir)
+          .join(Tables.lineitem(spark, dir).filter(pred),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_nationkey").as("nat"))
+      val heavy = nations(col("l_quantity") > 45)
+      val light = nations(col("l_quantity") < 5)
+      heavy.intersect(light).withColumn("side", lit("both"))
+        .unionByName(heavy.except(light).withColumn("side", lit("heavy_only")))
+    },
+
     // ---- Q6: forecasting revenue change (TPC-H Q6 shape) -------------------
     QueryDef(
       "q6_forecast_revenue",
