@@ -405,7 +405,14 @@ object ExtensionCatalog {
       "k3_hll_mergeable",
       "Mergeable-sketch pattern (Apache DataSketches HLL via Spark 4 builtins): per-(flag,status) partial sketches union-merged up to per-flag estimates — the reaggregation shape that lets 100 TB cardinality roll up without re-scanning; rows-only (sketch internals differ across engines), exact twin column bounds the error in-row",
       None) { (spark, dir) =>
+      // 3-column project THEN fan out: the fixture scan is one task
+      // (single row group), which would build every partial sketch on one
+      // core; repartitioning the narrow projection spreads the CPU-heavy
+      // sketch updates across the cluster — the same layout-decoupling
+      // trick as Tables.documentsFanned
       val partials = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
           count_distinct(col("l_partkey")).as("exact_within_group"))
