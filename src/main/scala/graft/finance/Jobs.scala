@@ -31,6 +31,28 @@ final class Jobs(spark: SparkSession, store: TableStore) {
     if (store.exists(table)) store.read(table)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Head of `z_a_rebuild_historic_data` (the dbt seed refresh,
+    * `dbt_project.yml:6-16`): re-load every seed CSV present in `seedDir`
+    * into its warehouse table through the declared schema via
+    * [[Schemas.readSeedCsv]] (FAILFAST — a malformed seed surfaces here,
+    * not as nulls in the mapping joins downstream). Missing files are
+    * skipped: deployments may manage only a subset as CSVs. Returns the
+    * refreshed table names. */
+  def rebuildSeeds(seedDir: String): Seq[String] = {
+    val seeds = Seq(
+      "historic_transactions" -> Schemas.historicRaw,
+      "seed_account_mapping_simplefin" -> Schemas.accountMappingSimplefin,
+      "seed_account_mapping_historic" -> Schemas.accountMappingHistoric,
+      "seed_transaction_exclusions" -> Schemas.transactionExclusions)
+    seeds.flatMap { case (table, schema) =>
+      val f = new java.io.File(seedDir, s"$table.csv")
+      if (f.isFile) {
+        store.overwrite(table, Schemas.readSeedCsv(spark, f.toString, schema))
+        Some(table)
+      } else None
+    }
+  }
+
   /** `3_run_all_dbt_models` — recompute the full transform DAG. Set
     * `fullRefreshValidated` for the `z_b`/`5_` full-refresh variants. */
   def runAllModels(fullRefreshValidated: Boolean = false): Unit = {

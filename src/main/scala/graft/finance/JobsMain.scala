@@ -76,7 +76,15 @@ object JobsMain {
         jobs.runAllModels()
       case "z_b_full_refresh_validated_trxns" =>
         jobs.runAllModels(fullRefreshValidated = true)
-      case "z_a_rebuild_historic_data" | "5_full_refresh_validated_retrain_repredict" =>
+      case "z_a_rebuild_historic_data" =>
+        // seed refresh head: re-load CSV seeds when a seed dir is supplied
+        // (the reference's dbt-seed step), then full-refresh + retrain
+        sys.env.get("GRAFT_SEED_DIR").foreach { d =>
+          val refreshed = jobs.rebuildSeeds(d)
+          System.err.println(s"[seeds] refreshed: ${refreshed.mkString(", ")}")
+        }
+        jobs.runAllModels(fullRefreshValidated = true); trainAndPredict()
+      case "5_full_refresh_validated_retrain_repredict" =>
         jobs.runAllModels(fullRefreshValidated = true); trainAndPredict()
       case other =>
         throw new IllegalArgumentException(s"unknown job: $other")

@@ -8,8 +8,16 @@ import java.nio.file.Files
   * gap with round-trip evidence instead of createDataFrame stand-ins). */
 class SchemasSpec extends SparkSpec {
 
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach(d => graft.finance.ops.FileTrees.delete(d))
+    super.afterAll()
+  }
+
   private def writeTemp(name: String, content: String): String = {
     val dir = Files.createTempDirectory("graft-seed")
+    tempDirs += dir
     val f = dir.resolve(name)
     Files.writeString(f, content)
     f.toString
@@ -42,6 +50,28 @@ class SchemasSpec extends SparkSpec {
     assert(rows(0).getAs[String]("amount") == "-42.50")
     assert(rows(0).getAs[String]("description") == "Coffee, beans and more")
     assert(rows(1).getAs[String]("additional_account_detail") == "sub1")
+  }
+
+  test("rebuildSeeds refreshes exactly the seed tables whose CSVs exist") {
+    val seedDir = Files.createTempDirectory("graft-seeds")
+    tempDirs += seedDir
+    Files.writeString(seedDir.resolve("seed_transaction_exclusions.csv"),
+      "pattern\n%TRANSFER%\n")
+    Files.writeString(seedDir.resolve("seed_account_mapping_simplefin.csv"),
+      "account_name,account_id,mapped_account_name\nChk (1234),,Checking\n")
+    val whDir = Files.createTempDirectory("graft-wh-seeds")
+    tempDirs += whDir
+    val store = new TableStore(spark, whDir.toString)
+    val jobs = new Jobs(spark, store)
+
+    val refreshed = jobs.rebuildSeeds(seedDir.toString)
+    assert(refreshed.sorted ==
+      Seq("seed_account_mapping_simplefin", "seed_transaction_exclusions"))
+    assert(store.read("seed_transaction_exclusions")
+      .collect().map(_.getString(0)).toSeq == Seq("%TRANSFER%"))
+    assert(store.read("seed_account_mapping_simplefin")
+      .head.getAs[String]("mapped_account_name") == "Checking")
+    assert(!store.exists("historic_transactions")) // no CSV → untouched
   }
 
   test("a malformed seed row fails fast instead of nulling silently") {
