@@ -117,6 +117,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling aggregation state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // foreachBatch, not the memory sink — the memory sink refuses
+    // checkpoint recovery; this is also the shape a real upsert sink takes
+    val latest = new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+    def start() = EventStreams.tumblingCounts(events)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("window_start", "event_type", "n_events").collect().foreach { r =>
+          latest.put((r.getTimestamp(0).toString, r.getString(1)), r.getLong(2))
+        }
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(latest.get(("2024-01-01 10:00:00.0", "click")) == 1L)
+
+    // restart against the SAME checkpoint: the open window's state must be
+    // recovered, so the next event lands in the same (window, type) group
+    val q2 = start()
+    try {
+      input.addData((2L, ts("2024-01-01 10:40:00"), 1L, "click", 2.0))
+      q2.processAllAvailable()
+      // count 2 proves the pre-restart event was recovered from the
+      // checkpointed state store, not lost with the first query
+      assert(latest.get(("2024-01-01 10:00:00.0", "click")) == 2L,
+        s"state not recovered: $latest")
+    } finally {
+      q2.stop()
+      graft.finance.ops.FileTrees.delete(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
   test("enrichWithCustomers broadcasts the static dim into each micro-batch, left-outer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
