@@ -102,7 +102,22 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sumSec = results.valuesIterator.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}""")
+    val failures = results.valuesIterator.count(_ < 0)
+    // Self-evidencing record (round-3 lesson: the driver's tail capture
+    // truncated the single long JSON line and lost "value"). Three redundant
+    // forms: (1) a compact summary line FIRST that no tail capture can
+    // truncate, (2) the full one-line contract JSON, (3) the same full JSON
+    // persisted to a file next to the repo artifacts.
+    val summary =
+      s"""{"metric":"total","value":$wall,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
+    val full =
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
+    println(summary)
+    println(full)
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out, (summary + "\n" + full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}") }
     spark.stop()
   }
 }
