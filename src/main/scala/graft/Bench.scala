@@ -90,7 +90,14 @@ object Bench {
     // Fixed alphabetical base order: per-query numbers stay comparable
     // across rounds (Map iteration order shifts whenever the catalog
     // changes).
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 — targeted local timing runs
+    // (never set by the driver; the contract run covers the full catalog).
+    val onlyFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet) match {
+        case Some(names) => names.contains(_)
+        case None        => _ => true
+      }
+    val queries = SparkEntry.queries.toSeq.filter(e => onlyFilter(e._1)).sortBy(_._1)
     val warmTimes: Map[String, Double] =
       if (warmup) runAll(queries, warmDir) else Map.empty
     val order = queries.sortBy { case (n, _) => (-warmTimes.getOrElse(n, 0.0), n) }
@@ -104,9 +111,12 @@ object Bench {
     val sumSec = results.valuesIterator.filter(_ >= 0).sum
     val failures = results.valuesIterator.count(_ < 0)
     // Self-evidencing record (round-3 lesson: the driver's tail capture
-    // truncated the single long JSON line and lost "value"). Three redundant
-    // forms: (1) a compact summary line FIRST that no tail capture can
-    // truncate, (2) the full one-line contract JSON, (3) the same full JSON
+    // truncated the single long JSON line and lost "value"; round-4 lesson:
+    // the tail window is SMALLER than the query-map line, so a summary
+    // printed only FIRST is cut off too). Redundant forms: (1) a compact
+    // summary line first, (2) the full one-line contract JSON, (3) the same
+    // compact summary AGAIN as the very last line — a tail capture of any
+    // size ends with a complete parseable record — and (4) the full JSON
     // persisted to a file next to the repo artifacts.
     val summary =
       s"""{"metric":"total","value":$wall,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
@@ -114,6 +124,7 @@ object Bench {
       s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
     println(summary)
     println(full)
+    println(summary)
     try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out, (summary + "\n" + full + "\n").getBytes("UTF-8"))

@@ -175,40 +175,70 @@ object DedupCatalog {
         JOIN cnt c2 ON doc2 = c2.doc_id
         WHERE shared * 1.0 / (c1.n + c2.n - shared) >= 0.5
       """)) { (spark, dir) =>
-      val sh = Tables.documentsFanned(spark, dir)
-        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-        .select(col("doc_id"), shingleHash(col("shingle")).as("shingle"))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // Pair generation: per-shingle sorted doc list, pairs expanded inside
-      // one array expression — replaces the sort-merge self-join (same 1.3M
-      // pairs, one fewer shuffle+sort of the exploded shingle table). The
-      // pair is packed into ONE long (doc ids fit 32 bits by corpus
-      // contract) so the 1.3M-row count shuffle moves an 8-byte key
-      // instead of a 16-byte struct and groups on a primitive.
+      // ONE evaluation of the shingle pipeline: hash every shingle inside
+      // the per-doc array (transform, codegen'd), so the per-doc size |A|
+      // comes for free as size(hs) — the previous shape fed an exploded
+      // (doc, h) stream into TWO branches (a per-doc count aggregate and
+      // the bucket build), which Spark evaluates twice, then paid two joins
+      // to stitch the counts back on at the end.
+      //
+      // The hash here is a PRIVATE grouping key — no hash value reaches the
+      // output (doc ids + jaccard only), so unlike d2's minhash base it
+      // does not need to be cross-engine reproducible. xxhash64 (native,
+      // codegen'd, ~ns/shingle) replaces the md5+hex-conv path, which
+      // profiling showed was ~40% of the whole query. Engines can disagree
+      // only if a 64-bit collision merges two distinct shingles
+      // (birthday bound ~1e-9 at 260k shingles/SF — and the md5 path
+      // carried its own 2^-60 collision term anyway).
+      val docSh = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"),
+          transform(shingles(col("text")), s => xxhash64(s)).as("hs"))
+        .filter(size(col("hs")) > 0)
+      // Each bucket member is doc_id and |doc| packed into ONE long
+      // (doc_id<<24 | n): doc ids fit 32 bits by corpus contract, and
+      // 2^24 distinct 3-gram shingles implies a >100 MB document — far
+      // past the engine's document envelope. n is a function of doc_id, so
+      // array_sort on packed values keeps the same doc_id ordering (and
+      // pair orientation) as before.
+      val packed = docSh.select(
+        explode(col("hs")).as("shingle"),
+        (shiftleft(col("doc_id").cast("long"), 24) + size(col("hs"))).as("dn"))
       // boundedDocLists drops shingles shared by >MaxBucket docs before any
       // list is collected (hot-shingle OOM guard). Recall contract: such
       // shingles are boilerplate and contribute to NO pair's intersection;
-      // per-doc counts `n` still count them, so a pair sharing mostly
+      // per-doc sizes `n` still count them, so a pair sharing mostly
       // boilerplate (correctly) cannot reach the 0.5 threshold.
       val docLists = graft.operators.Dedup.boundedDocLists(
-        sh, Seq("shingle"), col("doc_id"), MaxBucket)
+        packed, Seq("shingle"), col("dn"), MaxBucket)
+      // Pair expansion inside one array expression; the pair key is packed
+      // into ONE long (doc1<<32 | doc2) so the intersection count shuffles
+      // an 8-byte primitive, with both doc sizes riding along — min() of a
+      // per-key constant, no join anywhere in the plan. The size-ratio
+      // prune runs INSIDE the expansion, before any row exists:
+      // jaccard >= 0.5 needs 3·shared >= n1+n2 and shared <= min(n1,n2),
+      // so a pair with n1+n2 > 3·min(n1,n2) can never pass — mismatched-
+      // length pairs (most of the boilerplate-driven fan-out) are dropped
+      // pre-shuffle at the cost of one comparison.
       val pairs = docLists.select(explode(flatten(
         transform(col("docs"), (x, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))),
-            y => shiftleft(x, 32) + y)))).as("pk"))
+          filter(
+            transform(slice(col("docs"), i + 2, size(col("docs"))),
+              y => struct(
+                (shiftleft(shiftright(x, 24), 32) + shiftright(y, 24)).as("pk"),
+                x.bitwiseAND(lit(0xffffffL)).as("n1"),
+                y.bitwiseAND(lit(0xffffffL)).as("n2"))),
+            p => p("n1") + p("n2") <= lit(3) * least(p("n1"), p("n2")))))).as("p"))
+        .select(col("p.pk").as("pk"), col("p.n1").as("n1"), col("p.n2").as("n2"))
       val inter = pairs
-        .groupBy(col("pk")).agg(count(lit(1)).as("shared"))
-        .select(shiftright(col("pk"), 32).as("doc1"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("shared"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("shared"),
+          min(col("n1")).as("n1"), min(col("n2")).as("n2"))
       // shared/(n1+n2-shared): integer-exact inputs, one double division —
       // bit-identical across engines, so the 0.5 threshold cannot flap.
       val jac = col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared"))
-      // per-doc counts grow with the corpus — no broadcast hint, AQE decides
       inter
-        .join(cnt.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
-        .join(cnt.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
         .filter(jac >= 0.5)
-        .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+        .select(shiftright(col("pk"), 32).as("doc1"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), jac.as("jaccard"))
     },
 
     // ---- D4: SimHash signatures ------------------------------------------
@@ -236,9 +266,13 @@ object DedupCatalog {
         .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
       // per-bucket doc lists instead of a self-join (which would evaluate
       // the whole signature pipeline once per side) — same trick as d2,
-      // with the same MaxBucket hot-chunk ceiling
+      // with the same MaxBucket hot-chunk ceiling. The bucket member packs
+      // (doc_id, sh_int) into ONE long (both fit 32 bits: corpus contract /
+      // 32-bit signature), sorted identically to the former
+      // struct(doc_id, sh_int) ordering since doc_id takes the high bits.
       val buckets = graft.operators.Dedup.boundedDocLists(
-          chunks, Seq("c", "chunk"), struct(col("doc_id"), col("sh_int")), MaxBucket)
+          chunks, Seq("c", "chunk"),
+          shiftleft(col("doc_id"), 32) + col("sh_int"), MaxBucket)
         .withColumnRenamed("docs", "ds")
       // hamming is computed and thresholded INSIDE the pair expansion, so
       // the ~92% of candidates that fail never materialize as rows, and the
@@ -251,8 +285,9 @@ object DedupCatalog {
             filter(
               transform(slice(col("ds"), i + 2, size(col("ds"))),
                 y => struct(
-                  (shiftleft(x("doc_id"), 32) + y("doc_id")).as("pk"),
-                  bit_count(x("sh_int").bitwiseXOR(y("sh_int"))).as("hamming"))),
+                  (shiftleft(shiftright(x, 32), 32) + shiftright(y, 32)).as("pk"),
+                  bit_count((x.bitwiseXOR(y)).bitwiseAND(lit(0xffffffffL)))
+                    .as("hamming"))),
               p => p("hamming") <= 1)))).as("p"))
       // hamming is a function of the pair, so distinct on (pk, hamming)
       // equals distinct on the pair

@@ -23,14 +23,19 @@ object Dedup {
   val DefaultMaxBucket = 64
 
   /** Per-key sorted candidate lists with a hard size bound: only keys whose
-    * document frequency is in [2, cap] survive, and the frequency filter
-    * runs BEFORE the list aggregate, so no `collect_list` buffer can ever
-    * exceed `cap` elements. One shuffle on the keys: a windowed per-key
-    * count over that exchange, the [2, cap] filter, then the groupBy
-    * (which reuses the same partitioning) collects the surviving lists.
-    * At extreme skew the window's own buffer is WindowExec's spill-backed
-    * row array — a multi-million-doc boilerplate key costs disk and time,
-    * never heap.
+    * document frequency is in [2, cap] survive, enforced inside ONE hash
+    * aggregate by [[graft.functions.BoundedLongCollect]] — the aggregation
+    * buffer stores at most `cap` values per key while counting all of them,
+    * and a key past the cap degenerates to a bare counter (8 bytes of
+    * state), so no list buffer can ever exceed `cap` elements no matter how
+    * hot the key.
+    *
+    * One shuffle on the keys, and map-side partial aggregation combines
+    * hot keys BEFORE that shuffle. (Earlier formulation: a windowed per-key
+    * count over the exchange, filter, then `collect_list` — correct and
+    * spill-safe, but WindowExec buffers every row of a hot key before the
+    * filter can drop it, window has no map-side combine, and the extra
+    * window sort was ~40% of d3's runtime.)
     *
     * Result: one row per kept key with `payload` values sorted ascending in
     * `docs`. Equal to the naive collect-then-filter for every key at or
@@ -39,7 +44,8 @@ object Dedup {
     *
     * `df` must carry at most one row per (keys, document) — true for
     * shingle sets, LSH bands, and signature chunks by construction — so
-    * that the phase-1 row count IS the document frequency.
+    * that the occurrence count IS the document frequency. `payload` must be
+    * (castable to) bigint — doc ids or packed doc fields.
     */
   def boundedDocLists(
       df: DataFrame,
@@ -48,21 +54,8 @@ object Dedup {
       cap: Int = DefaultMaxBucket): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val keyCols = keys.map(col)
-    // Single-pass guard: one shuffle on the keys, a windowed per-key count,
-    // filter, THEN collect. The (possibly expensive — shingling, md5)
-    // upstream pipeline is evaluated exactly once; the count-then-semijoin
-    // alternative evaluates it once per phase (Spark cannot reuse the
-    // exchange across an aggregated branch and a probe branch). Memory at
-    // extreme skew: WindowExec buffers one key group at a time in a
-    // spill-backed row array — a multi-million-doc boilerplate key costs
-    // disk and time, never heap — and because the filter runs BEFORE the
-    // list aggregate, no collect_list buffer can ever exceed `cap`
-    // elements. The final groupBy reuses the window's partitioning (and
-    // sort), so the count is effectively free of extra exchanges.
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
-      .filter(col("_bucket_n") >= 2 && col("_bucket_n") <= cap)
-      .groupBy(keyCols: _*)
-      .agg(array_sort(collect_list(payload)).as("docs"))
+    df.groupBy(keyCols: _*)
+      .agg(graft.functions.BoundedLongCollect(payload.cast("long"), cap).as("docs"))
+      .filter(col("docs").isNotNull)
   }
 }
