@@ -91,6 +91,18 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String],
       rightOrder: Seq[Column] = Nil): DataFrame = {
+    // The distance converter below is derived from ONE type and applied to
+    // both the left `_ts` and the carried right `_rts`; with differing
+    // types (TIMESTAMP vs TIMESTAMP_NTZ, timestamp vs numeric) one side
+    // would be converted wrongly (unix_micros on an NTZ value is
+    // tz-shifted) and the nearer match silently mispicked. The union also
+    // coerces `_ts` to a common type behind the window ordering. Mixed
+    // axes have no well-defined distance — reject them up front; callers
+    // cast one side explicitly.
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"nearest() needs matching timestamp types: left $leftTs is " +
+        s"${left.schema(leftTs).dataType.catalogString}, right $rightTs is " +
+        s"${right.schema(rightTs).dataType.catalogString} — cast one side first")
     val (unioned, leftCols) =
       tagged(left, right, keys, leftTs, rightTs, payload, rightOrder, carryRightTs = true)
     val wb = directedWindow(keys, rightOrder.size, ascending = true)

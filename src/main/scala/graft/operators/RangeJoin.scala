@@ -43,9 +43,14 @@ object RangeJoin {
     // floor(col/width) exact. Beyond that (e.g. nanosecond epochs) buckets
     // would silently coarsen — fail fast instead and let the caller rescale
     // the number line (a nanosecond axis with a >=1s width loses nothing by
-    // dividing both by 1e9).
+    // dividing both by 1e9). A NULL bound is NOT an error: it yields a NULL
+    // bucket sequence and the row drops at explode, matching the pre-guard
+    // semantics (an interval with an unknown bound can overlap nothing) —
+    // the isNull branches below exist because `when(NULL < x)` would
+    // otherwise fall through to the raise_error.
     def guarded(c: String) =
-      when(abs(col(c)) < (1L << 53), col(c))
+      when(col(c).isNull, lit(null).cast("long"))
+        .when(abs(col(c)) < (1L << 53), col(c))
         .otherwise(raise_error(lit(s"$c exceeds 2^53: rescale the interval axis")))
     // A degenerate huge interval would otherwise explode into millions of
     // bucket rows on one task — fail fast with the fix in the message.
@@ -53,9 +58,11 @@ object RangeJoin {
       val bLo = floor(guarded(lo) / width)
       val bHi = floor(guarded(hi) / width)
       explode(sequence(
-        when(bHi - bLo < maxBucketsPerRow, bLo).otherwise(raise_error(lit(
-          s"interval [$lo, $hi] spans >$maxBucketsPerRow buckets: raise width " +
-            "or split the outlier interval"))),
+        when(bLo.isNull || bHi.isNull, lit(null).cast("long"))
+          .when(bHi - bLo < maxBucketsPerRow, bLo)
+          .otherwise(raise_error(lit(
+            s"interval [$lo, $hi] spans >$maxBucketsPerRow buckets: raise width " +
+              "or split the outlier interval"))),
         bHi)).as("_bucket")
     }
 

@@ -42,8 +42,17 @@ object SequencePack {
       numGroups: Int = 32): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(numGroups > 0, "numGroups must be positive")
+    // A null (or, under non-ANSI casts, uncastable) id/token count would
+    // otherwise surface as an opaque NullPointerException inside
+    // mapPartitions; the docstring's "dropping data silently is never the
+    // engine's decision" cuts both ways — bad rows fail loudly, up front.
+    def required(c: org.apache.spark.sql.Column, what: String) =
+      when(c.isNull,
+        raise_error(lit(s"SequencePack: null or uncastable $what — " +
+          "clean or filter these rows before packing"))).otherwise(c)
     val grouped = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(tokenCol).cast("int").as("tokens"))
+      .select(required(col(idCol).cast("long"), s"doc id ($idCol)").as("doc_id"),
+        required(col(tokenCol).cast("int"), s"token count ($tokenCol)").as("tokens"))
       .repartition(numGroups, pmod(xxhash64(col("doc_id")), lit(numGroups)))
       .sortWithinPartitions(col("tokens").desc, col("doc_id").asc)
     grouped.mapPartitions { rows =>

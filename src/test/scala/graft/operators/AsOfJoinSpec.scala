@@ -72,4 +72,34 @@ class AsOfJoinSpec extends SparkSpec {
     // ascending rid: the LAST row in frame order is rid=2
     assert(out == "two")
   }
+
+  test("nearest rejects mismatched left/right timestamp types up front") {
+    // advisor round-4 finding: the distance converter was derived from the
+    // LEFT timestamp type and applied to both sides — a TIMESTAMP left vs
+    // numeric right silently computed the right-side distance wrongly.
+    val left = Seq(("A", ts("2024-01-01 09:30:00"))).toDF("k", "lts")
+    val right = Seq(("A", 100L, 1.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(left, right,
+        keys = Seq("k"), leftTs = "lts", rightTs = "rts", payload = Seq("v"))
+    }
+    assert(e.getMessage.contains("matching timestamp types"))
+  }
+
+  test("nearest still works when both sides share the timestamp type") {
+    val right = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2.0)
+    ).toDF("k", "rts", "v")
+    val left = Seq(
+      ("A", ts("2024-01-01 09:10:00")),   // closer to 09:00 -> 1.0
+      ("A", ts("2024-01-01 09:50:00"))    // closer to 10:00 -> 2.0
+    ).toDF("k", "lts")
+    val out = AsOfJoin.nearest(left, right,
+        keys = Seq("k"), leftTs = "lts", rightTs = "rts", payload = Seq("v"))
+      .select("lts", "v").collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(out == Map(
+      ts("2024-01-01 09:10:00") -> 1.0,
+      ts("2024-01-01 09:50:00") -> 2.0))
+  }
 }

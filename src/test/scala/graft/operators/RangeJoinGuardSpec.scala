@@ -33,6 +33,22 @@ class RangeJoinGuardSpec extends SparkSpec {
       s"expected the fan-out guard, got: ${e.getMessage}")
   }
 
+  test("NULL bounds drop the row, not raise (pre-guard explode semantics)") {
+    // advisor round-4 finding: when(abs(NULL) < 2^53) is NULL, which fell
+    // through to otherwise(raise_error) — a nullable bound column killed
+    // the job with a misleading "rescale" message.
+    val l = Seq(
+      (1L, Some(5L), Some(15L)),   // normal — must still match
+      (2L, None, Some(15L)),       // null lo — dropped
+      (3L, Some(5L), None),        // null hi — dropped
+      (4L, None, None)             // both null — dropped
+    ).toDF("a_id", "a_lo", "a_hi")
+    val r = Seq((7L, Some(10L), Some(12L))).toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.overlapJoin(l, r, "a_lo", "a_hi", "b_lo", "b_hi", width = 8)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.toSeq == Seq((1L, 7L)))
+  }
+
   test("in-range inputs still join exactly (guards are inert on the happy path)") {
     val l = left((1L, 5L, 15L))
     val r = right((7L, 10L, 12L))
