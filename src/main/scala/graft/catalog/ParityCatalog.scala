@@ -447,5 +447,118 @@ object ParityCatalog {
         .orderBy(col("o_orderpriority").asc_nulls_last,
           col("o_totalprice").desc_nulls_last, col("o_orderkey"))
         .offset(50).limit(100)
+    },
+
+    // ---- C1: category catalog lifecycle (category_service.py:44-101) ------
+    QueryDef(
+      "c1_category_catalog",
+      "C1 (category_service.py:44-88): idempotent default seeding + in-use sync (UNCERTAIN skipped, deactivation never overridden) + the case-insensitively sorted listing with default/active/in-use metadata",
+      Some(s"""
+        WITH defaults(name) AS (VALUES $defaultCategoryValues),
+        in_use AS (
+          SELECT DISTINCT event_type AS name FROM events
+          WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) >= 50
+            AND event_type IS NOT NULL
+          UNION SELECT 'Gas' UNION SELECT 'UNCERTAIN'
+        ),
+        catalog AS (
+          SELECT name, TRUE AS is_default FROM defaults
+          UNION ALL
+          SELECT name, FALSE FROM in_use
+          WHERE name <> 'UNCERTAIN' AND name NOT IN (SELECT name FROM defaults)
+        )
+        SELECT c.name, c.is_default, TRUE AS is_active,
+               c.name IN (SELECT name FROM in_use) AS in_use,
+               TIMESTAMP '2026-01-01 00:00:00' AS created_at
+        FROM catalog c
+        ORDER BY lower(c.name), c.name
+      """)) { (spark, dir) =>
+      import graft.finance.CategoryCatalog
+      val now = lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      // in-use names: confidently-predicted event types plus one default
+      // ('Gas', exercises in_use-on-default) and the reserved UNCERTAIN
+      // (must be skipped by the sync)
+      val inUse = Tables.events(spark, dir)
+        .filter(get_json_object(col("props"), "$.k").cast("int") >= 50)
+        .select(col("event_type").as("category"))
+        .union(spark.createDataset(Seq("Gas", "UNCERTAIN"))(
+          org.apache.spark.sql.Encoders.STRING).toDF("category"))
+      val cat = CategoryCatalog.syncInUse(
+        CategoryCatalog.ensureDefaults(CategoryCatalog.emptyCatalog(spark), now),
+        inUse, now)
+      CategoryCatalog.listCatalog(cat, inUse)
+        // fixture timestamps are naive on both engines (cf. p12)
+        .withColumn("created_at", col("created_at").cast("timestamp_ntz"))
+    },
+
+    // ---- I4: field-wise OLTP merge (transaction_service.py:78-126) --------
+    QueryDef(
+      "i4_fieldwise_merge",
+      "I4 (transaction_service.py:78-126 categorize_transaction, batched): get-or-create merge where master/source are assigned unconditionally, notes/validated/exclude update only when provided, created rows take defaults, touched rows get updated_at stamped — one full-outer join, the MERGE shape at scale",
+      Some("""
+        WITH e AS (
+          SELECT event_id AS transaction_id,
+                 event_type AS master_category,
+                 'orig' AS source_category,
+                 CASE WHEN event_id % 4 = 0 THEN 'note-' || CAST(event_id AS VARCHAR) END AS notes,
+                 event_id % 3 = 0 AS validated,
+                 FALSE AS exclude_from_forecast,
+                 TIMESTAMP '2025-01-01 00:00:00' AS updated_at
+          FROM events WHERE event_id % 2 = 0),
+        b AS (
+          SELECT event_id AS transaction_id,
+                 upper(event_type) AS master_category,
+                 CASE WHEN event_id % 6 = 0 THEN 'manual' END AS source_category,
+                 CASE WHEN event_id % 9 = 0 THEN 'edited' END AS notes,
+                 CASE WHEN event_id % 5 = 0 THEN TRUE END AS validated,
+                 CASE WHEN event_id % 7 = 0 THEN TRUE END AS exclude_from_forecast
+          FROM events WHERE event_id % 3 = 0)
+        SELECT
+          COALESCE(e.transaction_id, b.transaction_id) AS transaction_id,
+          CASE WHEN b.transaction_id IS NOT NULL THEN b.master_category ELSE e.master_category END AS master_category,
+          CASE WHEN b.transaction_id IS NOT NULL THEN b.source_category ELSE e.source_category END AS source_category,
+          CASE WHEN e.transaction_id IS NULL THEN b.notes
+               WHEN b.transaction_id IS NOT NULL THEN COALESCE(b.notes, e.notes)
+               ELSE e.notes END AS notes,
+          CASE WHEN e.transaction_id IS NULL THEN COALESCE(b.validated, FALSE)
+               WHEN b.transaction_id IS NOT NULL THEN COALESCE(b.validated, e.validated)
+               ELSE e.validated END AS validated,
+          CASE WHEN e.transaction_id IS NULL THEN COALESCE(b.exclude_from_forecast, FALSE)
+               WHEN b.transaction_id IS NOT NULL THEN COALESCE(b.exclude_from_forecast, e.exclude_from_forecast)
+               ELSE e.exclude_from_forecast END AS exclude_from_forecast,
+          CASE WHEN b.transaction_id IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:00'
+               ELSE e.updated_at END AS updated_at
+        FROM e FULL OUTER JOIN b ON e.transaction_id = b.transaction_id
+      """)) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val existing = ev.filter(col("event_id") % 2 === 0).select(
+        col("event_id").as("transaction_id"),
+        col("event_type").as("master_category"),
+        lit("orig").as("source_category"),
+        when(col("event_id") % 4 === 0,
+          concat(lit("note-"), col("event_id").cast("string"))).as("notes"),
+        (col("event_id") % 3 === 0).as("validated"),
+        lit(false).as("exclude_from_forecast"),
+        lit("2025-01-01 00:00:00").cast("timestamp_ntz").as("updated_at"))
+      val batch = ev.filter(col("event_id") % 3 === 0).select(
+        col("event_id").as("transaction_id"),
+        upper(col("event_type")).as("master_category"),
+        when(col("event_id") % 6 === 0, lit("manual")).as("source_category"),
+        when(col("event_id") % 9 === 0, lit("edited")).as("notes"),
+        when(col("event_id") % 5 === 0, lit(true)).as("validated"),
+        when(col("event_id") % 7 === 0, lit(true)).as("exclude_from_forecast"))
+      graft.finance.TableStore.mergeFieldwise(
+        existing, batch, "transaction_id",
+        assigned = Seq("master_category", "source_category"),
+        whenProvided = Seq("notes", "validated", "exclude_from_forecast"),
+        defaults = Map("validated" -> lit(false),
+          "exclude_from_forecast" -> lit(false)),
+        touch = "updated_at" -> lit("2026-01-01 00:00:00").cast("timestamp_ntz"))
     })
+
+  /** `CategoryCatalog.DefaultCategories` as a DuckDB VALUES list — built
+    * from the same constant so the oracle can't drift from the seed. */
+  private def defaultCategoryValues: String =
+    graft.finance.CategoryCatalog.DefaultCategories
+      .map(n => s"('${n.replace("'", "''")}')").mkString(", ")
 }

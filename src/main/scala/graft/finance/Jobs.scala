@@ -53,6 +53,32 @@ final class Jobs(spark: SparkSession, store: TableStore) {
     }
   }
 
+  /** Category catalog refresh (`category_service.py:70-101` — the ensure +
+    * sync every catalog read performs): seed missing defaults, add in-use
+    * names from the live tables, persist via the store. Run after
+    * [[runAllModels]] so the in-use scan sees fresh facts. Returns the
+    * refreshed catalog. */
+  def refreshCategoryCatalog(
+      now: java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.now())): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // the in-use scan touches only the category columns; before the first
+    // model run the derived facts don't exist yet — scan empty frames with
+    // just those columns (same shape the reference gets from its
+    // swallowed-exception branch, category_service.py:39-40)
+    val catCols = StructType(Seq(
+      StructField("master_category", StringType),
+      StructField("predicted_master_category", StringType)))
+    val catalog = readOrEmpty("categories", CategoryCatalog.schema)
+    val inUse = Serving.inUseCategories(
+      readOrEmpty("user_categories", Schemas.userCategories),
+      readOrEmpty("fct_trxns_categorized", catCols),
+      readOrEmpty("fct_trxns_with_predictions", catCols))
+    val next = CategoryCatalog.syncInUse(
+      CategoryCatalog.ensureDefaults(catalog, lit(now)), inUse, lit(now))
+    store.overwrite("categories", next)
+    store.read("categories")
+  }
+
   /** `3_run_all_dbt_models` — recompute the full transform DAG. Set
     * `fullRefreshValidated` for the `z_b`/`5_` full-refresh variants. */
   def runAllModels(fullRefreshValidated: Boolean = false): Unit = {

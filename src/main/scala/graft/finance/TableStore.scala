@@ -1,7 +1,7 @@
 package graft.finance
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,10 +117,99 @@ final class TableStore(spark: SparkSession, val root: String) {
       overwrite(table, kept.unionByName(batch))
     }
 
+  /** Field-wise merge persisted: the get-or-create + per-field-update
+    * protocol of [[TableStore.mergeFieldwise]] against a stored table.
+    * On a missing table the merge runs against an empty frame with the
+    * batch's schema plus the touch column, so created-row defaults apply
+    * from the very first batch. */
+  def upsertFieldwise(
+      table: String,
+      batch: DataFrame,
+      key: String,
+      assigned: Seq[String],
+      whenProvided: Seq[String],
+      defaults: Map[String, org.apache.spark.sql.Column],
+      touch: (String, org.apache.spark.sql.Column)): Unit = {
+    val existing =
+      if (exists(table)) read(table)
+      else batch.withColumn(touch._1, touch._2).limit(0)
+    overwrite(table, TableStore.mergeFieldwise(
+      existing, batch, key, assigned, whenProvided, defaults, touch))
+  }
+
   private def deleteRecursively(p: Path): Unit = graft.finance.ops.FileTrees.delete(p)
 }
 
 object TableStore {
+
+  /** Field-wise OLTP merge, batched (reference
+    * `transaction_service.py:78-126` `categorize_transaction`): the
+    * reference does get-or-create per row — `master_category` /
+    * `source_category` are ASSIGNED unconditionally (a null in the request
+    * overwrites), `notes` / `validated` / `exclude_from_forecast` update
+    * only WHEN PROVIDED (null keeps the stored value), created rows take
+    * DEFAULTS for unprovided fields, and every touched row's `updated_at`
+    * is stamped. The whole-row [[TableStore.upsert]] cannot express this —
+    * a caller updating only `notes` would wipe the other fields.
+    *
+    * Spark shape: ONE full-outer join on the key — existing-only rows pass
+    * through byte-identical (old touch value kept), matched rows take
+    * assigned-from-batch / coalesce(batch, existing) per field, batch-only
+    * rows take coalesce(batch, default). Scales as a plain shuffled equi
+    * join; at warehouse scale the same column rules become the UPDATE SET
+    * clause of a MERGE.
+    *
+    * `batch` must carry `key ++ assigned ++ whenProvided` and at most one
+    * row per key; keys must be non-null on both sides (enforced). Output
+    * columns = existing's columns.
+    */
+  def mergeFieldwise(
+      existing: DataFrame,
+      batch: DataFrame,
+      key: String,
+      assigned: Seq[String],
+      whenProvided: Seq[String],
+      defaults: Map[String, Column],
+      touch: (String, Column)): DataFrame = {
+    val (touchCol, touchVal) = touch
+    val expectedBatch = (Seq(key) ++ assigned ++ whenProvided).toSet
+    require(expectedBatch.subsetOf(batch.columns.toSet),
+      s"batch is missing ${(expectedBatch -- batch.columns.toSet).mkString(", ")}")
+    require(existing.columns.contains(touchCol), s"existing lacks touch column $touchCol")
+    require(defaults.keySet.subsetOf(whenProvided.toSet),
+      "defaults only apply to when-provided fields")
+
+    def guardKey(df: DataFrame) = df.filter(
+      when(col(key).isNull,
+        raise_error(lit(s"mergeFieldwise: null $key"))).otherwise(lit(true)))
+
+    val e = guardKey(existing).select(
+      col(key).as("_mk") +: lit(true).as("_e_present") +:
+        existing.columns.map(c => col(c).as(s"_e_$c")): _*)
+    val b = guardKey(batch).select(
+      col(key).as("_mk") +: lit(true).as("_b_present") +:
+        (assigned ++ whenProvided).map(c => col(c).as(s"_b_$c")): _*)
+
+    val joined = e.join(b, Seq("_mk"), "full_outer")
+    val fromBatch = col("_b_present").isNotNull
+    val created = fromBatch && col("_e_present").isNull
+    val outCols = existing.columns.map { c =>
+      val ex = col(s"_e_$c")
+      val out =
+        if (c == key) col("_mk")
+        else if (c == touchCol)
+          when(fromBatch, touchVal.cast(existing.schema(touchCol).dataType)).otherwise(ex)
+        else if (assigned.contains(c)) when(fromBatch, col(s"_b_$c")).otherwise(ex)
+        else if (whenProvided.contains(c))
+          when(created, coalesce(col(s"_b_$c"), defaults.getOrElse(c, lit(null))))
+            .when(fromBatch, coalesce(col(s"_b_$c"), ex))
+            .otherwise(ex)
+        else ex
+      out.as(c)
+    }
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
   /** Recompute `is_latest` / `is_active` registry flags as a window instead
     * of UPDATEs (`classifier_train.py:110-151,352-423`, SURVEY §2.8):
     * latest = newest training_timestamp over all rows; active = newest row

@@ -74,5 +74,23 @@ class JobsSpec extends SparkSpec {
     // second run is idempotent (append-only: no duplicate t0)
     jobs.runAllModels()
     assert(store.read("fct_validated_trxns").count() == 61)
+
+    // category catalog refresh: defaults seeded + in-use names from the
+    // live warehouse ('Dining'/'Travel' from the historic fact, none of
+    // which are defaults), idempotent, deactivation preserved
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // materialize eagerly: the returned frame lazily references parquet
+    // files that the next overwrite swaps away
+    val cat1 = jobs.refreshCategoryCatalog(now).collect()
+    assert(cat1.length >= 19 + 2)
+    val names = cat1.map(_.getAs[String]("name")).toSet
+    assert(names.contains("Dining") && names.contains("Travel") && names.contains("Gas"))
+    assert(!names.contains("UNCERTAIN"))
+    store.overwrite("categories",
+      CategoryCatalog.setCategoryActive(store.read("categories"), "Dining", isActive = false, lit(now)))
+    val cat2 = jobs.refreshCategoryCatalog(now).collect()
+    assert(cat2.length == cat1.length)            // idempotent, no duplicates
+    val dining = cat2.find(_.getAs[String]("name") == "Dining").get
+    assert(!dining.getAs[Boolean]("is_active"))   // deactivation preserved
   }
 }

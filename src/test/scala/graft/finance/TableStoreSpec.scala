@@ -60,4 +60,94 @@ class TableStoreSpec extends SparkSpec {
     assert(got("v2") == (false, true))  // active model = newest trained
     assert(got("v1") == (false, false))
   }
+
+  // ---- field-wise merge (transaction_service.py:78-126) --------------------
+
+  private val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+  private val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** (id, master, source, notes, validated, exclude, updated_at) */
+  private def ucRows(rows: (String, String, Option[String], Option[String],
+      Option[Boolean], Option[Boolean], java.sql.Timestamp)*) =
+    rows.toDF("transaction_id", "master_category", "source_category",
+      "notes", "validated", "exclude_from_forecast", "updated_at")
+
+  private val ucAssigned = Seq("master_category", "source_category")
+  private val ucProvided = Seq("notes", "validated", "exclude_from_forecast")
+  private val ucDefaults = Map(
+    "validated" -> lit(false), "exclude_from_forecast" -> lit(false))
+
+  test("mergeFieldwise: a notes-only update preserves every other stored field") {
+    val existing = ucRows(
+      ("t1", "Dining", Some("src"), Some("old note"), Some(true), Some(true), t0))
+    // reference semantics: master/source assigned from the request even if
+    // null; notes provided; validated/exclude NOT provided (null) -> kept
+    val batch = Seq(("t1", "Dining", Option.empty[String], Some("new note"),
+      Option.empty[Boolean], Option.empty[Boolean]))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    val out = TableStore.mergeFieldwise(existing, batch, "transaction_id",
+      ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t1)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("master_category") == "Dining")
+    assert(r.getAs[String]("source_category") == null)   // assigned: overwritten
+    assert(r.getAs[String]("notes") == "new note")
+    assert(r.getAs[Boolean]("validated"))                // preserved
+    assert(r.getAs[Boolean]("exclude_from_forecast"))    // preserved
+    assert(r.getAs[java.sql.Timestamp]("updated_at") == t1) // touched
+  }
+
+  test("mergeFieldwise: created rows take defaults; untouched rows pass through") {
+    val existing = ucRows(
+      ("t1", "Gas", Some("s"), None, Some(false), Some(false), t0))
+    val batch = Seq(("t9", "Rent", Some("manual"), Option.empty[String],
+      Option.empty[Boolean], Option.empty[Boolean]))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    val got = TableStore.mergeFieldwise(existing, batch, "transaction_id",
+      ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t1))
+      .collect().map(r => r.getAs[String]("transaction_id") -> r).toMap
+    // created row: unprovided booleans default false, touch stamped
+    assert(got("t9").getAs[String]("master_category") == "Rent")
+    assert(!got("t9").getAs[Boolean]("validated"))
+    assert(!got("t9").getAs[Boolean]("exclude_from_forecast"))
+    assert(got("t9").getAs[java.sql.Timestamp]("updated_at") == t1)
+    // untouched row: byte-identical, old updated_at kept
+    assert(got("t1").getAs[String]("master_category") == "Gas")
+    assert(got("t1").getAs[java.sql.Timestamp]("updated_at") == t0)
+  }
+
+  test("upsertFieldwise persists the merge through the store (missing table included)") {
+    val store = freshStore()
+    val b1 = Seq(("t1", "Dining", Some("s"), Some("n1"), Some(true), Option.empty[Boolean]))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    store.upsertFieldwise("uc", b1, "transaction_id",
+      ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t0))
+    val b2 = Seq(("t1", "Dining", Some("s"), Option.empty[String],
+      Option.empty[Boolean], Some(true)))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    store.upsertFieldwise("uc", b2, "transaction_id",
+      ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t1))
+    val r = store.read("uc").collect().head
+    assert(r.getAs[String]("notes") == "n1")            // kept from batch 1
+    assert(r.getAs[Boolean]("validated"))               // kept from batch 1
+    assert(r.getAs[Boolean]("exclude_from_forecast"))   // updated by batch 2
+    assert(r.getAs[java.sql.Timestamp]("updated_at") == t1)
+  }
+
+  test("mergeFieldwise rejects null keys loudly") {
+    val existing = ucRows(("t1", "Gas", Some("s"), None, Some(false), Some(false), t0))
+    val batch = Seq((Option.empty[String], "Rent", Option.empty[String],
+      Option.empty[String], Option.empty[Boolean], Option.empty[Boolean]))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    val e = intercept[Exception] {
+      TableStore.mergeFieldwise(existing, batch, "transaction_id",
+        ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t1)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("mergeFieldwise"))
+  }
 }
