@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable
 
 /** Exact top-k as a typed partial aggregation.
   *
@@ -22,44 +22,75 @@ object TopK {
   /** Result element: (score, candidate id), descending by score, id tiebreak. */
   type Scored = (Double, Long)
 
-  private val scoreOrd: Ordering[Scored] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+  /** Bounded binary min-heap over parallel primitive arrays: root = the
+    * worst kept element under "score desc, id asc", so a candidate that
+    * beats the root replaces it in O(log k). Plain arrays + an int make the
+    * shuffle representation an ExpressionEncoder product (two primitive
+    * ARRAY columns and an INT) instead of round-4's
+    * `Encoders.javaSerialization[PriorityQueue]`, which paid Java
+    * object-graph ser/deser on every partial merge. In-memory mutation is
+    * in place; only the shuffle boundary pays the (now columnar) encode. */
+  final case class Heap(scores: Array[Double], ids: Array[Long], var size: Int) {
 
-  final class TopKAggregator(k: Int)
-      extends Aggregator[Row, mutable.PriorityQueue[Scored], Seq[Scored]] {
+    /** a strictly worse than b under (score desc, id asc)? */
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
 
-    // PriorityQueue dequeues the ordering's maximum, so "worst survivor on
-    // top" = max of (-score, id): lowest score first, and among ties the
-    // LARGEST id — matching `ORDER BY score DESC, id` where smaller id wins.
-    private def heapOrder: Ordering[Scored] =
-      Ordering.by[Scored, (Double, Long)] { case (s, id) => (-s, id) }
-
-    override def zero: mutable.PriorityQueue[Scored] =
-      mutable.PriorityQueue.empty[Scored](heapOrder)
-
-    private def push(h: mutable.PriorityQueue[Scored], v: Scored): mutable.PriorityQueue[Scored] = {
-      if (h.size < k) h.enqueue(v)
-      else if (scoreOrd.compare((v._1, -v._2), (h.head._1, -h.head._2)) > 0) {
-        h.dequeue(); h.enqueue(v)
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p
+        } else return
       }
-      h
     }
 
-    override def reduce(h: mutable.PriorityQueue[Scored], row: Row): mutable.PriorityQueue[Scored] =
-      push(h, (row._2, row._3))
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
 
-    override def merge(a: mutable.PriorityQueue[Scored], b: mutable.PriorityQueue[Scored]): mutable.PriorityQueue[Scored] = {
-      b.foreach(v => push(a, v))
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val s = scores(i); scores(i) = scores(j); scores(j) = s
+      val d = ids(i); ids(i) = ids(j); ids(j) = d
+    }
+
+    def push(s: Double, id: Long): Unit =
+      if (size < scores.length) {
+        scores(size) = s; ids(size) = id; size += 1; siftUp(size - 1)
+      } else if (worse(scores(0), ids(0), s, id)) {
+        scores(0) = s; ids(0) = id; siftDown(0)
+      }
+  }
+
+  final class TopKAggregator(k: Int) extends Aggregator[Row, Heap, Seq[Scored]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    override def zero: Heap = Heap(new Array[Double](k), new Array[Long](k), 0)
+
+    override def reduce(h: Heap, row: Row): Heap = { h.push(row._2, row._3); h }
+
+    override def merge(a: Heap, b: Heap): Heap = {
+      var i = 0
+      while (i < b.size) { a.push(b.scores(i), b.ids(i)); i += 1 }
       a
     }
 
-    override def finish(h: mutable.PriorityQueue[Scored]): Seq[Scored] =
-      h.toSeq.sortBy { case (s, id) => (-s, id) }
+    override def finish(h: Heap): Seq[Scored] =
+      (0 until h.size).map(i => (h.scores(i), h.ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
 
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[Scored]] =
-      Encoders.javaSerialization[mutable.PriorityQueue[Scored]]
-    override def outputEncoder: Encoder[Seq[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def bufferEncoder: Encoder[Heap] = ExpressionEncoder[Heap]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
   }
 
   def topK(k: Int): TopKAggregator = new TopKAggregator(k)
