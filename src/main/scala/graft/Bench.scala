@@ -50,6 +50,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
+      // Object-hash aggregates (BoundedLongCollect, collect_list, sketches)
+      // fall back to SORT-based aggregation after 128 distinct keys per
+      // partition by default — a full sort of the dedup shingle streams.
+      // Every imperative buffer in this engine is structurally bounded
+      // (BoundedLongCollect caps at 64 longs, sketches are fixed-size), so
+      // 128k in-memory groups ≈ tens of MB per partition, far cheaper than
+      // the sort; past that the sort fallback still protects memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

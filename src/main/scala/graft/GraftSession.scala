@@ -35,7 +35,15 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "zstd",
-    "spark.sql.shuffle.partitions" -> shufflePartitions.toString)
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    // Object-hash aggregates (BoundedLongCollect, collect_list, sketches)
+    // fall back to SORT-based aggregation after 128 distinct keys per
+    // partition by default — a full sort of the dedup shingle streams.
+    // This engine's imperative buffers are structurally bounded
+    // (BoundedLongCollect caps at 64 longs, sketches are fixed-size), so
+    // 128k in-memory groups is tens of MB per partition; past that the
+    // sort fallback still protects memory.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
 
   def builder(appName: String, shufflePartitions: Int = 200): SparkSession.Builder = {
     require(shufflePartitions > 0, "shufflePartitions must be positive")

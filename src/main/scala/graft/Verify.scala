@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same object-hash-aggregate tuning as GraftSession/Bench (bounded
+      // buffers make 128k in-memory groups safe; see GraftSession.configs)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -192,7 +192,7 @@ object DedupCatalog {
       // carried its own 2^-60 collision term anyway).
       val docSh = Tables.documentsFanned(spark, dir)
         .select(col("doc_id"),
-          transform(shingles(col("text")), s => xxhash64(s)).as("hs"))
+          graft.functions.HashedWordShingles(col("text"), 3).as("hs"))
         .filter(size(col("hs")) > 0)
       // Each bucket member is doc_id and |doc| packed into ONE long
       // (doc_id<<24 | n): doc ids fit 32 bits by corpus contract, and
@@ -210,31 +210,22 @@ object DedupCatalog {
       // boilerplate (correctly) cannot reach the 0.5 threshold.
       val docLists = graft.operators.Dedup.boundedDocLists(
         packed, Seq("shingle"), col("dn"), MaxBucket)
-      // Pair expansion inside one array expression; the pair key is packed
-      // into ONE long (doc1<<32 | doc2) so the intersection count shuffles
-      // an 8-byte primitive, with both doc sizes riding along — min() of a
-      // per-key constant, no join anywhere in the plan. The size-ratio
-      // prune runs INSIDE the expansion, before any row exists:
+      // Pair expansion as ONE native expression (PairCandidates): the pair
+      // key is packed into a long (doc1<<32 | doc2) and the jaccard
+      // size-ratio prune runs INSIDE the expansion before any row exists —
       // jaccard >= 0.5 needs 3·shared >= n1+n2 and shared <= min(n1,n2),
-      // so a pair with n1+n2 > 3·min(n1,n2) can never pass — mismatched-
-      // length pairs (most of the boilerplate-driven fan-out) are dropped
-      // pre-shuffle at the cost of one comparison.
-      val pairs = docLists.select(explode(flatten(
-        transform(col("docs"), (x, i) =>
-          filter(
-            transform(slice(col("docs"), i + 2, size(col("docs"))),
-              y => struct(
-                (shiftleft(shiftright(x, 24), 32) + shiftright(y, 24)).as("pk"),
-                x.bitwiseAND(lit(0xffffffL)).as("n1"),
-                y.bitwiseAND(lit(0xffffffL)).as("n2"))),
-            p => p("n1") + p("n2") <= lit(3) * least(p("n1"), p("n2")))))).as("p"))
-        .select(col("p.pk").as("pk"), col("p.n1").as("n1"), col("p.n2").as("n2"))
+      // so a pair with n1+n2 > 3·min(n1,n2) can never pass. Only
+      // s = n1+n2 rides the shuffle (|A∪B| = s − shared is all the
+      // denominator needs), 12 bytes per candidate, min() of a per-key
+      // constant, no join anywhere in the plan.
+      val pairs = docLists
+        .select(explode(graft.functions.PairCandidates(col("docs"))).as("p"))
+        .select(col("p.pk").as("pk"), col("p.s").as("s"))
       val inter = pairs
-        .groupBy(col("pk")).agg(count(lit(1)).as("shared"),
-          min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("shared"), min(col("s")).as("s"))
       // shared/(n1+n2-shared): integer-exact inputs, one double division —
       // bit-identical across engines, so the 0.5 threshold cannot flap.
-      val jac = col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared"))
+      val jac = col("shared") * lit(1.0) / (col("s") - col("shared"))
       inter
         .filter(jac >= 0.5)
         .select(shiftright(col("pk"), 32).as("doc1"),
