@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Registered: `float_vector_dot(a, b)`, `word_shingles(text, n)`,
   * `minhash_signature(shingles)` (the default 9-seed banding config of
-  * `graft.catalog.DedupCatalog`), `simhash_signature(tokens)`.
+  * `graft.catalog.DedupCatalog`), `simhash_signature(tokens)`,
+  * `hashed_word_shingles(text, n)`, `pair_candidates(docs[, num, den])`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -26,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShingles)
     ext.injectFunction(GraftExtensions.minhashSignature)
     ext.injectFunction(GraftExtensions.simhashSignature)
+    ext.injectFunction(GraftExtensions.hashedWordShingles)
+    ext.injectFunction(GraftExtensions.pairCandidates)
   }
 }
 
@@ -80,5 +83,33 @@ object GraftExtensions {
     {
       case Seq(t) => new SimHashSignature(t)
       case _ => badArity("simhash_signature", "1")
+    })
+
+  val hashedWordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_word_shingles"),
+    info("hashed_word_shingles",
+      "_FUNC_(text[, n]) - 64-bit hashes of the distinct lowercased word n-gram shingles (default n=3)"),
+    {
+      case Seq(t) => HashedWordShingles(t, 3)
+      case Seq(t, n) if n.foldable && n.eval() != null =>
+        HashedWordShingles(t, n.eval().asInstanceOf[Number].intValue())
+      case Seq(_, _) =>
+        throw new IllegalArgumentException("hashed_word_shingles: n must be a non-null constant")
+      case _ => badArity("hashed_word_shingles", "1 or 2")
+    })
+
+  val pairCandidates: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pair_candidates"),
+    info("pair_candidates",
+      "_FUNC_(docs[, num, den]) - pruned jaccard candidate pairs over packed bucket members (default prune ratio 1/3)"),
+    {
+      case Seq(d) => PairCandidates(d, 1, 3)
+      case Seq(d, num, den) if num.foldable && den.foldable &&
+          num.eval() != null && den.eval() != null =>
+        PairCandidates(d, num.eval().asInstanceOf[Number].intValue(),
+          den.eval().asInstanceOf[Number].intValue())
+      case Seq(_, _, _) =>
+        throw new IllegalArgumentException("pair_candidates: num/den must be non-null constants")
+      case _ => badArity("pair_candidates", "1 or 3")
     })
 }

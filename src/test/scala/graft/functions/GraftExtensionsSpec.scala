@@ -6,7 +6,8 @@ class GraftExtensionsSpec extends SparkSpec {
 
   private def register(): Unit =
     Seq(GraftExtensions.floatVectorDot, GraftExtensions.wordShingles,
-        GraftExtensions.minhashSignature, GraftExtensions.simhashSignature)
+        GraftExtensions.minhashSignature, GraftExtensions.simhashSignature,
+        GraftExtensions.hashedWordShingles, GraftExtensions.pairCandidates)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -31,6 +32,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val sim = spark.sql("SELECT simhash_signature(array('tok1', 'tok2')) AS s")
       .head.getString(0)
     assert(sim.length == 32 && sim.forall(c => c == '0' || c == '1'))
+
+    val hws = spark.sql("SELECT hashed_word_shingles('a b c d') AS h")
+      .head.getSeq[Long](0)
+    assert(hws.length == 2) // same count as word_shingles('a b c d')
+
+    val pc = spark.sql(
+      "SELECT pair_candidates(array(CAST(16777226 AS BIGINT), CAST(33554442 AS BIGINT))) AS p")
+      .head.getSeq[org.apache.spark.sql.Row](0) // docs 1 and 2, n=10 each
+    assert(pc.length == 1 && pc.head.getLong(0) == ((1L << 32) | 2L) && pc.head.getInt(1) == 20)
   }
 
   test("wrong arity raises an analysis error, not MatchError") {
