@@ -455,11 +455,18 @@ object ExtensionCatalog {
     // per-partition algorithm, not SQL) --------------------------------------
     QueryDef(
       "x8_sequence_pack",
-      "LLM-batch sequence packing (operators/SequencePack): documents into <=512-token bins, next-fit-decreasing per hash-assigned partition — bins never span partitions, O(1) packing state; rows-only check (packing is not SQL-expressible)",
+      "LLM-batch sequence packing (operators/SequencePack): documents into <=512-token bins, next-fit-decreasing per hash-assigned partition — bins never span partitions, O(1) packing state. Rows-only check (the packing itself is not SQL-expressible), but the bin INVARIANTS are: the query asserts them in-engine via raise_error, so a violated invariant turns the driver's rows-only row into a hard error instead of a silent pass (round-3 verdict #9)",
       None) { (spark, dir) =>
+      val budget = 512
       val withTokens = Tables.documents(spark, dir)
         .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tokens"))
-      graft.operators.SequencePack.pack(withTokens, "doc_id", "n_tokens", budget = 512)
+      val packed = graft.operators.SequencePack.pack(
+        withTokens, "doc_id", "n_tokens", budget = budget)
+      // one guard row broadcast onto every output row: a violated packing
+      // invariant kills the query; a clean run adds a constant true column
+      val guard = graft.operators.SequencePack.checkInvariants(
+        packed, withTokens, budget)
+      packed.crossJoin(broadcast(guard))
     },
 
     // ---- O5: registry metrics history --------------------------------------

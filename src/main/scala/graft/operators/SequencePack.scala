@@ -34,6 +34,39 @@ object SequencePack {
 
   final case class PackedDoc(doc_id: Long, tokens: Int, bin_id: Long, bin_tokens: Int)
 
+  /** In-engine invariant assertion over a [[pack]] output: returns a
+    * single-row guard frame whose `invariants_ok` column is `true` when
+    * every invariant holds and a `raise_error` otherwise — cross-join
+    * (broadcast) it onto the packed rows so a violated invariant kills the
+    * job instead of silently passing a rows-only check. Invariants:
+    * (1) every `source` doc appears exactly once; (2) `bin_tokens` equals
+    * the member token sum and is identical on every member; (3) no bin
+    * exceeds `budget` unless it is a single oversize doc. */
+  def checkInvariants(packed: DataFrame, source: DataFrame, budget: Int): DataFrame = {
+    val perBin = packed.groupBy(col("bin_id")).agg(
+      sum(col("tokens")).as("tok_sum"),
+      min(col("bin_tokens")).as("bt_min"),
+      max(col("bin_tokens")).as("bt_max"),
+      count(lit(1)).as("members"))
+    val binViolations = perBin.agg(
+      sum(when(col("tok_sum") =!= col("bt_min") || col("bt_min") =!= col("bt_max"),
+        1L).otherwise(0L)).as("bad_totals"),
+      sum(when(col("bt_max") > budget && col("members") > 1, 1L).otherwise(0L))
+        .as("oversize_shared"))
+    val docViolations = packed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("appearances"))
+      .join(source.select(col("doc_id")), Seq("doc_id"), "full_outer")
+      .agg(sum(when(col("appearances").isNull || col("appearances") =!= 1, 1L)
+        .otherwise(0L)).as("bad_docs"))
+    binViolations.crossJoin(docViolations)
+      .select(
+        when(col("bad_totals") + col("oversize_shared") + col("bad_docs") > 0,
+          raise_error(concat(lit("SequencePack invariant violation: bad_totals="),
+            col("bad_totals"), lit(" oversize_shared="), col("oversize_shared"),
+            lit(" bad_docs="), col("bad_docs"))))
+          .otherwise(lit(true)).as("invariants_ok"))
+  }
+
   def pack(
       docs: DataFrame,
       idCol: String,

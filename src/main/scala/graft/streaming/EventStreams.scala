@@ -18,6 +18,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** 100 TB streaming posture: the state store configuration long-running
+    * production queries should run under. The default HDFS-backed provider
+    * keeps EVERY key's state as JVM objects on-heap — for this module that
+    * is O(open windows × groups) for the windowed aggregates, O(active
+    * sessions) for `sessionize`, and O(events inside the lag window) for
+    * the stream-stream join; at pipeline scale that is GBs per executor of
+    * GC-visible heap and full-state checkpoint uploads. RocksDB keeps state
+    * off-heap with incremental (changelog) checkpoints, bounding heap use
+    * regardless of key cardinality. Apply at session build time
+    * (`configs.foldLeft(builder)(...)`) — the provider cannot change
+    * across a checkpointed restart.
+    */
+  val rocksDbStateStoreConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // changelog checkpointing ships per-batch deltas instead of full
+    // RocksDB snapshots — the upload cost scales with churn, not state size
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   /** Streaming twin of e1: 1-hour tumbling window count/sum per event_type,
     * 2-hour watermark. Partial aggregation happens map-side per micro-batch;
     * state size is O(open windows × event types). */

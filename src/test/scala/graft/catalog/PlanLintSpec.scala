@@ -20,9 +20,12 @@ class PlanLintSpec extends SparkSpec {
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * p2 (ILIKE exclusion anti-join against a broadcast pattern list),
     * s1 (query fan-out against a broadcast query set), x2 (broadcast band
-    * join). Everything else must be hash/sort-merge/broadcast-HASH only. */
+    * join), x8 (ONE broadcast guard row carrying the in-engine invariant
+    * assertion onto the output). Everything else must be
+    * hash/sort-merge/broadcast-HASH only. */
   private val bnljByDesign = Set(
-    "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join")
+    "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
+    "x8_sequence_pack")
 
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
     val failures = Catalog.defs.flatMap { d =>

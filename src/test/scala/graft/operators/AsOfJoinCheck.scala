@@ -9,6 +9,12 @@ import org.scalacheck.Prop.forAll
   * latest with same key and ts <= left ts, ties by highest tiebreak) on
   * random key/timestamp data with heavy collisions.
   */
+// Top-level on purpose: encoder codegen cannot instantiate case classes
+// nested inside an object (Janino "no applicable constructor" ERROR spam +
+// interpreted fallback on every run).
+case class AsOfCheckL(id: Long, k: String, ts: Long)
+case class AsOfCheckR(k: String, ts: Long, rid: Long, v: Double)
+
 object AsOfJoinCheck extends Properties("graft.operators.AsOfJoin") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
@@ -16,8 +22,10 @@ object AsOfJoinCheck extends Properties("graft.operators.AsOfJoin") {
 
   private lazy val spark = graft.SparkSpec.session
 
-  private case class L(id: Long, k: String, ts: Long)
-  private case class R(k: String, ts: Long, rid: Long, v: Double)
+  private type L = AsOfCheckL
+  private val L = AsOfCheckL
+  private type R = AsOfCheckR
+  private val R = AsOfCheckR
 
   private val genL = for {
     id <- Gen.choose(1L, 1000L)

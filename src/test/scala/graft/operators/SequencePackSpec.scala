@@ -38,4 +38,26 @@ class SequencePackSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(got.forall(_._2 <= 64))
   }
+
+  test("checkInvariants passes a real packing and raises on a corrupted one") {
+    val src = Seq((1L, 30), (2L, 30), (3L, 700)).toDF("doc_id", "n_tokens")
+    val packed = SequencePack.pack(src, "doc_id", "n_tokens", budget = 64)
+    // genuine output (incl. a legitimate single-doc oversize bin): green
+    assert(SequencePack.checkInvariants(packed, src, budget = 64)
+      .head.getBoolean(0))
+    // corrupt the totals: every invariant checker worth shipping must be
+    // shown to actually fire
+    import org.apache.spark.sql.functions.{col, lit}
+    val badTotals = packed.withColumn("bin_tokens", col("bin_tokens") + lit(1))
+    val e1 = intercept[Exception] {
+      SequencePack.checkInvariants(badTotals, src, budget = 64).collect()
+    }
+    assert(e1.getMessage.contains("invariant violation"))
+    // drop a doc: exactly-once fails
+    val missing = packed.filter(col("doc_id") =!= 2L)
+    val e2 = intercept[Exception] {
+      SequencePack.checkInvariants(missing, src, budget = 64).collect()
+    }
+    assert(e2.getMessage.contains("bad_docs"))
+  }
 }

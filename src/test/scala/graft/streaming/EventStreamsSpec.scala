@@ -184,4 +184,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == Map(1L -> Some("BUILDING"), 2L -> None, 3L -> Some("MACHINERY")))
     } finally q.stop()
   }
+
+  test("stateful aggregation runs under the RocksDB state store posture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // apply the documented 100 TB posture for this query's lifetime
+    val previous = EventStreams.rocksDbStateStoreConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val events = input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreams.tumblingCounts(events)
+        .writeStream.format("memory").queryName("rocksdb_tumbling")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+          (2L, ts("2024-01-01 10:35:00"), 1L, "click", 2.0))
+        q.processAllAvailable()
+        // results identical to the default provider...
+        val got = spark.table("rocksdb_tumbling")
+          .select("event_type", "n_events").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == Map("click" -> 2L))
+        // ...and the state operator really is RocksDB-backed: its progress
+        // carries rocksdb custom metrics the HDFS provider never emits
+        val metrics = q.lastProgress.stateOperators(0).customMetrics
+        import scala.jdk.CollectionConverters._
+        assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb state metrics, got: ${metrics.keySet()}")
+      } finally q.stop()
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
