@@ -133,8 +133,15 @@ object Bench {
     println(summary)
     println(full)
     println(summary)
-    try {
-      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
+    // full-suite record with an n=1 artifact (and a typo'd filter would
+    // silently persist n=0): targeted runs only write when the caller
+    // explicitly names an output file.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") && explicitOut.isEmpty)
+      System.err.println("[bench] filtered run: skipping BENCH_LOCAL.json (set SPARK_GRAFT_BENCH_OUT to persist)")
+    else try {
+      val out = java.nio.file.Paths.get(explicitOut.getOrElse("BENCH_LOCAL.json"))
       java.nio.file.Files.write(out, (summary + "\n" + full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}") }
     spark.stop()

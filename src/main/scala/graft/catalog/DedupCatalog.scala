@@ -39,6 +39,16 @@ object DedupCatalog {
     * as `HAVING COUNT(*) BETWEEN 2 AND cap`. */
   private val MaxBucket = graft.operators.Dedup.DefaultMaxBucket
 
+  /** Doc ids that ride the d3/d5 packed-long encodings must fit 31 bits: a
+    * doc_id in [2^31, 2^32) would set the sign bit of `doc<<32 | other`,
+    * breaking both array_sort's doc ordering inside the buckets and the
+    * arithmetic-shift unpack (advisor round-5 finding). Enforced loudly —
+    * a wider corpus remaps ids (dense ranks) before dedup. */
+  private def packableDocId(c: Column): Column =
+    when(c >= 0 && c < (1L << 31), c)
+      .otherwise(raise_error(lit(
+        "doc_id outside [0, 2^31) cannot ride the packed-long dedup path: remap ids first")))
+
   /** First 15 md5 hex chars of a string as a positive BIGINT (< 2^60) —
     * byte-identical on Spark (`conv(...,16,10)`) and DuckDB (`'0x…'::BIGINT`). */
   private def shingleHash(c: Column): Column =
@@ -202,7 +212,7 @@ object DedupCatalog {
       // pair orientation) as before.
       val packed = docSh.select(
         explode(col("hs")).as("shingle"),
-        (shiftleft(col("doc_id").cast("long"), 24) + size(col("hs"))).as("dn"))
+        (shiftleft(packableDocId(col("doc_id")).cast("long"), 24) + size(col("hs"))).as("dn"))
       // boundedDocLists drops shingles shared by >MaxBucket docs before any
       // list is collected (hot-shingle OOM guard). Recall contract: such
       // shingles are boilerplate and contribute to NO pair's intersection;
@@ -228,7 +238,7 @@ object DedupCatalog {
       val jac = col("shared") * lit(1.0) / (col("s") - col("shared"))
       inter
         .filter(jac >= 0.5)
-        .select(shiftright(col("pk"), 32).as("doc1"),
+        .select(shiftrightunsigned(col("pk"), 32).as("doc1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), jac.as("jaccard"))
     },
 
@@ -263,7 +273,7 @@ object DedupCatalog {
       // struct(doc_id, sh_int) ordering since doc_id takes the high bits.
       val buckets = graft.operators.Dedup.boundedDocLists(
           chunks, Seq("c", "chunk"),
-          shiftleft(col("doc_id"), 32) + col("sh_int"), MaxBucket)
+          shiftleft(packableDocId(col("doc_id")), 32) + col("sh_int"), MaxBucket)
         .withColumnRenamed("docs", "ds")
       // hamming is computed and thresholded INSIDE the pair expansion, so
       // the ~92% of candidates that fail never materialize as rows, and the
@@ -276,7 +286,7 @@ object DedupCatalog {
             filter(
               transform(slice(col("ds"), i + 2, size(col("ds"))),
                 y => struct(
-                  (shiftleft(shiftright(x, 32), 32) + shiftright(y, 32)).as("pk"),
+                  (shiftleft(shiftrightunsigned(x, 32), 32) + shiftrightunsigned(y, 32)).as("pk"),
                   bit_count((x.bitwiseXOR(y)).bitwiseAND(lit(0xffffffffL)))
                     .as("hamming"))),
               p => p("hamming") <= 1)))).as("p"))
@@ -284,7 +294,7 @@ object DedupCatalog {
       // equals distinct on the pair
       hits.select(col("p.pk").as("pk"), col("p.hamming").as("hamming"))
         .distinct()
-        .select(shiftright(col("pk"), 32).as("doc1"),
+        .select(shiftrightunsigned(col("pk"), 32).as("doc1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
     },
 

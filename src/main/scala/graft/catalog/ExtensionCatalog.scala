@@ -460,8 +460,13 @@ object ExtensionCatalog {
       val budget = 512
       val withTokens = Tables.documents(spark, dir)
         .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tokens"))
+      // persist: the packed frame feeds the output AND both invariant
+      // aggregates — Spark would otherwise re-run the repartition + sort +
+      // mapPartitions packing once per consumer (3×). This mirrors the
+      // write-audit-publish shape the operator takes at warehouse scale:
+      // materialize the packing once, audit it, then publish.
       val packed = graft.operators.SequencePack.pack(
-        withTokens, "doc_id", "n_tokens", budget = budget)
+        withTokens, "doc_id", "n_tokens", budget = budget).persist()
       // one guard row broadcast onto every output row: a violated packing
       // invariant kills the query; a clean run adds a constant true column
       val guard = graft.operators.SequencePack.checkInvariants(

@@ -186,9 +186,20 @@ object TableStore {
     val e = guardKey(existing).select(
       col(key).as("_mk") +: lit(true).as("_e_present") +:
         existing.columns.map(c => col(c).as(s"_e_$c")): _*)
-    val b = guardKey(batch).select(
+    val b0 = guardKey(batch).select(
       col(key).as("_mk") +: lit(true).as("_b_present") +:
         (assigned ++ whenProvided).map(c => col(c).as(s"_b_$c")): _*)
+    // at-most-one-row-per-key is a documented contract — enforce it like
+    // the null-key guard: duplicate batch keys would fan out the join and
+    // persist duplicate rows through upsertFieldwise (the reference's
+    // per-row get-or-create cannot produce duplicates). The window rides
+    // the same key exchange the join needs.
+    val b = b0
+      .withColumn("_dupn", count(lit(1)).over(Window.partitionBy(col("_mk"))))
+      .filter(when(col("_dupn") > 1,
+        raise_error(concat(lit(s"mergeFieldwise: duplicate batch rows for $key "),
+          col("_mk").cast("string")))).otherwise(lit(true)))
+      .drop("_dupn")
 
     val joined = e.join(b, Seq("_mk"), "full_outer")
     val fromBatch = col("_b_present").isNotNull

@@ -110,7 +110,9 @@ case class HashedWordShingles(child: Expression, n: Int)
     copy(child = newChild)
 
   private val Seed = 42L
-  private val Prime = -7046029254386353131L // 0x9E3779B185EBCA87, xxh64 prime 1
+  // 0x9E3779B97F4A7C15: the 64-bit golden-ratio mixing constant (any odd
+  // multiplier works for the order-sensitive polynomial combine)
+  private val Prime = -7046029254386353131L
 }
 
 object HashedWordShingles {

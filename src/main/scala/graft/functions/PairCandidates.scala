@@ -59,7 +59,11 @@ case class PairCandidates(child: Expression, minFactorNum: Int, minFactorDen: In
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val k = arr.numElements()
-    val out = new java.util.ArrayList[AnyRef](k * (k - 1) / 2)
+    // pre-size in LONG arithmetic and clamp: k*(k-1)/2 wraps negative in
+    // Int for k > 65536, and pair_candidates is SQL-exposed with no
+    // array-length bound — an oversized hint is just a hint
+    val out = new java.util.ArrayList[AnyRef](
+      math.min(k.toLong * (k - 1) / 2, 1L << 16).toInt)
     var i = 0
     while (i < k - 1) {
       val x = arr.getLong(i)

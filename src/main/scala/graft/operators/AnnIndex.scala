@@ -63,7 +63,9 @@ object AnnIndex {
         val spark = corpus.sparkSession
         val schema = vecOnly.schema
         val nParts = math.max(vecOnly.rdd.getNumPartitions, 1)
-        val perPart = math.max(1L, maxFitRows / nParts).toInt
+        // clamp BEFORE toInt: maxFitRows/nParts >= 2^31 would truncate to a
+        // zero/negative reservoir (empty fit set, or NegativeArraySize)
+        val perPart = math.min(math.max(1L, maxFitRows / nParts), Int.MaxValue - 8L).toInt
         val sampled = vecOnly.rdd.mapPartitionsWithIndex { (pid, it) =>
           val rng = new scala.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
           val buf = new Array[org.apache.spark.sql.Row](perPart)

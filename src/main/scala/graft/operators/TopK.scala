@@ -32,9 +32,16 @@ object TopK {
     * in place; only the shuffle boundary pays the (now columnar) encode. */
   final case class Heap(scores: Array[Double], ids: Array[Long], var size: Int) {
 
-    /** a strictly worse than b under (score desc, id asc)? */
-    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    /** a strictly worse than b under (score desc, id asc)? Total ordering
+      * via Double.compare — raw IEEE `<` would make every comparison with a
+      * NaN false, silently breaking the heap invariant once a NaN score
+      * (e.g. cosine of a zero-norm vector) enters during the fill phase.
+      * Like the previous PriorityQueue's Ordering.Double.TotalOrdering,
+      * NaN compares above every real score. */
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     private def siftUp(i0: Int): Unit = {
       var i = i0

@@ -138,6 +138,22 @@ class TableStoreSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("updated_at") == t1)
   }
 
+  test("mergeFieldwise rejects duplicate batch keys loudly") {
+    val existing = ucRows(("t1", "Gas", Some("s"), None, Some(false), Some(false), t0))
+    val batch = Seq(
+      ("t1", "Dining", Option.empty[String], Option.empty[String],
+        Option.empty[Boolean], Option.empty[Boolean]),
+      ("t1", "Rent", Option.empty[String], Option.empty[String],
+        Option.empty[Boolean], Option.empty[Boolean]))
+      .toDF("transaction_id", "master_category", "source_category",
+        "notes", "validated", "exclude_from_forecast")
+    val e = intercept[Exception] {
+      TableStore.mergeFieldwise(existing, batch, "transaction_id",
+        ucAssigned, ucProvided, ucDefaults, "updated_at" -> lit(t1)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate batch rows"))
+  }
+
   test("mergeFieldwise rejects null keys loudly") {
     val existing = ucRows(("t1", "Gas", Some("s"), None, Some(false), Some(false), t0))
     val batch = Seq((Option.empty[String], "Rent", Option.empty[String],

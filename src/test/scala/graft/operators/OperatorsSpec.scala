@@ -64,4 +64,23 @@ class OperatorsSpec extends SparkSpec {
     val got = ds.groupByKey(_._1).agg(TopK.topK(2).toColumn.name("top")).collect()
     assert(got.head._2.map(_._2) == Seq(3L, 1L)) // 0.9 first, then 0.5 with smaller id
   }
+
+  test("TopK orders NaN scores totally (Double.compare), not by IEEE <") {
+    // a NaN score (cosine of a zero-norm vector) must behave like the old
+    // PriorityQueue's TotalOrdering — above every real score, deterministic
+    // regardless of arrival order — never corrupt the heap invariant
+    val rows = Seq(
+      (1L, Double.NaN, 9L), (1L, 0.9, 1L), (1L, 0.8, 2L), (1L, 0.95, 3L), (1L, 0.7, 4L))
+    val perms = Seq(rows, rows.reverse, rows.sortBy(_._3))
+    val results = perms.map { p =>
+      p.toDF("q", "score", "id").as[(Long, Double, Long)]
+        .groupByKey(_._1).agg(TopK.topK(3).toColumn.name("top"))
+        .collect().head._2.map(_._2)
+    }
+    // retention: NaN > all under TotalOrdering, so it deterministically
+    // holds a top-3 slot (evicting 0.8/0.7); presentation: finish's
+    // (-s, id) sort places NaN last (-NaN is NaN, still ordered totally).
+    // Identical result for every arrival order is the point.
+    assert(results.forall(_ == Seq(3L, 1L, 9L)), s"got: $results")
+  }
 }
