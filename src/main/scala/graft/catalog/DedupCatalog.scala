@@ -255,47 +255,51 @@ object DedupCatalog {
       "d5_simhash_neardup_pairs",
       "North-star dedup: hamming<=1 SimHash pairs; 2x16-bit chunk banding bounds candidates (a <=1-bit flip preserves at least one exact chunk), hamming verified only on candidates",
       Some(simhashPairsOracleSql)) { (spark, dir) =>
-      // Signatures carried as a 32-bit integer: per-pair hamming is one
-      // codegen'd bit_count(xor) instead of 32 substring comparisons.
-      val sh = simhashDF(spark, dir)
-        .select(col("doc_id"), col("simhash"),
-          conv(col("simhash"), 2, 10).cast("long").as("sh_int"))
-      val chunks = sh.select(col("doc_id"), col("sh_int"),
-          posexplode(array(
-            substring(col("simhash"), 1, 16),
-            substring(col("simhash"), 17, 16))))
-        .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
-      // per-bucket doc lists instead of a self-join (which would evaluate
-      // the whole signature pipeline once per side) — same trick as d2,
-      // with the same MaxBucket hot-chunk ceiling. The bucket member packs
-      // (doc_id, sh_int) into ONE long (both fit 32 bits: corpus contract /
-      // 32-bit signature), sorted identically to the former
-      // struct(doc_id, sh_int) ordering since doc_id takes the high bits.
-      val buckets = graft.operators.Dedup.boundedDocLists(
-          chunks, Seq("c", "chunk"),
-          shiftleft(packableDocId(col("doc_id")), 32) + col("sh_int"), MaxBucket)
-        .withColumnRenamed("docs", "ds")
-      // hamming is computed and thresholded INSIDE the pair expansion, so
-      // the ~92% of candidates that fail never materialize as rows, and the
-      // surviving pair travels as one packed long (doc ids fit 32 bits) —
-      // the distinct shuffle moves 8-byte keys. A pair matching on both
-      // chunks is verified twice, cheaply, instead of being distinct'd
-      // first.
-      val hits = buckets.select(explode(flatten(
-          transform(col("ds"), (x, i) =>
-            filter(
-              transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(
-                  (shiftleft(shiftrightunsigned(x, 32), 32) + shiftrightunsigned(y, 32)).as("pk"),
-                  bit_count((x.bitwiseXOR(y)).bitwiseAND(lit(0xffffffffL)))
-                    .as("hamming"))),
-              p => p("hamming") <= 1)))).as("p"))
-      // hamming is a function of the pair, so distinct on (pk, hamming)
-      // equals distinct on the pair
-      hits.select(col("p.pk").as("pk"), col("p.hamming").as("hamming"))
-        .distinct()
-        .select(shiftrightunsigned(col("pk"), 32).as("doc1"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
+      simhashPairsDF(spark, dir)
+    },
+
+    // ---- D8: transitive duplicate clusters over near-dup pairs ------------
+    QueryDef(
+      "d8_connected_components",
+      "North-star dedup: transitive closure of d5's near-dup pairs into per-document cluster labels via alternating large-star/small-star connected components (operators/ConnectedComponents) — the step between LSH pair emission and cluster-level canonical selection; O(log n) rounds of pure groupBy+join, no driver state",
+      Some(s"""
+        WITH RECURSIVE $simhashPairsCtesSql,
+        edges AS (
+          SELECT doc1 AS u, doc2 AS v FROM pairs
+          UNION
+          SELECT doc2 AS u, doc1 AS v FROM pairs),
+        reach(u, l) AS (
+          SELECT u, v AS l FROM edges
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+        comp AS (SELECT u AS doc_id, LEAST(u, MIN(l)) AS component_id
+                 FROM reach GROUP BY u),
+        sizes AS (SELECT component_id, COUNT(*) AS component_size
+                  FROM comp GROUP BY component_id)
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               CAST(COALESCE(s.component_size, 1) AS BIGINT) AS component_size
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        LEFT JOIN sizes s ON c.component_id = s.component_id
+      """)) { (spark, dir) =>
+      // The oracle's recursive CTE is the SPEC (transitive closure:
+      // O(n·m) tuples, fine on a fixture, lethal at corpus scale); the
+      // implementation is the star-contraction operator, whose per-round
+      // cost is a groupBy+join over the edge set only. Labels cover only
+      // docs that appear in some pair (the edge set at 100 TB is far
+      // smaller than the corpus), so singleton docs never enter a shuffle:
+      // they get their own id back via the left join + coalesce.
+      val pairs = simhashPairsDF(spark, dir)
+      val labels = graft.operators.ConnectedComponents.label(pairs, "doc1", "doc2")
+      // cluster sizes on the tiny label set (one row per paired doc), then
+      // joined back onto labels — never a window over the full corpus
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("component_size"))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(labels.join(sizes, "component"), col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component_id"),
+          coalesce(col("component_size"), lit(1L)).as("component_size"))
     },
 
     // ---- D7: benchmark decontamination -------------------------------------
@@ -417,10 +421,11 @@ object DedupCatalog {
       sh AS (SELECT doc_id, $bits AS simhash FROM sums)"""
   }
 
-  /** d5 oracle: the d4 CTEs + chunk banding + hamming verify. */
-  private def simhashPairsOracleSql: String = {
-    s"""
-      WITH $simhashShSql,
+  /** d4 CTEs + chunk banding + hamming verify, ending in
+    * `pairs(doc1, doc2, hamming)` — shared by the d5 oracle and, wrapped in
+    * a recursive closure, the d8 oracle. */
+  private def simhashPairsCtesSql: String = {
+    s"""$simhashShSql,
       chunks AS (
         SELECT doc_id, simhash, c, substr(simhash, c*16+1, 16) AS chunk
         FROM sh, unnest(range(0, 2)) AS t(c)),
@@ -432,12 +437,66 @@ object DedupCatalog {
         FROM chunks a
         JOIN csz USING (c, chunk)
         JOIN chunks b
-          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-      SELECT doc1, doc2,
-             CAST(bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) AS INTEGER) AS hamming
-      FROM cand
-      WHERE bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) <= 1
+          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc1, doc2,
+               CAST(bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(CAST('0b' || sh1 AS BIGINT), CAST('0b' || sh2 AS BIGINT))) <= 1)"""
+  }
+
+  /** d5 oracle: the d4 CTEs + chunk banding + hamming verify. */
+  private def simhashPairsOracleSql: String =
+    s"""
+      WITH $simhashPairsCtesSql
+      SELECT doc1, doc2, hamming FROM pairs
     """
+
+  /** d5's Spark implementation — the near-dup pair set, shared with d8
+    * (which runs connected components over it). */
+  private def simhashPairsDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // Signatures carried as a 32-bit integer: per-pair hamming is one
+    // codegen'd bit_count(xor) instead of 32 substring comparisons.
+    val sh = simhashDF(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        conv(col("simhash"), 2, 10).cast("long").as("sh_int"))
+    val chunks = sh.select(col("doc_id"), col("sh_int"),
+        posexplode(array(
+          substring(col("simhash"), 1, 16),
+          substring(col("simhash"), 17, 16))))
+      .withColumnRenamed("pos", "c").withColumnRenamed("col", "chunk")
+    // per-bucket doc lists instead of a self-join (which would evaluate
+    // the whole signature pipeline once per side) — same trick as d2,
+    // with the same MaxBucket hot-chunk ceiling. The bucket member packs
+    // (doc_id, sh_int) into ONE long (both fit 32 bits: corpus contract /
+    // 32-bit signature), sorted identically to the former
+    // struct(doc_id, sh_int) ordering since doc_id takes the high bits.
+    val buckets = graft.operators.Dedup.boundedDocLists(
+        chunks, Seq("c", "chunk"),
+        shiftleft(packableDocId(col("doc_id")), 32) + col("sh_int"), MaxBucket)
+      .withColumnRenamed("docs", "ds")
+    // hamming is computed and thresholded INSIDE the pair expansion, so
+    // the ~92% of candidates that fail never materialize as rows, and the
+    // surviving pair travels as one packed long (doc ids fit 32 bits) —
+    // the distinct shuffle moves 8-byte keys. A pair matching on both
+    // chunks is verified twice, cheaply, instead of being distinct'd
+    // first.
+    val hits = buckets.select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          filter(
+            transform(slice(col("ds"), i + 2, size(col("ds"))),
+              y => struct(
+                (shiftleft(shiftrightunsigned(x, 32), 32) + shiftrightunsigned(y, 32)).as("pk"),
+                bit_count((x.bitwiseXOR(y)).bitwiseAND(lit(0xffffffffL)))
+                  .as("hamming"))),
+            p => p("hamming") <= 1)))).as("p"))
+    // hamming is a function of the pair, so distinct on (pk, hamming)
+    // equals distinct on the pair
+    hits.select(col("p.pk").as("pk"), col("p.hamming").as("hamming"))
+      .distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("doc1"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("doc2"), col("hamming"))
   }
 
   private def simhashOracleSql: String =
