@@ -474,6 +474,36 @@ object ExtensionCatalog {
       packed.crossJoin(broadcast(guard))
     },
 
+    // ---- X9: deterministic weighted mixture resampling ---------------------
+    // Domain reweighting for a training corpus: per-language epoch rates,
+    // fractional parts decided by the same engine-independent md5 bucket as
+    // the x7 shard split. Rates exercise every branch: downsample (en 0.5),
+    // keep (de 1.0), upsample with fraction (fr 2.5), near-drop (zh 0.1),
+    // and the default rate (es, absent from the map, 0.75).
+    QueryDef(
+      "x9_weighted_mixture_sample",
+      "LLM-corpus mixture reweighting (operators/MixtureSample): per-group epoch rates as floor(r) copies + 1 more iff md5-bucket < frac(r)·10⁴ — expected multiplicity exactly r, decision a pure function of doc_id (reproducible across runs/partitionings/engines), map-only at any corpus scale",
+      Some(s"""
+        SELECT doc_id, lang, CAST(t.c AS BIGINT) AS copy
+        FROM (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+                           WHEN 'zh' THEN 0 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                             < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 0
+                                         WHEN 'fr' THEN 5000 WHEN 'zh' THEN 1000
+                                         ELSE 7500 END
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents),
+          unnest(range(0, n_copies)) AS t(c)
+      """)) { (spark, dir) =>
+      graft.operators.MixtureSample.resample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 2.5, "zh" -> 0.1),
+        defaultRate = 0.75)
+    },
+
     // ---- O5: registry metrics history --------------------------------------
     QueryDef(
       "o5_registry_history",
