@@ -422,6 +422,29 @@ object ExtensionCatalog {
           sum(col("exact_within_group")).as("sum_groupwise_exact"))
     },
 
+    // ---- K4: mergeable Misra-Gries heavy hitters ----------------------------
+    // Unlike k1/k3 this sketch entry IS oracle-checkable: capacity 16 ≥ 5
+    // distinct languages makes the summary provably exact, so the catalog
+    // gets a hash-match gate on the sketch machinery itself (update, merge,
+    // eval) while the operator stays a fixed-k mergeable summary — the
+    // sub-linear-state path for "dominant values per group" at corpus
+    // scale, where capacity << cardinality and weights become lower bounds
+    // within n/(k+1). The error-bound regime is property-gated in
+    // FrequentItemsSpec.
+    QueryDef(
+      "k4_frequent_items",
+      "Mergeable Misra-Gries top-items summary (functions/FrequentItems): per-source language frequencies from a fixed-16-slot sketch, map-side combined, merged without rescan; exact here (16 >= 5 distinct) hence hash-matched against plain GROUP BY counts",
+      Some("""
+        SELECT source, lang AS item, COUNT(*) AS cnt
+        FROM documents
+        GROUP BY source, lang
+      """)) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(graft.functions.FrequentItems(col("lang"), 16).as("fi"))
+        .select(col("source"), explode(col("fi")).as(Seq("item", "cnt")))
+    },
+
     // ---- X7: deterministic hash sharding -----------------------------------
     QueryDef(
       "x7_hash_shard",
