@@ -302,6 +302,57 @@ object DedupCatalog {
           coalesce(col("component_size"), lit(1L)).as("component_size"))
     },
 
+    // ---- X10: leakage-proof train/val/test sharding ------------------------
+    // The x7 hash split has a blind spot every real pretraining pipeline
+    // hits: two NEAR-DUPLICATE documents hash independently, so one lands
+    // in train and its twin in test — evaluation contamination that d7
+    // then has to detect after the fact. The fix is structural: shard by
+    // the d8 CLUSTER id, so an entire near-dup cluster moves as one unit
+    // and the train/eval boundary can never split a duplicate pair.
+    QueryDef(
+      "x10_cluster_shard",
+      "Leakage-proof 80/10/10 sharding: the x7 md5 split applied to the d8 cluster id instead of the doc id — near-duplicate clusters move as one unit across the train/eval boundary, so twins can never straddle it; same determinism contract (pure function of content-derived ids, engine/partitioning/run-independent)",
+      Some(s"""
+        WITH RECURSIVE $simhashPairsCtesSql,
+        edges AS (
+          SELECT doc1 AS u, doc2 AS v FROM pairs
+          UNION
+          SELECT doc2 AS u, doc1 AS v FROM pairs),
+        reach(u, l) AS (
+          SELECT u, v AS l FROM edges
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+        comp AS (SELECT u AS doc_id, LEAST(u, MIN(l)) AS component_id
+                 FROM reach GROUP BY u),
+        lbl AS (
+          SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT doc_id, component_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS shard
+        FROM (SELECT doc_id, component_id,
+                     ('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+              FROM lbl)
+      """)) { (spark, dir) =>
+      val pairs = simhashPairsDF(spark, dir)
+      val labels = graft.operators.ConnectedComponents.label(pairs, "doc1", "doc2")
+      val assigned = Tables.documents(spark, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component_id"))
+      // identical bucket rule to x7, keyed on the cluster id: every member
+      // of a cluster shares the bucket, hence the shard
+      val bucket = pmod(
+        conv(substring(md5(col("component_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(100))
+      assigned.withColumn("bucket", bucket)
+        .withColumn("shard",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+    },
+
     // ---- D7: benchmark decontamination -------------------------------------
     // The eval-set overlap check every pretraining pipeline runs: flag
     // training documents sharing >= 3 distinct word-3-gram shingles with
