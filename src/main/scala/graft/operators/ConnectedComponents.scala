@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the transitive step
@@ -10,8 +11,8 @@ import org.apache.spark.sql.functions._
   * cluster even though `A~C` was never emitted.
   *
   * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
-  * a groupBy + join over the edge set, and the edge set converges to a star
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+  * recomputes per-node minima over the edge set, and the set converges to a star
   * forest (every node pointing at its component's minimum id) in O(log n)
   * rounds on any graph, O(1)-ish on the clique-like clusters LSH produces.
   * Per round state is the edge set itself: no driver-side structures, no
@@ -26,18 +27,20 @@ import org.apache.spark.sql.functions._
   *   `m = min(N(u))`; connect `u` and its other (all smaller) neighbors
   *   to `m`.
   *
-  * Both emit edges already canonically oriented (larger, smaller), so the
-  * fixpoint test is a plain checksum over the set.
+  * Both emit edges already canonically oriented (larger, smaller), and the
+  * per-node minimum rides a window over the one exchange either formulation
+  * must pay (see the in-body note), so each round is 3 exchanges.
   *
-  * Convergence is detected by (count, bit_xor of edge hashes) staying fixed
-  * across a round — two 8-byte aggregates per round with map-side combine,
-  * never a collected set comparison. Each round's edge set goes through
+  * Convergence is detected structurally: the set is the fixpoint IFF it is
+  * already a star forest (see `isStarForest`), checked by one aggregate per
+  * round — never a collected set comparison, and no extra "did anything
+  * change" confirm round. Each round's edge set goes through
   * `localCheckpoint` (which also persists it MEMORY_AND_DISK — it is read
-  * twice: once by the next round's groupBy, once by the convergence
-  * aggregate) so the logical plan stays O(1) deep across rounds instead of
-  * growing per iteration; on a production cluster with preemptible
-  * executors, point `sparkContext.setCheckpointDir` at durable storage and
-  * switch to reliable `checkpoint()` — the algorithm does not change.
+  * twice: once by the next round, once by the convergence aggregate) so
+  * the logical plan stays O(1) deep across rounds instead of growing per
+  * iteration; on a production cluster with preemptible executors, point
+  * `sparkContext.setCheckpointDir` at durable storage and switch to
+  * reliable `checkpoint()` — the algorithm does not change.
   */
 object ConnectedComponents {
 
@@ -56,47 +59,73 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
-    def checksum(ed: DataFrame): (Long, Long) = {
-      // xor-fold is order-independent and collision-resistant enough for a
-      // fixpoint test (a round that changes the set but preserves BOTH
-      // count and 64-bit xor is ~2^-64 per round)
-      val r = ed.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
+    /** Termination test that doubles as a correctness certificate: a
+      * canonically-oriented edge set is the algorithm's fixpoint IFF it is
+      * a star forest — both stars map a star forest to itself (the root is
+      * already every member's minimum), and the SoCC'14 potential argument
+      * gives the converse. Star-forest-ness is one aggregate: no node may
+      * appear as a member (left endpoint) twice, or as both a member and a
+      * root. Checking the SHAPE of the current set costs the same one job
+      * as a change-detection checksum but needs no extra "confirm" round
+      * re-running both stars to observe zero change. */
+    def isStarForest(ed: DataFrame): Boolean =
+      ed.select(explode(array(
+          struct(col("u").as("n"), lit(1L).as("as_member"), lit(0L).as("as_root")),
+          struct(col("v").as("n"), lit(0L).as("as_member"), lit(1L).as("as_root")))).as("x"))
+        .groupBy(col("x.n"))
+        .agg(sum(col("x.as_member")).as("nm"), sum(col("x.as_root")).as("nr"))
+        .filter(col("nm") > 1 || (col("nm") > 0 && col("nr") > 0))
+        .limit(1).isEmpty
 
+    // Per-node min via a window over the SAME exchange a groupBy+join
+    // would need — every (u, v) row must reach u's reducer for the min to
+    // see it under either formulation (unlike the dedup hot-bucket guard,
+    // nothing can be dropped pre-shuffle here), so the window costs the
+    // identical shuffle while saving the min-side exchange and the join:
+    // each round is 3 exchanges, not ~5. The buffered group is one node's
+    // adjacency list, which the contraction itself keeps shrinking and
+    // upstream candidate generation (boundedDocLists) bounds by
+    // construction.
     def largeStar(ed: DataFrame): DataFrame = {
       val nbrs = ed.select(col("u"), col("v"))
         .union(ed.select(col("v").as("u"), col("u").as("v")))
-      val m = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      // emitted edge (v, m) keeps canonical orientation: v > u >= m
-      nbrs.join(m, "u")
+      // exactly ONE output row per input edge (its v > u direction), so no
+      // distinct here: the input is a set, and the round's closing distinct
+      // (in smallStar) dedups across groups
+      nbrs
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .select(col("v").as("u"), col("m").as("v")) // canonical: v > u >= m
     }
 
     def smallStar(ed: DataFrame): DataFrame = {
-      // input is canonically (larger u, smaller v): N(u) here is exactly the
-      // smaller-neighbor set the algorithm wants
-      val m = ed.groupBy("u").agg(min(col("v")).as("m"))
-      ed.join(m, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(m.select(col("u"), col("m").as("v")))
+      // input is canonically (larger u, smaller v): the window partition IS
+      // the smaller-neighbor set the algorithm wants. Emit (v, m) per row
+      // plus (u, m), drop self-loops ((v, m) when v = m; (u, m) cannot be
+      // one since m = min(v) < u), dedup once.
+      ed
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
         .distinct()
     }
 
-    var sum = checksum(e)
-    var converged = false
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    var converged = isStarForest(e)
+    if (debug) System.err.println(
+      f"[cc] init check: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     var iter = 0
     while (!converged && iter < maxIter) {
+      t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val nextSum = checksum(next)
+      converged = isStarForest(next)
+      if (debug) System.err.println(
+        f"[cc] round ${iter + 1}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       e = next
-      converged = nextSum == sum
-      sum = nextSum
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
