@@ -38,6 +38,45 @@ object SimilarityCatalog {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql.format(a, b)} / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
 
+  // ---- SRP-LSH machinery (shared by s5 and SrpLshSpec) ----------------------
+
+  /** 16 hyperplanes × 64 dims of ±1, derived from md5 parity of "i_j" —
+    * deterministic, seedless, re-derivable by review, and embedded as the
+    * SAME literals in the Spark plan and the DuckDB oracle. Rademacher
+    * (±1) planes are the standard SimHash construction for angular LSH. */
+  val SrpPlanes = 16
+  val SrpBands = 4
+  private lazy val srpPlaneMatrix: Array[Array[Float]] =
+    Array.tabulate(SrpPlanes, 64) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0f else -1.0f
+    }
+
+  private def srpPlaneSql(i: Int): String =
+    srpPlaneMatrix(i).map(s => if (s > 0) "1.0" else "-1.0")
+      .mkString("list_value(", ", ", ")")
+
+  /** Per-vector band rows `(vec_id, emb, nrm, b, band_key)` — one row per
+    * band, band key = 4 signature bits packed. The signature bit is the
+    * sign of the same left-to-right double dot product as the oracle. */
+  private[catalog] def srpBands(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val bits: Column = array((0 until SrpPlanes).map { i =>
+      when(dot(col("embedding"), typedlit(srpPlaneMatrix(i).toSeq)) > 0, 1).otherwise(0)
+    }: _*)
+    e.select(col("vec_id"), col("embedding").as("emb"),
+        norm(col("embedding")).as("nrm"), bits.as("bits"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(array((0 until SrpBands).map { b =>
+          (element_at(col("bits"), b * 4 + 1)
+            + element_at(col("bits"), b * 4 + 2) * 2
+            + element_at(col("bits"), b * 4 + 3) * 4
+            + element_at(col("bits"), b * 4 + 4) * 8)
+        }: _*)))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- S1: brute-force cosine top-k --------------------------------------
@@ -180,5 +219,68 @@ object SimilarityCatalog {
           qmaxC.as("qmax"),
           when(qmaxC === qminC, 0.0)
             .otherwise(err2 / size(col("emb"))).as("mse"))
+    },
+
+    // ---- S5: SRP-LSH bucketed top-k (signature scale path) -----------------
+    // The third ANN regime next to s1 (exact scan) and s2 (IVF cells):
+    // sign-random-projection signatures + banding. Candidates = corpus
+    // vectors sharing at least one 4-bit band with the query, then exact
+    // cosine + top-10 among candidates only. At corpus scale the bands are
+    // the shuffle/partition key and the scan never sees non-colliding
+    // vectors; here the 8 queries' bands BROADCAST, so the corpus side
+    // stays map-only until the tiny candidate set. Recall vs s1's exact
+    // top-10 is measured (not assumed) in SrpLshSpec.
+    QueryDef(
+      "s5_topk_cosine_srp",
+      "North-star similarity: top-10 cosine via sign-random-projection LSH — 16 deterministic ±1 hyperplanes (md5-parity-derived, literal-identical on both engines), 4 bands x 4 bits, exact cosine verify on band-colliding candidates only",
+      Some {
+        val bitsSql = (0 until SrpPlanes).map { i =>
+          s"CASE WHEN ${dotSql.format("embedding", srpPlaneSql(i))} > 0 THEN 1 ELSE 0 END"
+        }.mkString("[", ",\n                 ", "]")
+        s"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 $bitsSql AS bits
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, embedding, b,
+                 bits[b*4+1] + 2*bits[b*4+2] + 4*bits[b*4+3] + 8*bits[b*4+4] AS band_key
+          FROM sig, unnest(range(0, ${SrpBands})) AS t(b)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bands q
+          JOIN bands c ON q.b = c.b AND q.band_key = c.band_key
+                      AND q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ${cosineSql("q.embedding", "c.embedding")} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                    ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, cand.neighbor_id) AS rk
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.query_id
+          JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim FROM scored WHERE rk <= 10
+      """
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val bands = srpBands(e)
+      val q = bands.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("b").as("q_b"),
+          col("band_key").as("q_key"), col("emb").as("q_emb"), col("nrm").as("q_norm"))
+      // corpus side stays map-only: band keys are a projection, the 8
+      // queries' bands broadcast, and only band-colliding rows survive
+      val cand = bands.join(broadcast(q),
+          col("b") === col("q_b") && col("band_key") === col("q_key") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("q_emb"), col("emb")) / (col("q_norm") * col("nrm"))).as("cos_sim"))
+        // a pair colliding on several bands is scored per collision, cheaply,
+        // then deduped on the (pair, score) — cos_sim is a function of the pair
+        .distinct()
+      val rk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      cand.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     })
 }
