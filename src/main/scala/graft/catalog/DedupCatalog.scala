@@ -353,6 +353,85 @@ object DedupCatalog {
             .otherwise("test"))
     },
 
+    // ---- D9: end-to-end corpus build ---------------------------------------
+    // The capstone composition: the whole "raw documents → training corpus"
+    // pipeline as ONE declarative plan — length gate, exact-dedup canonical
+    // selection, deterministic 80/10/10 shard split, then mixture
+    // reweighting applied to the TRAIN shard only (eval shards are never
+    // resampled). Because it is one plan, Catalyst sees every stage at
+    // once: the length filter pushes below the dedup window, the window's
+    // rank<=1 runs as WindowGroupLimit, the shard/mixture stages are
+    // map-only on the survivors, and nothing materializes between stages —
+    // the property that matters when the input is 100 TB and the stages
+    // would otherwise each pay a full write+read cycle.
+    QueryDef(
+      "d9_corpus_build",
+      "End-to-end training-corpus build in one plan: token-length gate -> exact-dedup canonical (min doc per content hash) -> md5 80/10/10 shard -> per-language mixture resampling of the train shard only (en 1.25, zh 2.0, default 0.8)",
+      Some(s"""
+        WITH kept AS (
+          SELECT doc_id, lang, text
+          FROM documents
+          WHERE len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000),
+        canon AS (
+          SELECT doc_id, lang
+          FROM (SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                          ORDER BY doc_id) AS rk
+                FROM kept)
+          WHERE rk = 1),
+        sharded AS (
+          SELECT doc_id, lang,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS shard
+          FROM (SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+                FROM canon)),
+        train AS (
+          SELECT doc_id, lang, shard, CAST(t.c AS BIGINT) AS copy
+          FROM (SELECT doc_id, lang, shard,
+                       CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 0 END
+                       + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                                   < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 0 ELSE 8000 END
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM sharded WHERE shard = 'train'),
+               unnest(range(0, n_copies)) AS t(c))
+        SELECT doc_id, lang, shard, copy FROM train
+        UNION ALL
+        SELECT doc_id, lang, shard, CAST(0 AS BIGINT) AS copy
+        FROM sharded WHERE shard <> 'train'
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(size(split(lower(col("text")), " ")).between(5, 1000))
+      // d1's canonical rule as a rank-1 window: WindowGroupLimit pushes the
+      // limit into the sort, so no hash group ever materializes fully
+      val canon = kept
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"))
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(100))
+      val sharded = canon.withColumn("shard",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      // ONE pass for both branches: train rows get the mixture copy count,
+      // eval shards exactly one copy — a union of filtered branches would
+      // duplicate the whole scan+dedup subtree in the plan (verified via
+      // Explain: two parquet scans), which is precisely what this capstone
+      // exists to avoid at corpus scale
+      val n = when(col("shard") === "train",
+        graft.operators.MixtureSample.copies(
+          col("doc_id"), col("lang"), Map("en" -> 1.25, "zh" -> 2.0), 0.8))
+        .otherwise(lit(1L))
+      sharded.withColumn("_n", n)
+        .filter(col("_n") > 0)
+        .withColumn("copy", explode(sequence(lit(0L), col("_n") - 1)))
+        .select(col("doc_id"), col("lang"), col("shard"), col("copy"))
+    },
+
     // ---- D7: benchmark decontamination -------------------------------------
     // The eval-set overlap check every pretraining pipeline runs: flag
     // training documents sharing >= 3 distinct word-3-gram shingles with

@@ -30,8 +30,10 @@ object MixtureSample {
 
   /** Per-group copy count for `idCol`: `floor(rate)` + 1 more iff the id's
     * bucket < round(frac·10⁴). Groups absent from `rates` use
-    * `defaultRate`. */
-  private def nCopies(
+    * `defaultRate`. Public so composites (d9's corpus build) can blend the
+    * mixture count with other per-row copy rules in ONE pass instead of
+    * unioning two scans. */
+  def copies(
       idCol: Column, groupCol: Column,
       rates: Map[String, Double], defaultRate: Double): Column = {
     require((defaultRate +: rates.values.toSeq).forall(_ >= 0), "rates must be >= 0")
@@ -58,7 +60,7 @@ object MixtureSample {
   def resample(
       df: DataFrame, idCol: Column, groupCol: Column,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val n = nCopies(idCol, groupCol, rates, defaultRate)
+    val n = copies(idCol, groupCol, rates, defaultRate)
     df.withColumn("_n_copies", n)
       .filter(col("_n_copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("_n_copies") - 1)))
