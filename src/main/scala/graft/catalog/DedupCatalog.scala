@@ -70,6 +70,51 @@ object DedupCatalog {
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       |       unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i))""".stripMargin
 
+  /** Shared oracle CTE chain ending in `bands(doc_id, b, band_key)` — the
+    * d2 minhash → 3-band pipeline, reused by d10's incremental check. */
+  private lazy val minhashBandsCtesSql: String =
+    s"""$shinglesSql,
+        shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+        base AS (
+          SELECT doc_id,
+                 list_transform(shs,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS hs
+          FROM shl),
+        mh AS (
+          SELECT doc_id,
+                 [${minhashCoeffs.map { case (a, b) =>
+                     s"list_min(list_transform(hs, h -> (h * $a + $b) % $MinhashP))"
+                   }.mkString(", ")}] AS mhs
+          FROM base),
+        bands AS (
+          SELECT doc_id, b,
+                 CAST(mhs[b*3+1] AS VARCHAR) || '|' || CAST(mhs[b*3+2] AS VARCHAR)
+                   || '|' || CAST(mhs[b*3+3] AS VARCHAR) AS band_key
+          FROM mh, unnest(range(0, 3)) AS t(b))"""
+
+  /** The d2 band pipeline `(doc_id, b, band_key)`, shared with d10.
+    * One-pass native signature (graft.functions.MinHashSignature): one md5
+    * per shingle with a reused digest, all 9 minima in a single compiled
+    * loop — replaces 10 interpreted HOF passes per document. Null
+    * signatures (docs with <3 tokens) are dropped: concat_ws never returns
+    * null, so an all-null signature would otherwise band such docs into a
+    * shared "" bucket — the oracle emits no rows for them. */
+  private def minhashBandsDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val mhs = sh.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("shingles"), minhashCoeffs, MinhashP).as("mhs"))
+      .filter(col("mhs").isNotNull)
+    mhs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(2)),
+          b => concat_ws("|",
+            element_at(col("mhs"), b * 3 + 1),
+            element_at(col("mhs"), b * 3 + 2),
+            element_at(col("mhs"), b * 3 + 3)))))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- D1: exact dedup by content hash ----------------------------------
@@ -104,24 +149,7 @@ object DedupCatalog {
       "d2_minhash_lsh_candidates",
       "North-star dedup: MinHash (9 universal-hash seeds) → 3 LSH bands of 3 → bucket-join candidate pairs; O(docs×bands), never O(docs²)",
       Some(s"""
-        WITH $shinglesSql,
-        shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
-        base AS (
-          SELECT doc_id,
-                 list_transform(shs,
-                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS hs
-          FROM shl),
-        mh AS (
-          SELECT doc_id,
-                 [${minhashCoeffs.map { case (a, b) =>
-                     s"list_min(list_transform(hs, h -> (h * $a + $b) % $MinhashP))"
-                   }.mkString(", ")}] AS mhs
-          FROM base),
-        bands AS (
-          SELECT doc_id, b,
-                 CAST(mhs[b*3+1] AS VARCHAR) || '|' || CAST(mhs[b*3+2] AS VARCHAR)
-                   || '|' || CAST(mhs[b*3+3] AS VARCHAR) AS band_key
-          FROM mh, unnest(range(0, 3)) AS t(b)),
+        WITH $minhashBandsCtesSql,
         bsz AS (SELECT b, band_key FROM bands GROUP BY b, band_key
                 HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
@@ -129,24 +157,7 @@ object DedupCatalog {
         JOIN bsz USING (b, band_key)
         JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
       """)) { (spark, dir) =>
-      val sh = Tables.documents(spark, dir)
-        .select(col("doc_id"), shingles(col("text")).as("shingles"))
-      // One-pass native signature (graft.functions.MinHashSignature): one
-      // md5 per shingle with a reused digest, all 9 minima in a single
-      // compiled loop — replaces 10 interpreted HOF passes per document.
-      // Drop null signatures (docs with <3 tokens): concat_ws below never
-      // returns null, so an all-null signature would otherwise band such
-      // docs into a shared "" bucket — the oracle emits no rows for them.
-      val mhs = sh.select(col("doc_id"),
-        graft.functions.MinHashSignature(col("shingles"), minhashCoeffs, MinhashP).as("mhs"))
-        .filter(col("mhs").isNotNull)
-      val bands = mhs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(2)),
-            b => concat_ws("|",
-              element_at(col("mhs"), b * 3 + 1),
-              element_at(col("mhs"), b * 3 + 2),
-              element_at(col("mhs"), b * 3 + 3)))))
-        .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+      val bands = minhashBandsDF(spark, dir)
       // Candidate pairs via per-bucket doc lists instead of a self-join: a
       // self-join (broadcast here) evaluates the whole minhash pipeline
       // TWICE — once per side. Grouping evaluates it once; pairs expand
@@ -351,6 +362,48 @@ object DedupCatalog {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
+    },
+
+    // ---- D10: incremental dedup — new batch vs existing corpus -------------
+    // Continuous-ingestion dedup: an incoming batch is checked against the
+    // CORPUS's minhash band index without recomputing anything over the
+    // corpus pairs. At 100 TB the corpus side is a pre-materialized,
+    // bucketed band-index table (band aggregates, not documents), the
+    // batch's bands broadcast against it, and only colliding buckets are
+    // read — ingestion-time near-dup rejection at O(batch), not O(corpus).
+    // Here the doc_id >= 400 slice stands in for the incoming batch.
+    QueryDef(
+      "d10_incremental_dedup",
+      "North-star dedup: incremental near-dup check — new-batch docs (doc_id >= 400) probed against the existing corpus's minhash band aggregates (count-capped buckets, min corpus doc per bucket); returns the matched canonical and how many bands collided, O(batch) work against a prebuilt index",
+      Some(s"""
+        WITH $minhashBandsCtesSql,
+        cagg AS (
+          SELECT b, band_key, MIN(doc_id) AS min_doc
+          FROM bands WHERE doc_id < 400
+          GROUP BY b, band_key
+          HAVING COUNT(*) <= $MaxBucket)
+        SELECT nb.doc_id, MIN(cg.min_doc) AS matched_doc,
+               CAST(COUNT(DISTINCT nb.b) AS BIGINT) AS n_shared_bands
+        FROM bands nb
+        JOIN cagg cg USING (b, band_key)
+        WHERE nb.doc_id >= 400
+        GROUP BY nb.doc_id
+      """)) { (spark, dir) =>
+      val bands = minhashBandsDF(spark, dir)
+      // the corpus band INDEX: per-bucket aggregates only (min doc id as
+      // the canonical candidate), hot boilerplate bands dropped by the same
+      // MaxBucket ceiling as d2 — this is the table you materialize once
+      // and bucket by (b, band_key) at warehouse scale
+      val cagg = bands.filter(col("doc_id") < 400)
+        .groupBy(col("b"), col("band_key"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+        .filter(col("cnt") <= MaxBucket)
+        .drop("cnt")
+      bands.filter(col("doc_id") >= 400)
+        .join(cagg, Seq("b", "band_key"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("min_doc")).as("matched_doc"),
+          countDistinct(col("b")).as("n_shared_bands"))
     },
 
     // ---- D9: end-to-end corpus build ---------------------------------------
