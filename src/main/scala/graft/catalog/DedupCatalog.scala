@@ -354,9 +354,7 @@ object DedupCatalog {
           coalesce(col("component"), col("doc_id")).as("component_id"))
       // identical bucket rule to x7, keyed on the cluster id: every member
       // of a cluster shares the bucket, hence the shard
-      val bucket = pmod(
-        conv(substring(md5(col("component_id").cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(100))
+      val bucket = graft.functions.Md5Bucket(col("component_id"), 100)
       assigned.withColumn("bucket", bucket)
         .withColumn("shard",
           when(col("bucket") < 80, "train")
@@ -457,7 +455,7 @@ object DedupCatalog {
       import org.apache.spark.sql.expressions.Window
       val kept = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("text"))
-        .filter(size(split(lower(col("text")), " ")).between(5, 1000))
+        .filter(size(toks(col("text"))).between(5, 1000))
       // d1's canonical rule as a rank-1 window: WindowGroupLimit pushes the
       // limit into the sort, so no hash group ever materializes fully
       val canon = kept
@@ -465,9 +463,7 @@ object DedupCatalog {
           Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("lang"))
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(100))
+      val bucket = graft.functions.Md5Bucket(col("doc_id"), 100)
       val sharded = canon.withColumn("shard",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       // ONE pass for both branches: train rows get the mixture copy count,

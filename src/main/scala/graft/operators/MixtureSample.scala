@@ -40,9 +40,7 @@ object MixtureSample {
     def base(r: Double): Int = math.floor(r).toInt
     def thr(r: Double): Int = math.round((r - math.floor(r)) * BucketModulus).toInt
     // same positive-by-construction md5 bucket as the x7 shard split
-    val bucket = pmod(
-      conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(BucketModulus))
+    val bucket = graft.functions.Md5Bucket(idCol, BucketModulus)
     // rates are a small reference map: a literal when-chain keeps the whole
     // decision inside whole-stage codegen (a join against a rates table
     // would work too, but a mixture spec is config, not data)
