@@ -513,6 +513,50 @@ object DedupCatalog {
         .filter(col("n_shared") >= 3)
     },
 
+    // ---- B1: bloom-prefiltered decontamination ----------------------------
+    // d7 broadcasts the eval shingle SET — fine while the eval suite is
+    // small. When the contamination reference is itself large (a seen-URL
+    // corpus, a blocklist of billions of shingles), the scale move is a
+    // FIXED-SIZE mergeable bloom filter (graft.functions.BloomBuildAgg):
+    // built in one aggregate (map-side combined, OR-merged), shipped to
+    // every task as a literal of a few hundred KB, probed inside
+    // whole-stage codegen. Bloom "no" is definitive (no false negatives),
+    // so only the suspects — a vanishing fraction of the corpus — reach the
+    // exact confirmation join, and the final answer is byte-identical to
+    // the exact plan the oracle runs.
+    QueryDef(
+      "b1_bloom_decontamination",
+      "North-star dedup: bloom-prefiltered decontamination — clean training docs via a fixed-size mergeable filter over eval shingle hashes, suspects exactly confirmed (result ≡ exact anti-join)",
+      Some(s"""
+        WITH $shinglesSql,
+        shh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        eval_sh AS (SELECT DISTINCT h FROM shh WHERE doc_id < 25),
+        contaminated AS (
+          SELECT DISTINCT t.doc_id FROM shh t JOIN eval_sh e ON t.h = e.h
+          WHERE t.doc_id >= 25)
+        SELECT d.doc_id
+        FROM (SELECT DISTINCT doc_id FROM shh WHERE doc_id >= 25) d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      """)) { (spark, dir) =>
+      val sh = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+      val evalSh = sh.filter(col("doc_id") < 25).select(col("h")).distinct()
+      // fixed-size filter collected to the driver — KBs whatever the eval size
+      val bloom = evalSh
+        .agg(graft.functions.BloomBits.bloomBuild(col("h"), numBits = 1L << 20))
+        .head.getAs[Array[Byte]](0)
+      val train = sh.filter(col("doc_id") >= 25)
+      val flagged = train.withColumn("maybe",
+        graft.functions.BloomBits.bloomMightContain(lit(bloom), col("h")))
+      // only bloom suspects reach the exact join; a bloom "no" never lies
+      val confirmed = flagged.filter(col("maybe"))
+        .join(broadcast(evalSh), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      flagged.select(col("doc_id")).distinct()
+        .join(confirmed, Seq("doc_id"), "left_anti")
+    },
+
     // ---- D6: canonical selection — keep the best doc per dup cluster ------
     // d1 answers "which docs are duplicates"; the pipeline's next question
     // is "which ONE do we keep". Rank each exact-dup cluster by the t2
@@ -561,6 +605,70 @@ object DedupCatalog {
         .withColumn("rn", row_number().over(best))
         .filter(col("rn") === 1)
         .select(col("doc_id").as("canonical_id"), col("dup_count"), col("quality_score"))
+    },
+
+    // ---- D11: exact span dedup (token-chunk granularity) ------------------
+    // Whole-document dedup (d1) misses the dominant contamination mode of
+    // web corpora: boilerplate SPANS repeated across otherwise-distinct
+    // pages. The ExactSubstr answer (public: Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better") removes repeated spans,
+    // keeping the first occurrence. Re-expressed Spark-shaped at fixed
+    // 10-token chunk granularity: explode docs into indexed chunks (map-
+    // only), pick each chunk's global first occurrence with ONE window over
+    // the chunk-content shuffle — partitioned by md5(chunk) so the sort key
+    // is 32 fixed bytes, not the span text — then rebuild every document
+    // from its surviving chunks with ONE groupBy(doc_id). Two shuffles
+    // total, both on uniform keys; no suffix array, no driver state. A doc
+    // whose every chunk is someone else's boilerplate simply vanishes —
+    // the pipeline's intended outcome, not an edge case.
+    QueryDef(
+      "d11_span_dedup",
+      "North-star dedup: exact span dedup at 10-token-chunk granularity — global first occurrence (doc_id, chunk_idx) wins, documents rebuilt from surviving chunks",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(t[((i-1)*10+1):(i*10)], ' ') AS chunk
+          FROM toks, unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1)) AS u(i)),
+        keep AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk
+                   ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+               COUNT(*) AS n_kept
+        FROM keep WHERE rn = 1
+        GROUP BY doc_id
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val chunkLen = 10
+      val t = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      val chunks = t.select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1L), ceil(size(col("t")) / lit(10.0))),
+          i => struct(
+            i.cast("long").as("chunk_idx"),
+            array_join(
+              slice(col("t"), ((i - 1) * chunkLen + 1).cast("int"), lit(chunkLen)),
+              " ").as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+      // first-occurrence window keyed on the chunk DIGEST: fixed-width
+      // 32-byte shuffle/sort keys; rn=1 pushes map-side as WindowGroupLimit
+      val first = Window.partitionBy(md5(col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(first))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+              s => s("chunk")),
+            " ").as("dedup_text"),
+          count(lit(1)).as("n_kept"))
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring) — a

@@ -207,6 +207,63 @@ object TextCatalog {
         when(nWindows > 0,
           lit(1.0) - nDistinct.cast("double") / nWindows.cast("double"))
           .otherwise(0.0).as("dup_ratio"))
+    },
+
+    // ---- T7: Gopher-style quality gate -------------------------------------
+    // The standard pretraining document filter battery (public: Rae et al.
+    // "Scaling Language Models: ... Gopher", repeated by C4/FineWeb):
+    // word-count bounds, mean word length bounds, symbol-to-word ratio,
+    // alphabetic-word fraction, minimum stopword hits — ANDed into one
+    // keep/drop gate. Every signal is a higher-order array expression over
+    // the same token split: per-row, codegen'd, shuffle-free — at 100 TB
+    // this is a pure scan-side gate that composes with any downstream
+    // dedup without adding a stage. Float signals are derived from exact
+    // integer counts with the SAME division tree on both engines, so the
+    // doubles (and the gate) hash-match bit-for-bit.
+    QueryDef(
+      "t7_gopher_rules",
+      "North-star text analysis: Gopher-rule quality gate — word count, mean word length, symbol ratio, alpha-word fraction, stopword floor, ANDed keep/drop flag",
+      Some(s"""
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                     AND mean_word_len >= 3 AND mean_word_len <= 10
+                     AND symbol_ratio <= 0.1
+                     AND alpha_frac >= 0.8
+                     AND stop_hits >= 2 THEN 1 ELSE 0 END AS passes_gopher
+        FROM (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                   * 1.0 / len(toks) AS mean_word_len,
+                 ((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3)
+                   * 1.0 / len(toks) AS symbol_ratio,
+                 len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1.0 / len(toks) AS alpha_frac,
+                 ${hitsSql("en")} AS stop_hits
+          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                FROM documents))
+      """)) { (spark, dir) =>
+      val t = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("toks"))
+      val n = size(col("toks"))
+      val sumLen = aggregate(col("toks"), lit(0), (acc, x) => acc + length(x))
+      val hashCnt = length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+      val ellCnt = (length(col("text"))
+        - length(replace(col("text"), lit("..."), lit("")))) / lit(3)
+      val alphaCnt = size(filter(col("toks"), x => x.rlike("[a-z]")))
+      val sig = t.select(col("doc_id"),
+        n.as("n_words"),
+        (sumLen * lit(1.0) / n).as("mean_word_len"),
+        ((hashCnt + ellCnt) * lit(1.0) / n).as("symbol_ratio"),
+        (alphaCnt * lit(1.0) / n).as("alpha_frac"),
+        hits(col("toks"), "en").as("stop_hits"))
+      sig.withColumn("passes_gopher",
+        when(col("n_words").between(50, 100000)
+          && col("mean_word_len") >= 3 && col("mean_word_len") <= 10
+          && col("symbol_ratio") <= 0.1
+          && col("alpha_frac") >= 0.8
+          && col("stop_hits") >= 2, 1).otherwise(0))
     })
 
 }

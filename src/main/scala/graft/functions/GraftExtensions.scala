@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashSignature)
     ext.injectFunction(GraftExtensions.hashedWordShingles)
     ext.injectFunction(GraftExtensions.pairCandidates)
+    ext.injectFunction(GraftExtensions.bloomBuild)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
   }
 }
 
@@ -111,5 +113,29 @@ object GraftExtensions {
       case Seq(_, _, _) =>
         throw new IllegalArgumentException("pair_candidates: num/den must be non-null constants")
       case _ => badArity("pair_candidates", "1 or 3")
+    })
+
+  val bloomBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_build"),
+    info("bloom_build",
+      "_FUNC_(key[, num_bits, num_hashes]) - mergeable bloom filter over BIGINT keys (defaults 2^22 bits, 5 hashes)"),
+    {
+      case Seq(k) => BloomBuildAgg(k, 1L << 22, 5).toAggregateExpression()
+      case Seq(k, bits, hashes) if bits.foldable && hashes.foldable &&
+          bits.eval() != null && hashes.eval() != null =>
+        BloomBuildAgg(k, bits.eval().asInstanceOf[Number].longValue(),
+          hashes.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      case Seq(_, _, _) =>
+        throw new IllegalArgumentException("bloom_build: num_bits/num_hashes must be non-null constants")
+      case _ => badArity("bloom_build", "1 or 3")
+    })
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    info("bloom_might_contain",
+      "_FUNC_(filter, key) - probe a bloom_build filter; may false-positive, never false-negative"),
+    {
+      case Seq(f, k) => BloomMightContain(f, k)
+      case _ => badArity("bloom_might_contain", "2")
     })
 }
