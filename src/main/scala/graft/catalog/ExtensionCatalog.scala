@@ -399,6 +399,64 @@ object ExtensionCatalog {
           lead(col("ts"), 1).over(byUser).as("valid_to"))
     },
 
+    // ---- I5: snapshot diff (CDC) -------------------------------------------
+    // The other half of the incremental family: i1/i2 APPLY deltas, this
+    // COMPUTES one — given yesterday's and today's snapshot of a keyed
+    // table, emit the insert/update/delete stream between them. One
+    // full-outer sort-merge join on the key and a change predicate;
+    // unchanged rows (the overwhelming majority at 100 TB) are filtered
+    // before anything else is computed. With both snapshots bucketed by
+    // key (io/Bucketing) the join is exchange-free — the nightly-diff
+    // shape warehouses feed into downstream CDC consumers. The two
+    // "snapshots" here are deterministic slices of orders: keys mod 7
+    // missing from OLD (→ inserts), keys mod 5 missing from NEW
+    // (→ deletes), every key mod 3 repriced (→ updates).
+    QueryDef(
+      "i5_snapshot_diff",
+      "Snapshot-diff CDC: full-outer key join of two table states → insert/update/delete actions with old/new values, unchanged rows dropped",
+      Some("""
+        WITH old_snap AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        new_snap AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1.00 AS DECIMAL(18,2))
+                      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+          FROM orders WHERE o_orderkey % 5 <> 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS action,
+               o.price AS old_price, n.price AS new_price
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.price <> n.price OR o.o_orderstatus <> n.o_orderstatus
+      """)) { (spark, dir) =>
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0,
+            col("price") + lit(BigDecimal("1.00")).cast("decimal(18,2)"))
+            .otherwise(col("price")))
+      val o = oldSnap.as("o"); val n = newSnap.as("n")
+      o.join(n, col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+        .filter(col("o.o_orderkey").isNull || col("n.o_orderkey").isNull
+          || col("o.price") =!= col("n.price")
+          || col("o.o_orderstatus") =!= col("n.o_orderstatus"))
+        .select(
+          coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("o_orderkey"),
+          when(col("o.o_orderkey").isNull, "insert")
+            .when(col("n.o_orderkey").isNull, "delete")
+            .otherwise("update").as("action"),
+          col("o.price").as("old_price"),
+          col("n.price").as("new_price"))
+    },
+
     // ---- K3: mergeable HLL sketches (rows-only: sketch bytes are
     // engine-specific, the POINT is the partial-merge pattern) ---------------
     QueryDef(

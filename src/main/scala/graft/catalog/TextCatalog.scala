@@ -264,6 +264,44 @@ object TextCatalog {
           && col("symbol_ratio") <= 0.1
           && col("alpha_frac") >= 0.8
           && col("stop_hits") >= 2, 1).otherwise(0))
+    },
+
+    // ---- V1: tokenizer vocabulary build ------------------------------------
+    // The first step of training any tokenizer (BPE, WordPiece, unigram) is
+    // the same corpus-wide job: count every candidate token, apply a
+    // minimum-frequency floor, keep the top-k by count, assign dense ids.
+    // Shape matters at 100 TB: token counting is a partial-aggregated
+    // groupBy (map-side combine shrinks the shuffle to the distinct-token
+    // set), and the top-k is orderBy(...).limit(k) — Spark plans that as
+    // TakeOrderedAndProject, a per-partition bounded heap + driver merge of
+    // k rows, NOT a global sort. Only then does the dense-id window run,
+    // over at most k rows — the single-partition window is bounded by the
+    // LIMIT, never by the corpus.
+    QueryDef(
+      "v1_vocab_build",
+      "North-star text analysis: tokenizer vocab build — corpus token counts, min-frequency floor, top-k (count desc, token tiebreak), dense id assignment",
+      Some("""
+        WITH counts AS (
+          SELECT t AS token, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+          GROUP BY 1
+          HAVING COUNT(*) >= 5),
+        ranked AS (
+          SELECT token, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+          FROM counts)
+        SELECT token, cnt, rn - 1 AS token_id
+        FROM ranked WHERE rn <= 1000
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documentsFanned(spark, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(1000)
+      top.withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
     })
 
 }
