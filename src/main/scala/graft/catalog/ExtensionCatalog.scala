@@ -299,6 +299,55 @@ object ExtensionCatalog {
           .otherwise(0)).as("n_outliers"))
     },
 
+    // ---- A15: calendar-spine gap fill --------------------------------------
+    // Time-series marts must emit a row for EVERY (group, period) cell —
+    // a month with no orders is a zero, not a missing row (dashboards,
+    // forecasting inputs, and SLA monitors all break on gaps). The spine
+    // is derived, not hand-written: the min/max month is one tiny global
+    // aggregate (two values to the driver — the b1 bloom posture: a
+    // fixed-size reduction, never data rows), exploded per group
+    // map-side, then left-joined to the actuals. No cartesian product in
+    // the Spark plan — the group×month fanout rides an explode of a
+    // 25-element literal array, and the join stays a broadcast hash join
+    // on the (group, month) key.
+    QueryDef(
+      "a15_gapfill_spine",
+      "Calendar-spine gap fill: monthly revenue per priority with explicit DECIMAL zero rows for silent months — spine from a min/max reduction, exploded per group, left join to actuals",
+      Some("""
+        WITH actual AS (
+          SELECT o_orderpriority AS pri,
+                 date_trunc('month', o_orderdate) AS month,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+          FROM orders GROUP BY 1, 2),
+        bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM actual),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+                  FROM bounds),
+        pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders)
+        SELECT p.pri, s.month,
+               COALESCE(a.revenue, CAST(0.00 AS DECIMAL(18,2))) AS revenue
+        FROM pris p CROSS JOIN spine s
+        LEFT JOIN actual a ON a.pri = p.pri AND a.month = s.month
+      """)) { (spark, dir) =>
+      val actual = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("revenue"))
+      // fixed-size reduction to the driver: two timestamps, not data rows
+      val b = actual.agg(min(col("month")), max(col("month"))).head
+      val (lo, hi) = (b.getTimestamp(0).toLocalDateTime, b.getTimestamp(1).toLocalDateTime)
+      val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
+        .map(m => lit(java.sql.Timestamp.valueOf(m)).cast("timestamp")).toSeq
+      val spine = explode(array(months: _*)).as("month")
+      val cells = Tables.orders(spark, dir).select(col("o_orderpriority").as("pri"))
+        .distinct()
+        .select(col("pri"), spine)
+      cells.join(actual, Seq("pri", "month"), "left")
+        .select(col("pri"), col("month"),
+          coalesce(col("revenue"),
+            lit(BigDecimal("0.00")).cast("decimal(18,2)")).as("revenue"))
+    },
+
     // ---- X3: large-large interval overlap join ----------------------------
     QueryDef(
       "x3_interval_overlap_join",
@@ -534,6 +583,45 @@ object ExtensionCatalog {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
+    },
+
+    // ---- X11: deterministic global shuffle rank ----------------------------
+    // Training consumes the corpus in a fixed pseudorandom ORDER, and that
+    // order must be reproducible across engines and reruns: train_pos =
+    // dense global rank under ORDER BY md5(id). The naive plan is a
+    // single-partition window over the whole corpus — the classic
+    // scale-killer. The scalable shape is the TeraSort two-phase rank:
+    // md5's first byte range-partitions the order (bucket b holds exactly
+    // the ranks between the sizes of buckets < b), so phase 1 computes 256
+    // bucket counts and their exclusive prefix offsets (a window over 256
+    // rows — bounded by the fanout, never the corpus), and phase 2 ranks
+    // WITHIN each bucket in parallel and adds the broadcast offset. The sum
+    // is exactly the global rank; no stage ever holds more than one
+    // bucket's rows.
+    QueryDef(
+      "x11_global_shuffle_rank",
+      "Deterministic corpus shuffle order: global rank under ORDER BY md5(doc_id), computed as per-bucket parallel ranks + broadcast prefix offsets — no single-partition window",
+      Some("""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                 AS train_pos
+        FROM documents
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        // first md5 byte: buckets are contiguous RANGES of the global order
+        .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      val offsets = docs.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val within = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      docs.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("train_pos", row_number().over(within) - 1 + col("offset"))
+        .select(col("doc_id"), col("train_pos"))
     },
 
     // ---- X8: sequence packing (rows-only: bin assignment is an imperative
