@@ -492,6 +492,52 @@ object ParityCatalog {
     },
 
     // ---- I4: field-wise OLTP merge (transaction_service.py:78-126) --------
+    // ---- DQ1: the dbt schema-test battery as one report --------------------
+    // The reference declares one schema test (`unique` on
+    // stg_historic_trxns.transaction_id, _staging.yml:6-11) and runs it via
+    // `dbt build` (repo.py:77). operators/DataQuality generalizes that to
+    // the full dbt test surface with dbt's counting semantics; this entry
+    // runs a representative battery over the fixtures — including checks
+    // that MUST report nonzero (duplicated event user_ids, 'P'-status
+    // orders, 'zh' docs against an en/es/de/fr whitelist) so the counting
+    // itself is oracle-gated, not just the all-green path.
+    QueryDef(
+      "dq1_constraint_report",
+      "dbt-style data-quality battery (unique / not_null / accepted_values / relationships) unioned into one (tbl, chk, col_name, violations) report — each check one partial-aggregated pass or anti-join",
+      Some("""
+        SELECT 'events' AS tbl, 'unique' AS chk, 'user_id' AS col_name,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM events
+                                      GROUP BY 1 HAVING COUNT(*) > 1)) AS violations
+        UNION ALL
+        SELECT 'orders', 'accepted_values', 'o_orderstatus',
+               (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+        UNION ALL
+        SELECT 'lineitem', 'not_null', 'l_returnflag',
+               (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL)
+        UNION ALL
+        SELECT 'lineitem', 'relationships', 'l_orderkey',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'documents', 'accepted_values', 'lang',
+               (SELECT COUNT(*) FROM documents
+                WHERE lang NOT IN ('en', 'es', 'de', 'fr'))
+      """)) { (spark, dir) =>
+      import graft.operators.DataQuality
+      val orders = Tables.orders(spark, dir)
+      val lineitem = Tables.lineitem(spark, dir)
+      DataQuality.report(Seq(
+        DataQuality.unique(Tables.events(spark, dir), "events", Seq("user_id")),
+        DataQuality.acceptedValues(orders, "orders", "o_orderstatus", Seq("F", "O")),
+        DataQuality.notNull(lineitem, "lineitem", "l_returnflag"),
+        DataQuality.relationships(lineitem, "lineitem", "l_orderkey",
+          orders, "o_orderkey"),
+        DataQuality.acceptedValues(Tables.documents(spark, dir), "documents",
+          "lang", Seq("en", "es", "de", "fr"))))
+    },
+
     QueryDef(
       "i4_fieldwise_merge",
       "I4 (transaction_service.py:78-126 categorize_transaction, batched): get-or-create merge where master/source are assigned unconditionally, notes/validated/exclude update only when provided, created rows take defaults, touched rows get updated_at stamped — one full-outer join, the MERGE shape at scale",
