@@ -274,6 +274,51 @@ object ParityCatalog {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // ---- J11: null-aware NOT IN anti-join ----------------------------------
+    // The NOT IN correctness trap: `k NOT IN (subquery)` is NOT a plain
+    // anti-join — one NULL in the subquery makes the predicate UNKNOWN for
+    // every non-matching row, so the result is EMPTY, and a NULL probe key
+    // never qualifies. Engines that rewrite NOT IN to LEFT ANTI silently
+    // return wrong rows. Spark compiles the single-column form to a
+    // null-aware BroadcastHashJoin (spark.sql.optimizeNullAwareAntiJoin,
+    // on by default) — broadcast + one flag for "subquery has a NULL", no
+    // BNLJ, scan-shaped on the probe side at any scale. Both variants run
+    // through SQL so the ENGINE's rewrite is what is being checked: the
+    // clean subquery must anti-join normally; the null-poisoned one must
+    // yield zero rows.
+    QueryDef(
+      "j11_null_aware_anti",
+      "Null-aware NOT IN semantics: clean subquery anti-joins normally; a single NULL in the subquery empties the result (tri-state logic) — engine-level rewrite checked through SQL on both sides",
+      Some("""
+        SELECT 'clean' AS variant, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderkey NOT IN
+          (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 500)
+        UNION ALL
+        SELECT 'null_poisoned' AS variant, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderkey NOT IN
+          (SELECT CASE WHEN l_linenumber = 1 AND l_orderkey < 10
+                       THEN NULL ELSE l_orderkey END
+           FROM lineitem WHERE l_orderkey < 500)
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("j11_orders")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("j11_lineitem")
+      spark.sql("""
+        SELECT 'clean' AS variant, COUNT(*) AS n
+        FROM j11_orders
+        WHERE o_orderkey NOT IN
+          (SELECT l_orderkey FROM j11_lineitem WHERE l_orderkey < 500)
+        UNION ALL
+        SELECT 'null_poisoned' AS variant, COUNT(*) AS n
+        FROM j11_orders
+        WHERE o_orderkey NOT IN
+          (SELECT CASE WHEN l_linenumber = 1 AND l_orderkey < 10
+                       THEN NULL ELSE l_orderkey END
+           FROM j11_lineitem WHERE l_orderkey < 500)
+      """)
+    },
+
     // ---- F3: set operators -------------------------------------------------
     QueryDef(
       "f3_set_ops",

@@ -117,6 +117,23 @@ object EventStreams {
   def appendOnlyByKey(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Ingestion-time corpus filter: drop stream rows whose key is (maybe)
+    * already in a historical corpus, using a [[graft.functions.BloomBits]]
+    * filter built ONCE over the corpus and embedded in the streaming plan
+    * as a literal. STATELESS — unlike a stream-static anti-join, nothing
+    * is re-scanned or re-broadcast per micro-batch, and unlike
+    * dropDuplicatesWithinWatermark nothing accrues state: the filter is a
+    * few hundred KB of bits probed inside whole-stage codegen, the right
+    * shape when the dedup reference is billions of historical keys.
+    * Asymmetry is explicit in the name: bloom "no" is definitive, so a
+    * kept row is GUARANTEED new; a dropped row is only PROBABLY seen
+    * (false-positive rate set at build time) — the lossy-but-bounded trade
+    * every ingestion dedup at corpus scale makes, with the exact confirm
+    * join (b1 posture) as the lossless alternative. */
+  def dropProbablySeen(stream: DataFrame, corpusBloom: Array[Byte], keyCol: String): DataFrame =
+    stream.filter(!graft.functions.BloomBits.bloomMightContain(
+      lit(corpusBloom), xxhash64(col(keyCol))))
+
   /** Stream-static enrichment join: attach dimension attributes to every
     * event as it arrives — the standard "enrich the stream with the
     * customer table" shape. STATELESS: the static side is broadcast into

@@ -221,4 +221,36 @@ class EventStreamsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("dropProbablySeen filters a stream against a static corpus bloom, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus of seen doc keys -> one fixed-size filter, built in batch
+    val corpus = (0L until 500L).map(i => s"doc-$i").toDF("doc_key")
+    val bloom = corpus
+      .agg(graft.functions.BloomBits.bloomBuild(xxhash64(col("doc_key")), 1 << 16, 7))
+      .head.getAs[Array[Byte]](0)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("event_id", "ts", "doc_key")
+    val q = EventStreams.dropProbablySeen(stream, bloom, "doc_key")
+      .writeStream.format("memory").queryName("bloomdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "doc-3"),     // seen -> dropped
+        (2L, ts("2024-01-01 10:01:00"), "doc-499"),   // seen -> dropped
+        (3L, ts("2024-01-01 10:02:00"), "fresh-a"),   // new  -> kept
+        (4L, ts("2024-01-01 10:03:00"), "fresh-b"))   // new  -> kept
+      q.processAllAvailable()
+      val kept = spark.table("bloomdedup").select("doc_key")
+        .collect().map(_.getString(0)).toSet
+      // no false negatives: every corpus key is gone, with certainty
+      assert(!kept.contains("doc-3") && !kept.contains("doc-499"))
+      // kept rows are guaranteed new (these two could only vanish via a
+      // false positive; at 2^16 bits / 500 keys the fpp is ~1e-12)
+      assert(kept == Set("fresh-a", "fresh-b"))
+      // stateless: no state store operator at all in the streaming plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
