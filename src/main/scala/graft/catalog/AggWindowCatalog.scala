@@ -279,5 +279,39 @@ object AggWindowCatalog {
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         .limit(1)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    },
+
+    // ---- W7: event-gap detection -------------------------------------------
+    // The monitoring twin of i3's SCD2 lead(): per-key consecutive-event
+    // deltas, keeping only gaps over a threshold — how a pipeline detects
+    // connector outages, silent sources, and ingestion stalls (the batch
+    // analog of a missed-heartbeat alert; the reference's connection-health
+    // check infers the same thing from lookback windows,
+    // connection_health.py:27-123). One window over the (user, ts)
+    // shuffle, one filter — no self-join, state O(1) per row. At 100 TB
+    // the partition key (user/source/connector id) keeps the sort local
+    // to each key's rows.
+    QueryDef(
+      "w7_gap_detection",
+      "Per-user event-gap report: lead() over (user_id, ts), keep gaps > 48 h with start/end/duration — the missed-heartbeat/outage detector as one window pass",
+      Some("""
+        SELECT user_id, gap_start, gap_end,
+               CAST(date_diff('second', gap_start, gap_end) AS BIGINT) AS gap_seconds
+        FROM (
+          SELECT user_id, ts AS gap_start,
+                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_end
+          FROM events)
+        WHERE gap_end IS NOT NULL
+          AND date_diff('second', gap_start, gap_end) > 172800
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").as("gap_start"),
+          lead(col("ts"), 1).over(byUser).as("gap_end"))
+        .filter(col("gap_end").isNotNull)
+        .withColumn("gap_seconds",
+          (unix_timestamp(col("gap_end")) - unix_timestamp(col("gap_start"))))
+        .filter(col("gap_seconds") > 172800)
     })
 }
