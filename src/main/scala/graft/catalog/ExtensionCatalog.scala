@@ -65,6 +65,46 @@ object ExtensionCatalog {
         payload = Seq("purchase_ts", "purchase_value"))
     },
 
+    // ---- J12: SCD2 point-in-time lookup ≡ as-of join -----------------------
+    // The warehouse consumption pattern for i3's SCD2 intervals: attach to
+    // each fact the dimension state VALID AT its timestamp. The textbook
+    // formulation is an inequality join (fact.ts BETWEEN valid_from AND
+    // valid_to) — an interval join whose cost explodes with history depth.
+    // But on a type-2 dimension the intervals per key are disjoint and
+    // contiguous by construction, so "the interval containing ts" IS "the
+    // latest version starting at-or-before ts": the whole lookup collapses
+    // to AsOfJoin.backward — one tagged-union window shuffle, no
+    // inequality join, no pair expansion, whatever the history depth. The
+    // oracle deliberately states the INTERVAL form (build valid_from/
+    // valid_to with lead(), BETWEEN-join it) so the hash match proves the
+    // equivalence cross-engine rather than assuming it.
+    QueryDef(
+      "j12_scd2_lookup",
+      "SCD2 point-in-time lookup: each click joined to the purchase-state version valid at its timestamp — as-of join on the Spark side, explicit interval BETWEEN-join in the oracle, hash-equal by the disjoint-contiguous-intervals argument",
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase'),
+        dim AS (
+          SELECT user_id, value, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM p WHERE rn = 1),
+        facts AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT f.event_id, f.user_id, f.ts, d.value AS state_value
+        FROM facts f LEFT JOIN dim d
+          ON d.user_id = f.user_id AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      """)) { (spark, dir) =>
+      val (clicks, purchases) = clicksAndPurchases(spark, dir)
+      AsOfJoin.backward(
+        clicks, purchases.withColumnRenamed("purchase_value", "state_value"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "purchase_ts",
+        payload = Seq("state_value"))
+    },
+
     // ---- X1b: forward as-of join ------------------------------------------
     QueryDef(
       "x1b_asof_forward",
