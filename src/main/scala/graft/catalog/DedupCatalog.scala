@@ -648,7 +648,7 @@ object DedupCatalog {
       val chunks = t.select(
         col("doc_id"),
         explode(transform(
-          sequence(lit(1L), ceil(size(col("t")) / lit(10.0))),
+          sequence(lit(1L), ceil(size(col("t")) / lit(chunkLen.toDouble))),
           i => struct(
             i.cast("long").as("chunk_idx"),
             array_join(

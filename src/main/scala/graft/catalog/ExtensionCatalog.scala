@@ -373,19 +373,31 @@ object ExtensionCatalog {
           date_trunc("month", col("o_orderdate")).as("month"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(18,2)").as("revenue"))
-      // fixed-size reduction to the driver: two timestamps, not data rows
+      // fixed-size reduction to the driver: two timestamps, not data rows.
+      // Month arithmetic runs in the SESSION timezone (UTC here), never the
+      // JVM default — Timestamp.toLocalDateTime would re-interpret the
+      // instants in user.timezone and land the spine off every month
+      // boundary on a non-UTC host.
+      val sessionZone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
       val b = actual.agg(min(col("month")), max(col("month"))).head
-      val (lo, hi) = (b.getTimestamp(0).toLocalDateTime, b.getTimestamp(1).toLocalDateTime)
-      val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
-        .map(m => lit(java.sql.Timestamp.valueOf(m)).cast("timestamp")).toSeq
-      val spine = explode(array(months: _*)).as("month")
-      val cells = Tables.orders(spark, dir).select(col("o_orderpriority").as("pri"))
-        .distinct()
-        .select(col("pri"), spine)
-      cells.join(actual, Seq("pri", "month"), "left")
-        .select(col("pri"), col("month"),
-          coalesce(col("revenue"),
-            lit(BigDecimal("0.00")).cast("decimal(18,2)")).as("revenue"))
+      if (b.isNullAt(0)) {
+        // empty input: an empty report with the right schema, not an NPE
+        actual.select(col("pri"), col("month"), col("revenue")).limit(0)
+      } else {
+        val lo = b.getTimestamp(0).toInstant.atZone(sessionZone).toLocalDateTime
+        val hi = b.getTimestamp(1).toInstant.atZone(sessionZone).toLocalDateTime
+        val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
+          .map(m => lit(java.sql.Timestamp.from(m.atZone(sessionZone).toInstant))
+            .cast("timestamp")).toSeq
+        val spine = explode(array(months: _*)).as("month")
+        val cells = Tables.orders(spark, dir).select(col("o_orderpriority").as("pri"))
+          .distinct()
+          .select(col("pri"), spine)
+        cells.join(actual, Seq("pri", "month"), "left")
+          .select(col("pri"), col("month"),
+            coalesce(col("revenue"),
+              lit(BigDecimal("0.00")).cast("decimal(18,2)")).as("revenue"))
+      }
     },
 
     // ---- X3: large-large interval overlap join ----------------------------

@@ -302,20 +302,23 @@ object ParityCatalog {
                        THEN NULL ELSE l_orderkey END
            FROM lineitem WHERE l_orderkey < 500)
       """)) { (spark, dir) =>
-      Tables.orders(spark, dir).createOrReplaceTempView("j11_orders")
-      Tables.lineitem(spark, dir).createOrReplaceTempView("j11_lineitem")
-      spark.sql("""
+      // direct-path relations, not temp views — a catalog query must never
+      // mutate shared session state (the bench runs 8 entries concurrently
+      // over one session)
+      val o = s"parquet.`$dir/orders.parquet`"
+      val l = s"parquet.`$dir/lineitem.parquet`"
+      spark.sql(s"""
         SELECT 'clean' AS variant, COUNT(*) AS n
-        FROM j11_orders
+        FROM $o
         WHERE o_orderkey NOT IN
-          (SELECT l_orderkey FROM j11_lineitem WHERE l_orderkey < 500)
+          (SELECT l_orderkey FROM $l WHERE l_orderkey < 500)
         UNION ALL
         SELECT 'null_poisoned' AS variant, COUNT(*) AS n
-        FROM j11_orders
+        FROM $o
         WHERE o_orderkey NOT IN
           (SELECT CASE WHEN l_linenumber = 1 AND l_orderkey < 10
                        THEN NULL ELSE l_orderkey END
-           FROM j11_lineitem WHERE l_orderkey < 500)
+           FROM $l WHERE l_orderkey < 500)
       """)
     },
 
@@ -555,7 +558,8 @@ object ParityCatalog {
                                       GROUP BY 1 HAVING COUNT(*) > 1)) AS violations
         UNION ALL
         SELECT 'orders', 'accepted_values', 'o_orderstatus',
-               (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+               (SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+                WHERE o_orderstatus NOT IN ('F', 'O'))
         UNION ALL
         SELECT 'lineitem', 'not_null', 'l_returnflag',
                (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL)
@@ -567,7 +571,7 @@ object ParityCatalog {
                                   WHERE o.o_orderkey = l.l_orderkey))
         UNION ALL
         SELECT 'documents', 'accepted_values', 'lang',
-               (SELECT COUNT(*) FROM documents
+               (SELECT COUNT(DISTINCT lang) FROM documents
                 WHERE lang NOT IN ('en', 'es', 'de', 'fr'))
       """)) { (spark, dir) =>
       import graft.operators.DataQuality

@@ -29,10 +29,13 @@ object Layout {
     * implementation). */
   def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // bit extraction via AND 1, not `% 2`: the remainder of a negative long
+    // is negative, which would corrupt the key for any negative input —
+    // AND keeps every term in {0, 1} whatever the sign
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftrightunsigned(a.cast("long"), i) % 2, 2 * i),
-        shiftleft(shiftrightunsigned(b.cast("long"), i) % 2, 2 * i + 1))
+        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }
@@ -43,6 +46,9 @@ object Layout {
   def writeZOrdered(
       df: DataFrame, path: String, c1: String, c2: String,
       bits: Int = 16, numFiles: Int = 0): Unit = {
+    require(!df.columns.contains("_zkey"),
+      "input already has a column named _zkey; rename it first " +
+        "(it would be silently overwritten and dropped)")
     val zkey = zorder2(col(c1), col(c2), bits).as("_zkey")
     val keyed = df.withColumn("_zkey", zkey)
     val ranged =

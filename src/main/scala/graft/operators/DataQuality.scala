@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * executed by `dbt build`, `repo.py:77`) to the full battery `dbt build`
   * supports, with dbt's exact counting semantics:
   *
-  *  - `unique`: number of DISTINCT key values that occur more than once
+  *  - `unique`: number of DISTINCT non-null key values occurring more than
+  *    once (dbt filters `where column is not null` — NULLs are
+  *    `not_null`'s job)
   *  - `not_null`: number of rows with a NULL in the column
-  *  - `accepted_values`: number of rows whose value is outside the list
-  *    (NULLs pass, matching SQL `NOT IN` semantics — pair with `not_null`)
+  *  - `accepted_values`: number of DISTINCT non-null values outside the
+  *    list (dbt's test groups by the column; NULLs pass via SQL `NOT IN`
+  *    semantics — pair with `not_null`)
   *  - `relationships`: number of child rows with a non-null key absent
   *    from the parent (left anti join)
   *
@@ -33,10 +36,12 @@ object DataQuality {
       col("violations"))
 
   /** dbt `unique`: distinct values of `keyCols` occurring in more than one
-    * row. */
+    * row. NULL keys are excluded, exactly as dbt's test SQL does
+    * (`where column is not null`) — nullability is `not_null`'s job. */
   def unique(df: DataFrame, tbl: String, keyCols: Seq[String]): DataFrame =
     row(
-      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .agg(count(lit(1)).as("violations")),
       tbl, "unique", keyCols.mkString(","))
@@ -47,10 +52,13 @@ object DataQuality {
       df.filter(col(c).isNull).agg(count(lit(1)).as("violations")),
       tbl, "not_null", c)
 
-  /** dbt `accepted_values`: rows with a non-null value outside `values`. */
+  /** dbt `accepted_values`: DISTINCT non-null values outside `values` —
+    * dbt's test groups by the column, so its failure count is the number
+    * of offending values, not offending rows. */
   def acceptedValues(df: DataFrame, tbl: String, c: String, values: Seq[String]): DataFrame =
     row(
-      df.filter(!col(c).isin(values: _*)).agg(count(lit(1)).as("violations")),
+      df.filter(!col(c).isin(values: _*))
+        .agg(count_distinct(col(c)).as("violations")),
       tbl, "accepted_values", c)
 
   /** dbt `relationships`: child rows whose non-null `childCol` has no match

@@ -16,6 +16,21 @@ class LayoutSpec extends SparkSpec {
     assert(rows.toSeq == Seq(5L, 10L, 3L, 6L, 4294967295L))
   }
 
+  test("zorder2 masks negative inputs to their low bits instead of corrupting the key") {
+    // -1 = ...1111: low 2 bits are 11 -> same interleave as (3, 0)
+    val z = Seq((-1L, 0L)).toDF("a", "b")
+      .select(Layout.zorder2(col("a"), col("b"), 2).as("z"))
+      .head.getLong(0)
+    assert(z == 5L)
+  }
+
+  test("writeZOrdered rejects an input that already has a _zkey column") {
+    val df = Seq((1, 2, 9L)).toDF("x", "y", "_zkey")
+    val e = intercept[IllegalArgumentException](
+      Layout.writeZOrdered(df, "/tmp/never-written", "x", "y"))
+    assert(e.getMessage.contains("_zkey"))
+  }
+
   test("zorder2 is monotone within a row/column of the grid") {
     // along a fixed b, increasing a must increase z (prefix bits agree)
     val z = (0 until 64)

@@ -16,6 +16,12 @@ class DataQualitySpec extends SparkSpec {
     assert(violations(DataQuality.unique(df.distinct(), "t", Seq("k"))) == 0)
   }
 
+  test("unique excludes NULL keys, exactly like dbt's test SQL") {
+    val df = Seq(Some(1), None, None, Some(2)).toDF("k")
+    // dbt: `where k is not null` — two NULL rows are NOT a uniqueness violation
+    assert(violations(DataQuality.unique(df, "t", Seq("k"))) == 0)
+  }
+
   test("unique supports compound keys") {
     val df = Seq((1, "a"), (1, "b"), (1, "a")).toDF("k1", "k2")
     assert(violations(DataQuality.unique(df, "t", Seq("k1", "k2"))) == 1)
