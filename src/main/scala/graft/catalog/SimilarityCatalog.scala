@@ -282,5 +282,38 @@ object SimilarityCatalog {
       cand.withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    },
+
+    // ---- S6: per-label embedding centroids ---------------------------------
+    // The prototype/E-step aggregation every embedding pipeline runs:
+    // per-class mean vectors (classifier prototypes, cluster updates,
+    // per-source drift monitors). Long format (label, pos) — posexplode is
+    // map-only and the ONE shuffle carries labels × dims partial sums, not
+    // vectors. Accumulation is DECIMAL(18,9) from the float values: float
+    // addition is order-dependent, so a double sum would hash differently
+    // under every partitioning — the decimal sum is exact and engine/
+    // partition-order-independent (the f2 moment-stats posture applied to
+    // vectors). Sum and count ship separately; consumers divide — decimal
+    // division scale rules differ across engines, the inputs don't.
+    QueryDef(
+      "s6_label_centroids",
+      "Per-label embedding centroid accumulators: posexplode to (label, pos), exact DECIMAL(18,9) sums + counts — order/partitioning-independent, one shuffle of labels x dims rows",
+      Some("""
+        SELECT label, i AS pos,
+               -- the DOUBLE hop is load-bearing: DuckDB's direct
+               -- float->decimal cast rounds via the float's shortest
+               -- decimal rendering, Spark's via the exact double value —
+               -- casting through DOUBLE pins both engines to the same path
+               SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS sum_val,
+               COUNT(*) AS n
+        FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          sum(col("v").cast("decimal(18,9)")).as("sum_val"),
+          count(lit(1)).as("n"))
     })
 }
