@@ -302,6 +302,88 @@ object TextCatalog {
       val top = counts.orderBy(col("cnt").desc, col("token")).limit(1000)
       top.withColumn("token_id",
         row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+    },
+
+    // ---- T8: BM25 keyword scoring ------------------------------------------
+    // The retrieval half of a corpus pipeline: score every document against
+    // a keyword query with BM25 (public: Robertson–Spärck Jones; the
+    // default ranking function of Lucene/ES). Collection statistics
+    // (per-term document frequency, average doc length) are ONE fixed-size
+    // aggregate — a handful of numbers whatever the corpus, collected and
+    // embedded as literals (the b1 bloom posture), so scoring itself is a
+    // single map-only scan: per-doc term frequencies from the token array,
+    // the score a pure expression. Cross-engine float determinism: idf is
+    // the RATIONAL RSJ weight (N − df + 0.5)/(df + 0.5) — no ln(), whose
+    // last-ulp rounding differs across libm implementations — and every
+    // double derives from integer counts through the SAME expression tree
+    // on both engines, summed in fixed term order.
+    QueryDef(
+      "t8_bm25_score",
+      "BM25 keyword scoring (rational RSJ idf, k1=1.2 b=0.75): collection stats as one fixed-size aggregate, then a map-only scoring scan; matching docs with per-term tfs and the score",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        -- every non-exact literal is CAST to DOUBLE: DuckDB types bare 1.0 /
+        -- 2.2 / 1.2 as DECIMAL and would take an exact-decimal arithmetic
+        -- path Spark's doubles can't reproduce (0.5/0.25/0.75 are
+        -- binary-exact either way and may stay bare)
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+          FROM t),
+        tf AS (
+          SELECT doc_id, len(toks) AS dl,
+                 len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+                 len(list_filter(toks, x -> x = 'join')) AS tf_join,
+                 len(list_filter(toks, x -> x = 'window')) AS tf_window
+          FROM t)
+        SELECT doc_id, tf_spark, tf_join, tf_window,
+               ((n - df_spark + 0.5) / (df_spark + 0.5))
+                 * (tf_spark * CAST(2.2 AS DOUBLE))
+                 / (tf_spark + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * dl / avgdl))
+             + ((n - df_join + 0.5) / (df_join + 0.5))
+                 * (tf_join * CAST(2.2 AS DOUBLE))
+                 / (tf_join + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * dl / avgdl))
+             + ((n - df_window + 0.5) / (df_window + 0.5))
+                 * (tf_window * CAST(2.2 AS DOUBLE))
+                 / (tf_window + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * dl / avgdl))
+               AS bm25
+        FROM tf, stats
+        WHERE tf_spark + tf_join + tf_window > 0
+      """)) { (spark, dir) =>
+      val terms = Seq("spark", "join", "window")
+      val t = Tables.documents(spark, dir)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+      // ONE fixed-size reduction: N, avg doc length, per-term doc freq —
+      // five numbers regardless of corpus size
+      val statsRow = t.agg(
+        (count(lit(1)) * lit(1.0)).as("n"),
+        (sum(size(col("toks"))) * lit(1.0) / count(lit(1))).as("avgdl"),
+        (sum(when(array_contains(col("toks"), terms(0)), 1).otherwise(0)) * lit(1.0)).as("df0"),
+        (sum(when(array_contains(col("toks"), terms(1)), 1).otherwise(0)) * lit(1.0)).as("df1"),
+        (sum(when(array_contains(col("toks"), terms(2)), 1).otherwise(0)) * lit(1.0)).as("df2"))
+        .head
+      val n = statsRow.getDouble(0); val avgdl = statsRow.getDouble(1)
+      val dfs = Seq(statsRow.getDouble(2), statsRow.getDouble(3), statsRow.getDouble(4))
+      val dl = size(col("toks"))
+      def tf(term: String): Column =
+        size(filter(col("toks"), x => x === term))
+      // same parenthesization as the oracle — the doubles must be identical
+      def termScore(tfc: Column, df: Double): Column =
+        lit((n - df + 0.5) / (df + 0.5)) *
+          (tfc * lit(2.2)) /
+          (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl)))
+      val scored = t.select(col("doc_id"), col("toks"),
+        tf(terms(0)).as("tf_spark"), tf(terms(1)).as("tf_join"),
+        tf(terms(2)).as("tf_window"))
+      scored
+        .filter(col("tf_spark") + col("tf_join") + col("tf_window") > 0)
+        .select(col("doc_id"), col("tf_spark"), col("tf_join"), col("tf_window"),
+          (termScore(col("tf_spark"), dfs(0))
+            + termScore(col("tf_join"), dfs(1))
+            + termScore(col("tf_window"), dfs(2))).as("bm25"))
     })
 
 }
