@@ -400,6 +400,40 @@ object ExtensionCatalog {
       }
     },
 
+    // ---- A16: equi-width histogram -----------------------------------------
+    // The profiling twin of a14's quantiles: fixed equi-width bins over a
+    // measure, per group, with GLOBAL bin edges so groups are comparable.
+    // The edges come from one min/max reduction (two doubles to the
+    // driver — the b1 posture), the binning is a pure expression, and the
+    // histogram is one partial-aggregated groupBy: at 100 TB this is a
+    // scan + one shuffle of (groups × 20) rows. The top edge folds into
+    // the last bin (LEAST(..., 19)) so max-valued rows are counted, not
+    // dropped.
+    QueryDef(
+      "a16_equiwidth_histogram",
+      "Per-priority 20-bin equi-width histogram of order totals with global edges from one min/max reduction — count and DECIMAL-exact sum per cell",
+      Some("""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        SELECT o_orderpriority,
+               LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+        FROM orders, b
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val b = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      // same expression tree as the oracle: (v - lo) / ((hi - lo) / 20)
+      val bin = least(
+        floor((col("o_totalprice") - lit(lo)) / lit((hi - lo) / 20)), lit(19L))
+      o.groupBy(col("o_orderpriority"), bin.as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_amount"))
+    },
+
     // ---- X3: large-large interval overlap join ----------------------------
     QueryDef(
       "x3_interval_overlap_join",
