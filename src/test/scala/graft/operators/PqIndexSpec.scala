@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8 well-separated clusters of 40 vectors in 16 dims (the AnnIndexSpec
+    * geometry — PQ must at least preserve cluster structure). */
+  private lazy val corpus = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextFloat() * 10 - 5))
+    (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rng.nextFloat() * 0.5f - 0.25f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private lazy val cb = PqIndex.fit(corpus, "embedding", dim = 16, nSub = 4, nCodes = 16)
+
+  test("fit produces nSub codebooks of nCodes centers with subDim dims") {
+    assert(cb.nSub == 4 && cb.subDim == 4 && cb.nCodes == 16)
+    assert(cb.centers.forall(_.forall(_.length == 4)))
+  }
+
+  test("encode emits nSub bytes per vector — 16x compression here, deterministic") {
+    val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
+    assert(enc.count() == 320)
+    val sizes = enc.select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(4)) // 16 floats (64 B) -> 4 B
+    // deterministic: encoding twice is byte-identical
+    val a = enc.orderBy("vec_id").collect().map(_.getAs[Array[Byte]]("codes").toSeq)
+    val b = PqIndex.encode(cb, corpus, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getAs[Array[Byte]]("codes").toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("same-cluster vectors share codes far more often than cross-cluster") {
+    val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def agree(x: Long, y: Long): Int =
+      enc(x).zip(enc(y)).count { case (p, q) => p == q }
+    // rows i and i+8 are in the same cluster; i and i+1 are not
+    val same = (0L until 64L).map(i => agree(i, i + 8)).sum
+    val cross = (0L until 64L).map(i => agree(i, i + 1)).sum
+    assert(same > cross * 2, s"same-cluster agreement $same vs cross $cross")
+  }
+
+  test("ADC shortlist + exact rescore reaches high recall vs brute force") {
+    val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = AnnIndex.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = PqIndex.searchTopK(cb, enc, corpus, queries, "vec_id", "embedding",
+        k = 10, shortlist = 64)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    val recall = pq.keys.toSeq.map { q =>
+      (pq(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / pq.size
+    assert(recall >= 0.8, s"recall $recall")
+    assert(pq.values.forall(_.size == 10))
+  }
+
+  test("rescored results rank by true cosine (each query's own row is its top hit)") {
+    val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val top1 = PqIndex.searchTopK(cb, enc, corpus, queries, "vec_id", "embedding",
+        k = 1, shortlist = 64)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the query vector itself is in the corpus -> cosine 1.0 must win
+    assert(top1.forall { case (q, n) => q == n }, s"$top1")
+  }
+}
