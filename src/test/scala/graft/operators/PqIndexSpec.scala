@@ -67,6 +67,37 @@ class PqIndexSpec extends SparkSpec {
     assert(pq.values.forall(_.size == 10))
   }
 
+  test("IVF-PQ composition: ADC search over only the probed cells keeps recall") {
+    // the production stack: AnnIndex cells prune the corpus, PQ codes rank
+    // inside the probed cells — search state is cells + codes, never the
+    // full float vectors
+    val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
+    val enc = PqIndex.encode(cb, idx.indexed, "vec_id", "embedding")
+      .join(idx.indexed.select("vec_id", "cell"), "vec_id")
+    val queries = corpus.filter(col("vec_id") < 8)
+    // probe each query's 2 nearest cells via the IVF path, then restrict
+    // the encoded corpus to those cells before ADC
+    val probedCells = AnnIndex.searchTopK(idx, queries, "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      .select("neighbor_id").distinct()
+    val pruned = enc.join(probedCells,
+      enc("vec_id") === probedCells("neighbor_id"), "left_semi")
+    assert(pruned.count() < 320, "probing must prune some cells")
+    val pq = PqIndex.searchTopK(cb, pruned, corpus, queries, "vec_id", "embedding",
+        k = 10, shortlist = 40)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = AnnIndex.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = pq.keys.toSeq.map { q =>
+      (pq(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / pq.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall")
+  }
+
   test("rescored results rank by true cosine (each query's own row is its top hit)") {
     val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 4)
