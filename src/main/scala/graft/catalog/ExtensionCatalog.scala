@@ -415,7 +415,9 @@ object ExtensionCatalog {
       Some("""
         WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
         SELECT o_orderpriority,
-               LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+               CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+               END AS bin,
                COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
         FROM orders, b
@@ -424,9 +426,14 @@ object ExtensionCatalog {
       val o = Tables.orders(spark, dir)
       val b = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-      // same expression tree as the oracle: (v - lo) / ((hi - lo) / 20)
-      val bin = least(
-        floor((col("o_totalprice") - lit(lo)) / lit((hi - lo) / 20)), lit(19L))
+      // same expression tree as the oracle: (v - lo) / ((hi - lo) / 20).
+      // Degenerate hi == lo would divide 0/0 → NaN, where the engines
+      // diverge (DuckDB raises on CAST(FLOOR(NaN)), Spark folds to 0) —
+      // a single-valued measure is one bin by definition.
+      val bin =
+        if (hi == lo) lit(0L)
+        else least(
+          floor((col("o_totalprice") - lit(lo)) / lit((hi - lo) / 20)), lit(19L))
       o.groupBy(col("o_orderpriority"), bin.as("bin"))
         .agg(
           count(lit(1)).as("n"),

@@ -321,7 +321,8 @@ object TextCatalog {
       "t8_bm25_score",
       "BM25 keyword scoring (rational RSJ idf, k1=1.2 b=0.75): collection stats as one fixed-size aggregate, then a map-only scoring scan; matching docs with per-term tfs and the score",
       Some("""
-        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
         -- every non-exact literal is CAST to DOUBLE: DuckDB types bare 1.0 /
         -- 2.2 / 1.2 as DECIMAL and would take an exact-decimal arithmetic
         -- path Spark's doubles can't reproduce (0.5/0.25/0.75 are
@@ -354,7 +355,10 @@ object TextCatalog {
         WHERE tf_spark + tf_join + tf_window > 0
       """)) { (spark, dir) =>
       val terms = Seq("spark", "join", "window")
+      // null-text guard symmetric with the oracle's WHERE: a null token
+      // array would otherwise hit sum(size(...)) null/-1 asymmetries
       val t = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), toks(col("text")).as("toks"))
       // ONE fixed-size reduction: N, avg doc length, per-term doc freq —
       // five numbers regardless of corpus size

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  /** centers(sub)(code) is a subDim-length float array. */
+  /** centers(sub)(code) is a subDim-length float array. Subspaces may hold
+    * FEWER centers than requested (KMeans returns < k on degenerate data —
+    * e.g. a zero-padded or near-constant subspace); every loop below bounds
+    * itself by `centers(s).length`, and `nCodes` is the STRIDE (the max),
+    * so ragged codebooks encode and search correctly instead of crashing. */
   final case class Codebooks(nSub: Int, subDim: Int, centers: Array[Array[Array[Float]]]) {
-    def nCodes: Int = centers(0).length
+    def nCodes: Int = centers.map(_.length).max
   }
 
   /** Fit per-subspace codebooks on at most `maxFitRows` sampled vectors.
@@ -46,9 +50,14 @@ object PqIndex {
       seed: Long = 42L,
       maxFitRows: Int = 100000): Codebooks = {
     require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
+    require(nCodes >= 2 && nCodes <= 256,
+      s"nCodes must be in [2,256] (codes are stored as single bytes), got $nCodes")
     val subDim = dim / nSub
-    // bounded fit set, cached once, reused by all nSub fits
-    val sample = corpus.select(col(vecCol).as("v")).limit(maxFitRows).cache()
+    // bounded fit set via the shared seeded reservoir (a limit() prefix
+    // would train on the first partitions only), cached once for all fits
+    val sample = AnnIndex
+      .reservoirSample(corpus.select(col(vecCol).as("v")), maxFitRows.toLong, seed)
+      .cache()
     try {
       val centers = (0 until nSub).map { s =>
         val slices = sample.select(
@@ -70,7 +79,8 @@ object PqIndex {
       val base = s * cb.subDim
       var best = 0; var bestD = Float.MaxValue
       var c = 0
-      while (c < cb.nCodes) {
+      val codesInSub = cb.centers(s).length
+      while (c < codesInSub) {
         val ctr = cb.centers(s)(c)
         var d = 0f; var i = 0
         while (i < cb.subDim) {
@@ -121,7 +131,8 @@ object PqIndex {
       while (s < cb.nSub) {
         val base = s * cb.subDim
         var c = 0
-        while (c < cb.nCodes) {
+        val codesInSub = cb.centers(s).length
+        while (c < codesInSub) {
           val ctr = cb.centers(s)(c)
           var d = 0f; var i = 0
           while (i < cb.subDim) { val diff = qv(base + i) - ctr(i); d += diff * diff; i += 1 }
@@ -134,23 +145,30 @@ object PqIndex {
     }
     val bcTables = spark.sparkContext.broadcast(tables)
     val nSub = cb.nSub; val nCodes = cb.nCodes
-    val approx = encoded.select(col(idCol).cast("long"), col("codes"))
+    // candidate scoring emits (query, −dist, id) straight into the bounded
+    // k-heap aggregate (operators/TopK): only shortlist × partitions rows
+    // cross the wire — the window formulation would shuffle EVERY
+    // corpus × queries row to its query's reducer, the exact anti-pattern
+    // TopK exists to avoid. Self-matches are excluded here, matching the
+    // AnnIndex/bruteForce contract (a query is never its own neighbor).
+    val short = encoded.select(col(idCol).cast("long"), col("codes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val ts = bcTables.value
         it.flatMap { case (id, codes) =>
-          ts.iterator.map { case (qid, t) =>
-            var d = 0f; var s = 0
+          ts.iterator.collect { case (qid, t) if qid != id =>
+            var d = 0.0; var s = 0
             while (s < nSub) { d += t(s * nCodes + (codes(s) & 0xFF)); s += 1 }
-            (qid, id, d)
+            (qid, -d, id) // negate: TopK keeps HIGHEST scores = smallest dist
           }
         }
       }
-      .toDF("query_id", "neighbor_id", "adc_dist")
-    val adcRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    val short = approx.withColumn("adc_rank", row_number().over(adcRank))
-      .filter(col("adc_rank") <= shortlist)
+      .groupByKey(_._1)
+      .agg(TopK.topK(shortlist).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((_, id), i) => (qid, id, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "adc_rank")
     // exact rescore of the shortlist only — the original vectors are read
     // for shortlist × queries rows, not the corpus
     val qDf = qRows.toSeq.toDF("query_id", "q_emb")

@@ -74,14 +74,21 @@ class PqIndexSpec extends SparkSpec {
     val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
     val enc = PqIndex.encode(cb, idx.indexed, "vec_id", "embedding")
       .join(idx.indexed.select("vec_id", "cell"), "vec_id")
-    val queries = corpus.filter(col("vec_id") < 8)
-    // probe each query's 2 nearest cells via the IVF path, then restrict
-    // the encoded corpus to those cells before ADC
-    val probedCells = AnnIndex.searchTopK(idx, queries, "vec_id", "embedding",
-        k = 10, nProbe = 2)
-      .select("neighbor_id").distinct()
-    val pruned = enc.join(probedCells,
-      enc("vec_id") === probedCells("neighbor_id"), "left_semi")
+    // two queries from two clusters — probing must NOT touch all 8 cells
+    val queries = corpus.filter(col("vec_id") < 2)
+    // probe each query's 2 nearest CELLS (distance to the IVF centers),
+    // then restrict the encoded corpus to those cells before ADC — real
+    // cell-level pruning, not a restriction to some precomputed answer set
+    val qVecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val probedCells = qVecs.flatMap { case (_, v) =>
+      idx.model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        val ca = c.toArray
+        (i, v.indices.map(j => { val d = v(j) - ca(j); d * d }).sum)
+      }.sortBy(_._2).take(2).map(_._1)
+    }.toSet
+    assert(probedCells.size < 8, "2 clustered queries must not probe every cell")
+    val pruned = enc.filter(col("cell").isin(probedCells.toSeq: _*))
     assert(pruned.count() < 320, "probing must prune some cells")
     val pq = PqIndex.searchTopK(cb, pruned, corpus, queries, "vec_id", "embedding",
         k = 10, shortlist = 40)
@@ -98,14 +105,34 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF-PQ recall $recall")
   }
 
-  test("rescored results rank by true cosine (each query's own row is its top hit)") {
+  test("self-matches are excluded; top-1 lands in the query's own cluster") {
     val enc = PqIndex.encode(cb, corpus, "vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 4)
     val top1 = PqIndex.searchTopK(cb, enc, corpus, queries, "vec_id", "embedding",
         k = 1, shortlist = 64)
       .select("query_id", "neighbor_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // the query vector itself is in the corpus -> cosine 1.0 must win
-    assert(top1.forall { case (q, n) => q == n }, s"$top1")
+    // same contract as AnnIndex/bruteForce: never your own row; on this
+    // fixture row i's cluster is i % 8, so the top hit shares it
+    assert(top1.forall { case (q, n) => q != n && q % 8 == n % 8 }, s"$top1")
+  }
+
+  test("degenerate subspace (constant dims) yields a ragged codebook that still works") {
+    // last 4 dims identically zero -> that subspace has ONE distinct point;
+    // KMeans returns fewer centers than requested and nothing may crash
+    val flat = corpus.select(col("vec_id"),
+      concat(slice(col("embedding"), 1, 12),
+        array(lit(0f), lit(0f), lit(0f), lit(0f))).as("embedding"))
+    val cb2 = PqIndex.fit(flat, "embedding", dim = 16, nSub = 4, nCodes = 8)
+    assert(cb2.centers(3).length < 8, "degenerate subspace must collapse")
+    val enc = PqIndex.encode(cb2, flat, "vec_id", "embedding")
+    assert(enc.count() == 320)
+    // every code in the degenerate subspace is the single surviving center
+    assert(enc.select(col("codes")).collect()
+      .forall(_.getAs[Array[Byte]](0)(3) == 0))
+    // and search still runs end-to-end over the ragged codebook
+    val res = PqIndex.searchTopK(cb2, enc, flat,
+      flat.filter(col("vec_id") < 2), "vec_id", "embedding", k = 5, shortlist = 32)
+    assert(res.count() == 10)
   }
 }
