@@ -311,6 +311,39 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- F4: arbitrary GROUPING SETS ---------------------------------------
+    // rollup (a12) and cube (a13) are the fixed hierarchies; real report
+    // suites ask for ARBITRARY set lists — "by priority, by status, and the
+    // grand total, but NOT the cross" — which GROUP BY GROUPING SETS
+    // computes in ONE pass instead of one query per set + union. Spark
+    // plans it as a single Expand + aggregate: each input row fans out once
+    // per set before the same single shuffle the plain groupBy pays.
+    QueryDef(
+      "f4_grouping_sets",
+      "GROUP BY GROUPING SETS ((priority), (status), ()): the two single-dim reports + grand total in one pass, without cube's unwanted cross combination; GROUPING() indicators disambiguate the null-keyed rows",
+      Some("""
+        SELECT o_orderpriority AS priority,
+               o_orderstatus AS status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("priority")), Seq(col("status")), Seq.empty),
+          col("priority"), col("status"))
+        .agg(
+          grouping(col("priority")).cast("int").as("g_pri"),
+          grouping(col("status")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"))
+    },
+
     // ---- A14: IQR outlier fence --------------------------------------------
     QueryDef(
       "a14_outlier_fence",
