@@ -148,5 +148,50 @@ object EventsCatalog {
       """)) { (spark, dir) =>
       graft.streaming.EventStreams.enrichWithCustomers(
         Tables.events(spark, dir), Tables.customer(spark, dir))
+    },
+
+    // ---- E7: ordered funnel -------------------------------------------------
+    // The product-analytics staple: users who did view THEN click THEN
+    // purchase, each stage strictly after the previous one — an ORDERED
+    // sequence, not three independent existence checks (a user who clicked
+    // before ever viewing does not convert). Each stage is a filtered MIN
+    // aggregate joined to the previous stage's first-passage time; every
+    // aggregate and join keys on user_id, so the whole funnel rides ONE
+    // key's partitioning — at 100 TB the event scan dominates and the
+    // per-stage state is one timestamp per surviving user.
+    QueryDef(
+      "e7_funnel",
+      "Ordered view→click→purchase funnel: per-stage first-passage times (each strictly after the prior stage), per-stage surviving-user counts",
+      Some("""
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS users
+        UNION ALL
+        SELECT '2_click' AS stage, (SELECT COUNT(*) FROM c) AS users
+        UNION ALL
+        SELECT '3_purchase' AS stage, (SELECT COUNT(*) FROM p) AS users
+      """)) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
     })
 }
