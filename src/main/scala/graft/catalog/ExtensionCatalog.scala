@@ -711,6 +711,35 @@ object ExtensionCatalog {
             .otherwise("test"))
     },
 
+    // ---- X12: deterministic stratified fixed-n sample ----------------------
+    // Eval-set construction: exactly min(n, |stratum|) docs per language,
+    // chosen by md5 order — a pure function of the ids, so the "random"
+    // sample is identical across runs, engines, and partitionings (x7's
+    // determinism contract applied to per-group sampling; rand()-based
+    // sampling can never be audited after the fact). One window per
+    // stratum whose rn ≤ n filter pushes map-side as WindowGroupLimit:
+    // each task keeps at most n rows per stratum before the exchange.
+    QueryDef(
+      "x12_stratified_sample",
+      "Deterministic per-stratum fixed-n sample: 20 docs per language by md5(doc_id) order — reproducible across engines/runs/partitionings, rank-limit pushed map-side",
+      Some("""
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 20
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(byLang))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // ---- X11: deterministic global shuffle rank ----------------------------
     // Training consumes the corpus in a fixed pseudorandom ORDER, and that
     // order must be reproducible across engines and reruns: train_pos =
