@@ -193,5 +193,41 @@ object EventsCatalog {
       stage(v, "1_view")
         .unionByName(stage(c, "2_click"))
         .unionByName(stage(p, "3_purchase"))
+    },
+
+    // ---- E8: retention cohorts ---------------------------------------------
+    // The other product-analytics staple: group users by first-seen day
+    // (their cohort), then count how many are active again N days later —
+    // the retention matrix behind every growth dashboard. Two aggregates
+    // and one join, all keyed on user_id, then a (cohort, offset) count
+    // whose cardinality is days × window — tiny whatever the event volume.
+    // DISTINCT before the count is per (user, cohort, offset), bounded by
+    // users × window, and partial-aggregates map-side.
+    QueryDef(
+      "e8_retention_cohorts",
+      "Daily retention cohorts: users bucketed by first-seen day, active-user counts per (cohort_day, day_offset ≤ 7) — the growth-dashboard matrix as two keyed aggregates",
+      Some("""
+        WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY 1),
+        activity AS (
+          SELECT DISTINCT e.user_id, f.cohort_day,
+                 CAST(e.ts AS DATE) - f.cohort_day AS day_offset
+          FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+        SELECT cohort_day, day_offset, COUNT(*) AS active_users
+        FROM activity
+        WHERE day_offset <= 7
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      e.join(firstSeen, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"))
+        .distinct()
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
     })
 }

@@ -311,6 +311,50 @@ object ExtensionCatalog {
           count(lit(1)).as("n"))
     },
 
+    // ---- A17: time-weighted average ----------------------------------------
+    // Metering/monitoring semantics: a reading holds UNTIL the next one, so
+    // the honest mean weights each value by how long it was current —
+    // the plain AVG over-counts bursts of samples (billing, utilization,
+    // and SLO dashboards all get this wrong with row-mean). One lead()
+    // window for interval lengths, then a keyed aggregate; weights are
+    // exact DECIMAL × whole seconds so the accumulation is
+    // order/partitioning-independent (the f2/s6 posture), and the final
+    // ratio is one double division from identical exact inputs on both
+    // engines. Last reading per key has no successor and drops out —
+    // open-ended tails are a policy choice, not a default.
+    QueryDef(
+      "a17_time_weighted_avg",
+      "Per-user time-weighted mean of value (reading holds until the next): lead() interval weights in whole seconds, exact DECIMAL accumulation, one double ratio at the boundary",
+      Some("""
+        WITH iv AS (
+          SELECT user_id,
+                 CAST(value AS DECIMAL(18,6)) AS v,
+                 CAST(date_diff('second', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   AS BIGINT) AS dt
+          FROM events)
+        SELECT user_id,
+               SUM(dt) AS total_seconds,
+               CAST(SUM(v * dt) AS DOUBLE) AS weighted_sum,
+               CAST(SUM(v * dt) AS DOUBLE) / SUM(dt) AS twa
+        FROM iv WHERE dt IS NOT NULL
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(spark, dir)
+        .select(col("user_id"),
+          col("value").cast("decimal(18,6)").as("v"),
+          (unix_timestamp(lead(col("ts"), 1).over(byUser))
+            - unix_timestamp(col("ts"))).as("dt"))
+      iv.filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("dt")).as("total_seconds"),
+          sum(col("v") * col("dt")).cast("double").as("weighted_sum"))
+        .withColumn("twa", col("weighted_sum") / col("total_seconds"))
+    },
+
     // ---- F4: arbitrary GROUPING SETS ---------------------------------------
     // rollup (a12) and cube (a13) are the fixed hierarchies; real report
     // suites ask for ARBITRARY set lists — "by priority, by status, and the
