@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction — the steady-state ops problem of every
@@ -11,17 +11,32 @@ import org.apache.spark.sql.SparkSession
   * metadata-bound. Compaction rewrites many small files into few
   * target-sized ones without changing a row.
   *
-  * Planning is next-fit-decreasing over the FILE LISTING — metadata, not
-  * data: the same bounded-bin discipline as `operators/SequencePack` (docs
-  * → token bins there, files → byte bins here), on the driver because the
-  * listing already lives there (it is how any engine plans a scan).
-  * Oversized files get a singleton group and are left in place — rewriting
-  * a file that is already big enough is pure write amplification.
+  * Planning is first-fit-decreasing over the FILE LISTING — metadata, not
+  * data (the listing is how any engine plans a scan, and it lives on the
+  * driver). FFD gives the convergence property a scheduled job needs: no
+  * two output groups can still merge under the target, so one pass reaches
+  * a fixpoint instead of re-rewriting data every run. Files over the
+  * target get a singleton group.
   *
-  * The rewrite reads each multi-file group once and writes it as one file,
-  * into a fresh directory swapped in atomically (the TableStore/Snapshots
-  * rename posture): readers see the old complete state or the new one,
-  * never a half-compacted directory.
+  * Crash safety is by construction, not by cleanup:
+  *
+  *  - Phase 1 builds the COMPLETE new layout in a staging directory
+  *    without ever mutating the source: merged groups are read+written,
+  *    singletons are COPIED (bounded write amplification traded for the
+  *    invariant that the source stays whole until commit).
+  *  - Phase 2 writes a `_COMMITTED` marker; only then
+  *  - Phase 3 swaps directories (rename out, rename in, delete old), with
+  *    every rename's boolean result CHECKED — Hadoop signals failure by
+  *    returning false, not throwing.
+  *
+  * A crash at ANY point leaves a state [[recover]] can repair without data
+  * loss: an unmarked staging dir is garbage (the source is still
+  * complete); a marked one plus a missing source means the swap died
+  * mid-flight and is rolled forward; a leftover `_old` dir with the source
+  * present is a completed swap's debris. `compact` runs recovery on entry.
+  * Concurrent READERS may observe a brief not-found window between the two
+  * swap renames — this is a single-writer maintenance operation, not a
+  * transactional commit (that is what table formats add).
   */
 object Compaction {
 
@@ -31,9 +46,14 @@ object Compaction {
   }
   final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  private val Marker = "_COMMITTED"
+
+  private def stagedPath(dir: String) = new Path(dir + "._compact_tmp")
+  private def oldPath(dir: String) = new Path(dir + "._compact_old")
+
   /** Data files directly under `dir` (no recursion — partitioned layouts
     * compact per partition directory, which also bounds one run's blast
-    * radius). */
+    * radius; [[compact]] refuses a directory with subdirectories). */
   def listDataFiles(spark: SparkSession, dir: String): Seq[FileInfo] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,63 +64,99 @@ object Compaction {
       .map(s => FileInfo(s.getPath.toString, s.getLen))
   }
 
-  /** Next-fit-decreasing byte-bin planning: every file in exactly one
+  /** First-fit-decreasing byte-bin planning: every file in exactly one
     * group, no multi-file group over `targetBytes`, files over the target
-    * isolated as singletons. Deterministic (size desc, path tiebreak). */
+    * isolated as singletons, and — the FFD guarantee next-fit lacks — NO
+    * TWO GROUPS whose total still fits the target (if two such groups
+    * existed, every file of the later one fit the earlier one when it was
+    * placed). Deterministic (size desc, path tiebreak). */
   def planGroups(files: Seq[FileInfo], targetBytes: Long): Seq[Group] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val sorted = files.sortBy(f => (-f.bytes, f.path))
-    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
-    var bin = scala.collection.mutable.ArrayBuffer.empty[FileInfo]
-    var used = 0L
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[FileInfo], Long)]
     sorted.foreach { f =>
-      if (bin.nonEmpty && used + f.bytes > targetBytes) {
-        groups += Group(bin.toSeq); bin = scala.collection.mutable.ArrayBuffer.empty
-        used = 0L
+      bins.indexWhere { case (_, used) => used + f.bytes <= targetBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), f.bytes))
+        case i => val (buf, used) = bins(i); buf += f; bins(i) = (buf, used + f.bytes)
       }
-      bin += f; used += f.bytes
     }
-    if (bin.nonEmpty) groups += Group(bin.toSeq)
-    groups.toSeq
+    bins.map { case (buf, _) => Group(buf.toSeq) }.toSeq
   }
 
-  /** Rewrite `dir` so no two files could still merge under `targetBytes`.
-    * Multi-file groups are read once and written as one file; singleton
-    * groups (already-big-enough files) are moved, not rewritten. The new
-    * layout is staged in a sibling directory and renamed in. */
-  def compact(spark: SparkSession, dir: String, targetBytes: Long): Stats = {
-    val files = listDataFiles(spark, dir)
-    val groups = planGroups(files, targetBytes)
+  private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst),
+      s"Compaction: rename $src -> $dst failed (Hadoop returned false); " +
+        "aborting before any destructive step")
+
+  /** Repair the debris of a crashed run. Safe in every reachable state
+    * because phase 1 never mutates the source:
+    *  - source present + unmarked staging → staging is garbage, drop it
+    *  - source present + marked staging   → swap never started, drop it
+    *    (the source is a complete equivalent layout)
+    *  - source MISSING + `_old` present   → the swap's first rename ran:
+    *    roll BACK by restoring `_old` (marked staging, if intact, is then
+    *    redundant and dropped — the next run recompacts)
+    *  - `_old` present + source present   → a finished swap's debris, drop */
+  def recover(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new Path(dir + "._compact_tmp")
-    if (fs.exists(staged)) fs.delete(staged, true)
+    val staged = stagedPath(dir)
+    val old = oldPath(dir)
+    if (!fs.exists(p) && fs.exists(old)) mustRename(fs, old, p)
+    if (fs.exists(old) && fs.exists(p)) { fs.delete(old, true); () }
+    if (fs.exists(staged)) { fs.delete(staged, true); () }
+  }
+
+  /** Compact `dir` to ~`targetBytes` files. Runs [[recover]] first;
+    * refuses a directory that contains subdirectories (partitioned roots
+    * are compacted per partition). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Stats = {
+    recover(spark, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"Compaction: $dir does not exist")
+    val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"Compaction: $dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+        "a partitioned layout is compacted per partition directory, and a " +
+        "whole-directory swap here would destroy the unlisted partitions")
+    val files = listDataFiles(spark, dir)
+    val groups = planGroups(files, targetBytes)
+
+    // ---- phase 1: build the complete new layout; source untouched --------
+    val staged = stagedPath(dir)
     fs.mkdirs(staged)
     groups.zipWithIndex.foreach { case (g, i) =>
       if (g.files.size == 1) {
-        // pure move: no read, no write amplification
+        // COPY, not move: until commit, `dir` must remain the complete
+        // authoritative layout a retry can always fall back to
         val src = new Path(g.files.head.path)
-        fs.rename(src, new Path(staged, f"keep-$i%05d-${src.getName}"))
+        FileUtil.copy(fs, src, fs, new Path(staged, f"keep-$i%05d-${src.getName}"),
+          false, spark.sparkContext.hadoopConfiguration)
         ()
       } else {
         val groupDir = new Path(staged, f"group-$i%05d")
         spark.read.parquet(g.files.map(_.path): _*)
           .coalesce(1)
           .write.parquet(groupDir.toString)
-        // hoist the single data file up; drop the _SUCCESS scaffolding
         fs.listStatus(groupDir).filter(_.isFile)
           .filter(s => !s.getPath.getName.startsWith("_"))
-          .foreach(s => fs.rename(s.getPath,
+          .foreach(s => mustRename(fs, s.getPath,
             new Path(staged, f"merged-$i%05d-${s.getPath.getName}")))
         fs.delete(groupDir, true)
         ()
       }
     }
-    // atomic-ish swap: old dir out, staged in (the Snapshots posture)
-    val old = new Path(dir + "._compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(staged, p)
+
+    // ---- phase 2: commit marker -------------------------------------------
+    fs.create(new Path(staged, Marker), true).close()
+
+    // ---- phase 3: checked swap --------------------------------------------
+    val old = oldPath(dir)
+    mustRename(fs, p, old)
+    mustRename(fs, staged, p)
+    fs.delete(new Path(dir, Marker), false)
     fs.delete(old, true)
     Stats(files.size, listDataFiles(spark, dir).size, files.map(_.bytes).sum)
   }

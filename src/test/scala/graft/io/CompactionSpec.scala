@@ -11,14 +11,24 @@ class CompactionSpec extends SparkSpec {
       FileInfo("a", 700), FileInfo("b", 300), FileInfo("c", 300),
       FileInfo("d", 200), FileInfo("e", 1500), FileInfo("f", 100))
     val groups = planGroups(files, targetBytes = 1000)
-    // every file in exactly one group
     val planned = groups.flatMap(_.files.map(_.path))
     assert(planned.sorted == files.map(_.path).sorted)
-    // no multi-file group exceeds the target
     assert(groups.filter(_.files.size > 1).forall(_.bytes <= 1000))
-    // the 1500-byte file is isolated, not dropped
     val big = groups.find(_.files.exists(_.path == "e")).get
     assert(big.files.size == 1)
+  }
+
+  test("planGroups (FFD) converges: no two planned groups still merge under the target") {
+    // the next-fit counterexample: 700,600,300,200 @ 1000 -> NF leaves
+    // [700] and [200] mergeable; FFD must pack [700+300], [600+200]
+    val files = Seq(FileInfo("a", 700), FileInfo("b", 600),
+      FileInfo("c", 300), FileInfo("d", 200))
+    val groups = planGroups(files, 1000)
+    assert(groups.size == 2)
+    for {
+      i <- groups.indices; j <- groups.indices if i < j
+    } assert(groups(i).bytes + groups(j).bytes > 1000,
+      s"groups $i and $j still merge: ${groups(i)} + ${groups(j)}")
   }
 
   test("planGroups is deterministic under input order") {
@@ -28,27 +38,71 @@ class CompactionSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("compact merges small parquet files, preserves every row, leaves big files unread") {
+  test("compact merges small files, copies the oversized one intact, loses no row") {
     val dir = java.nio.file.Files.createTempDirectory("compaction").toString + "/t"
-    // 12 tiny single-file writes -> 12 small files
+    // 12 tiny files plus one deliberately big one (many rows) so the
+    // singleton keep/copy branch is really exercised
     (0 until 12).foreach { i =>
       Seq.tabulate(50)(j => (i.toLong * 50 + j, s"row-$i-$j"))
         .toDF("id", "payload")
         .coalesce(1).write.mode("append").parquet(dir)
     }
+    Seq.tabulate(20000)(j => (100000L + j, s"big-$j")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
     val before = Compaction.listDataFiles(spark, dir)
-    assert(before.size == 12)
-    val target = before.map(_.bytes).sum / 3 // aim for ~3 merged files
+    assert(before.size == 13)
+    val bigBefore = before.maxBy(_.bytes)
+    val target = before.filter(_.bytes < bigBefore.bytes).map(_.bytes).sum / 3
+    assert(bigBefore.bytes > target, "fixture: the big file must exceed the target")
     val stats = Compaction.compact(spark, dir, target)
-    assert(stats.filesBefore == 12)
-    assert(stats.filesAfter < 12, s"expected fewer files, got ${stats.filesAfter}")
-    // not a row lost or duplicated, contents identical
+    assert(stats.filesBefore == 13)
+    assert(stats.filesAfter < 13, s"expected fewer files, got ${stats.filesAfter}")
+    // the big file was copied byte-identically (size preserved, keep- prefix)
+    val after = Compaction.listDataFiles(spark, dir)
+    val kept = after.filter(_.path.split("/").last.startsWith("keep-"))
+    assert(kept.map(_.bytes).contains(bigBefore.bytes),
+      s"big file not carried over intact: $kept")
+    // not a row lost or duplicated
     val back = spark.read.parquet(dir)
-    assert(back.count() == 600)
-    assert(back.select("id").distinct().count() == 600)
-    // nothing left of the staging scaffolding
+    assert(back.count() == 600 + 20000)
+    assert(back.select("id").distinct().count() == 600 + 20000)
+    // no staging scaffolding left behind
     val leftovers = new java.io.File(dir).getParentFile.listFiles()
       .map(_.getName).filter(_.contains("_compact"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("compact refuses a partitioned root instead of destroying unlisted subdirs") {
+    val dir = java.nio.file.Files.createTempDirectory("compaction_part").toString + "/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "payload", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Compaction.compact(spark, dir, 1000000))
+    assert(e.getMessage.contains("subdirectories"))
+    // nothing was touched
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("recover: unmarked staging is dropped, a stranded swap is rolled back") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("compaction_rec").toString
+    val dir = base + "/t"
+    Seq((1L, "x")).toDF("id", "payload").coalesce(1).write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state A: phase-1 leftovers (unmarked staging) — source complete
+    fs.mkdirs(new Path(dir + "._compact_tmp"))
+    Compaction.recover(spark, dir)
+    assert(!fs.exists(new Path(dir + "._compact_tmp")))
+    assert(spark.read.parquet(dir).count() == 1)
+    // crash state B: first swap rename ran, second never did — roll back
+    fs.rename(new Path(dir), new Path(dir + "._compact_old"))
+    assert(!fs.exists(new Path(dir)))
+    Compaction.recover(spark, dir)
+    assert(fs.exists(new Path(dir)) && !fs.exists(new Path(dir + "._compact_old")))
+    assert(spark.read.parquet(dir).count() == 1)
+    // and compact() itself self-recovers on entry: run it on state A again
+    fs.mkdirs(new Path(dir + "._compact_tmp"))
+    val stats = Compaction.compact(spark, dir, 1000000)
+    assert(stats.filesAfter >= 1 && spark.read.parquet(dir).count() == 1)
   }
 }
