@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the graph-centrality quality signal corpus
+  * curation pipelines rank web documents by before selecting pretraining
+  * data (public: Page et al. 1999; Common-Crawl-derived corpora filter on
+  * exactly this family of link-graph scores).
+  *
+  * Spark-first shape, same iteration discipline as
+  * [[ConnectedComponents]]: each round is ONE join of the rank vector with
+  * the out-degree-annotated edge list plus one aggregate on the
+  * destination — both shuffles keyed on node id, so a cluster partitions
+  * them; no driver-side state beyond the dangling-mass scalar (one number
+  * per round, the fixed-size-reduction posture). Every round's rank vector
+  * goes through `localCheckpoint` and the superseded round's blocks are
+  * freed, bounding live storage at two vectors no matter how many rounds
+  * run.
+  *
+  * Semantics (the standard ones, so scores are comparable to reference
+  * implementations): damping `d`, uniform teleport `(1−d)/n`, and dangling
+  * nodes (no out-edges) redistribute their mass uniformly — rank mass is
+  * conserved at exactly `n` every round, which the spec asserts.
+  */
+object PageRank {
+
+  /** Ranks after `iterations` rounds: (node, rank). Nodes = every distinct
+    * src or dst. Parallel edges count once per occurrence (a multigraph
+    * edge is a stronger link); self-loops are legal. */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count().toDouble
+    require(n > 0, "PageRank: empty graph")
+    // per-source fanout once, reused every round
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, "src").localCheckpoint(false)
+
+    def freeBlocks(df: DataFrame): Unit =
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(false)
+    var iter = 0
+    while (iter < iterations) {
+      // dangling mass: one scalar to the driver per round
+      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val base = (1.0 - damping) + damping * dangling / n
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
+      freeBlocks(ranks)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+}
