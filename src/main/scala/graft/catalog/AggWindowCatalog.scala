@@ -313,5 +313,50 @@ object AggWindowCatalog {
         .withColumn("gap_seconds",
           (unix_timestamp(col("gap_end")) - unix_timestamp(col("gap_start"))))
         .filter(col("gap_seconds") > 172800)
+    },
+
+    // ---- W8: the full ranking-function family -------------------------------
+    // rank / dense_rank / percent_rank / cume_dist / ntile in one window —
+    // the remaining SQL ranking surface beyond row_number (W1/W2/O-series).
+    // All five ride the SAME (partition, order) specification, so Catalyst
+    // plans ONE exchange and one sort for the lot. percent_rank and
+    // cume_dist are doubles, but derived as single divisions of exact
+    // integer ranks — cross-engine identical. Ties are real (duplicate
+    // o_totalprice values exist), pinning the rank-vs-dense_rank gap
+    // semantics, and the unique orderkey tiebreak keeps ntile assignment
+    // deterministic.
+    QueryDef(
+      "w8_rank_functions",
+      "rank/dense_rank/percent_rank/cume_dist over a TIED ordering (floor-bucketed price — the rank-gap semantics are real) + ntile(4) over the unique total order; one partitioning serves both windows; ratio doubles exact from integer ranks",
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               RANK() OVER wt AS rnk,
+               DENSE_RANK() OVER wt AS drnk,
+               PERCENT_RANK() OVER wt AS prnk,
+               CUME_DIST() OVER wt AS cdist,
+               NTILE(4) OVER wu AS quartile
+        FROM orders
+        WHERE o_orderkey % 11 = 0
+        WINDOW wt AS (PARTITION BY o_orderpriority
+                      ORDER BY FLOOR(o_totalprice / 1000) DESC),
+               wu AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // tied ordering: ranks are functions of the key only, so tied rows
+      // get IDENTICAL outputs — deterministic without a tiebreak; ntile
+      // splits ties arbitrarily, so it gets the unique total order instead
+      val wt = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / 1000).desc)
+      val wu = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(wt).as("rnk"),
+          dense_rank().over(wt).as("drnk"),
+          percent_rank().over(wt).as("prnk"),
+          cume_dist().over(wt).as("cdist"),
+          ntile(4).over(wu).as("quartile"))
     })
 }

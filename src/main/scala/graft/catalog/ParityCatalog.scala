@@ -322,6 +322,36 @@ object ParityCatalog {
       """)
     },
 
+    // ---- F5: correlated LATERAL join ---------------------------------------
+    // The SQL-surface sibling of x6's bounded top-k: "for each group, the
+    // top-2 rows" phrased as a correlated LATERAL subquery — the form BI
+    // tools and migrated warehouse SQL emit. Spark decorrelates it into a
+    // ranked window join rather than re-executing the subquery per row,
+    // which is the property worth pinning (a naive nested-loop execution
+    // would be O(groups × table)). Same direct-path relations as j11: a
+    // catalog query never mutates shared session state.
+    QueryDef(
+      "f5_lateral_topk",
+      "Correlated LATERAL top-2 per priority (the BI/migration SQL form of bounded per-group top-k) — engine decorrelation checked through SQL on both sides",
+      Some("""
+        SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_orderpriority = p.o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) l
+      """)) { (spark, dir) =>
+      val o = s"parquet.`$dir/orders.parquet`"
+      spark.sql(s"""
+        SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        FROM (SELECT DISTINCT o_orderpriority FROM $o) p,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM $o o
+                 WHERE o.o_orderpriority = p.o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) l
+      """)
+    },
+
     // ---- F3: set operators -------------------------------------------------
     QueryDef(
       "f3_set_ops",
