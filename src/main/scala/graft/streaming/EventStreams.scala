@@ -109,6 +109,74 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(
+      resolved: Seq[Long], // final first-passage epoch-ms per completed stage
+      pending: Seq[(Int, Long)]) // (stage index, epoch ms), all ≥ last watermark
+  final case class FunnelDepth(user_id: Long, depth: Int, frontier_ms: Long)
+
+  /** Streaming twin of the batch e7 funnel, correct under OUT-OF-ORDER
+    * arrival — the part a naive "advance on match" stream gets wrong: a
+    * late `view` with an earlier timestamp can retroactively unlock clicks
+    * that already streamed past. Event-time discipline fixes it without
+    * unbounded replay: events at-or-above the watermark are BUFFERED (the
+    * region where earlier-timestamped data may still arrive — bounded by
+    * the watermark delay, the same bound every stateful operator here
+    * leans on); once the watermark passes them they are FINAL, get sorted
+    * and replayed through the greedy first-passage scan, and leave state
+    * forever. Per-user state is the resolved chain (≤ nStages longs) plus
+    * the in-flight buffer. Emits an updated (user, depth, frontier) row
+    * whenever finalized data deepens the funnel. Events LATER than the
+    * watermark delay never reach the operator — the engine drops them
+    * upstream, the standard event-time admission contract (pick the delay
+    * to cover the source's real disorder). */
+  def funnelDepth(
+      events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      watermark: String = "2 hours",
+      maxBuffer: Int = 4096): Dataset[FunnelDepth] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermark)
+      .filter(e => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDepth](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Seq.empty, Seq.empty))
+          // a key is re-invoked either with new rows OR by the event-time
+          // timeout below — the timeout is what finalizes a user whose
+          // buffered events age past the watermark while OTHER keys'
+          // data advances it (with no timeout, an idle key's funnel
+          // would never resolve)
+          val incoming =
+            if (state.hasTimedOut) Seq.empty
+            else rows.map(e => (stageIdx(e.event_type), e.ts.getTime)).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.pending ++ incoming
+          // below the watermark nothing earlier can arrive: finalize
+          val (fin, stillPending) = all.partition(_._2 < wm)
+          require(stillPending.size <= maxBuffer,
+            s"funnelDepth: user $userId holds ${stillPending.size} in-flight " +
+              s"events (> $maxBuffer) — widen maxBuffer or tighten the watermark")
+          var resolved = st.resolved
+          // greedy first-passage scan over the finalized events in time
+          // order (ts first, then stage — a same-timestamp later stage must
+          // NOT ride its unlocker: the chain is strictly increasing)
+          fin.sortBy { case (s, t) => (t, s) }.foreach { case (s, t) =>
+            if (s == resolved.size &&
+              (resolved.isEmpty || t > resolved.last)) resolved = resolved :+ t
+          }
+          state.update(FunnelState(resolved, stillPending))
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillPending.map(_._2).min, wm + 1))
+          if (resolved.size > st.resolved.size)
+            Iterator(FunnelDepth(userId, resolved.size, resolved.last))
+          else Iterator.empty
+      }
+  }
+
   /** Incremental-fact twin (SURVEY §2.8 as a stream): append-only dedup by
     * key across micro-batches. `dropDuplicatesWithinWatermark` is the form
     * whose state the watermark actually evicts — plain

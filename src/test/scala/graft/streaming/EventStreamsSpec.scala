@@ -253,4 +253,67 @@ class EventStreamsSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("funnelDepth stays correct under out-of-order arrival (late view unlocks earlier clicks)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelDepth(input.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    def ev(id: Long, t: String, user: Long, typ: String) =
+      EventStreams.Event(id, ts(t), user, typ, 0.0)
+    try {
+      // batch 1: click and purchase arrive FIRST — without a view nothing
+      // may resolve, and a naive advance-on-match stream would drop them
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click"),
+        ev(2, "2024-01-01 10:10:00", 1, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel").isEmpty)
+      // batch 2: the LATE view, timestamped before both — but INSIDE the
+      // allowed lateness (watermark is 10:00 after batch 1; anything at or
+      // below it would be dropped upstream by the engine, the standard
+      // event-time admission contract)
+      input.addData(ev(3, "2024-01-01 10:01:00", 1, "view"))
+      q.processAllAvailable()
+      // batch 3: watermark pusher far in the future finalizes user 1
+      input.addData(ev(99, "2024-01-01 13:00:00", 2, "view"))
+      q.processAllAvailable()
+      input.addData(ev(100, "2024-01-01 16:00:00", 2, "click"))
+      q.processAllAvailable()
+      val depths = spark.table("funnel")
+        .groupBy("user_id").agg(max("depth").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the late view unlocked the full chain: view@10:01 < click@10:05 <
+      // purchase@10:10 — depth 3, exactly what the batch e7 funnel computes
+      assert(depths.get(1L).contains(3), s"user 1: $depths")
+    } finally q.stop()
+  }
+
+  test("funnelDepth enforces strictly-increasing stage times (same-ts click does not ride its view)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelDepth(input.toDS(), watermark = "1 minutes")
+      .writeStream.format("memory").queryName("funnel_ties")
+      .outputMode("update").start()
+    def ev(id: Long, t: String, user: Long, typ: String) =
+      EventStreams.Event(id, ts(t), user, typ, 0.0)
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:00:00", 1, "click"), // same instant: no advance
+        ev(3, "2024-01-01 10:30:00", 1, "click"))
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 12:00:00", 2, "view")) // watermark pusher
+      q.processAllAvailable()
+      val d = spark.table("funnel_ties").filter(col("user_id") === 1)
+        .agg(max("depth")).head.getInt(0)
+      assert(d == 2, s"expected view + the LATER click only, got depth $d")
+      val frontier = spark.table("funnel_ties").filter(col("user_id") === 1)
+        .agg(max("frontier_ms")).head.getLong(0)
+      assert(frontier == ts("2024-01-01 10:30:00").getTime)
+    } finally q.stop()
+  }
 }
