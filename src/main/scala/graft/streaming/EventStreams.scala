@@ -155,10 +155,7 @@ object EventStreams {
           val wm = state.getCurrentWatermarkMs()
           val all = st.pending ++ incoming
           // below the watermark nothing earlier can arrive: finalize
-          val (fin, stillPending) = all.partition(_._2 < wm)
-          require(stillPending.size <= maxBuffer,
-            s"funnelDepth: user $userId holds ${stillPending.size} in-flight " +
-              s"events (> $maxBuffer) — widen maxBuffer or tighten the watermark")
+          val (fin, rawPending) = all.partition(_._2 < wm)
           var resolved = st.resolved
           // greedy first-passage scan over the finalized events in time
           // order (ts first, then stage — a same-timestamp later stage must
@@ -167,6 +164,29 @@ object EventStreams {
             if (s == resolved.size &&
               (resolved.isEmpty || t > resolved.last)) resolved = resolved :+ t
           }
+          // keep only events that can still extend the chain: pending ts is
+          // always above the watermark that FINALIZED each resolved stage,
+          // so a stage already resolved can never improve, and the chain is
+          // strictly increasing past resolved.last. A completed funnel
+          // needs no buffer at all.
+          val frontier = resolved.lastOption.getOrElse(Long.MinValue)
+          val relevant =
+            if (resolved.size == stages.size) Seq.empty
+            else rawPending.filter { case (s, t) => s >= resolved.size && t > frontier }
+          // overflow degrades THIS key instead of killing the query: the
+          // EARLIEST events are the first-passage candidates, so drop the
+          // latest tail beyond maxBuffer (logged — a bot key emitting more
+          // than maxBuffer funnel events per watermark window may resolve
+          // to a shallower depth than a full replay would)
+          val stillPending =
+            if (relevant.size <= maxBuffer) relevant
+            else {
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.EventStreams")
+                .warn(s"funnelDepth: user $userId exceeded maxBuffer=$maxBuffer " +
+                  s"in-flight events (${relevant.size}); dropping the latest " +
+                  s"${relevant.size - maxBuffer} — depth may under-resolve for this key")
+              relevant.sortBy { case (s, t) => (t, s) }.take(maxBuffer)
+            }
           state.update(FunnelState(resolved, stillPending))
           if (stillPending.nonEmpty)
             state.setTimeoutTimestamp(

@@ -316,4 +316,30 @@ class EventStreamsSpec extends SparkSpec {
       assert(frontier == ts("2024-01-01 10:30:00").getTime)
     } finally q.stop()
   }
+
+  test("funnelDepth overflow degrades the hot key instead of killing the query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    // maxBuffer 3: a bot key with more in-flight events must not crash
+    val q = EventStreams.funnelDepth(input.toDS(),
+        watermark = "1 minutes", maxBuffer = 3)
+      .writeStream.format("memory").queryName("funnel_hot")
+      .outputMode("update").start()
+    def ev(id: Long, t: String, user: Long, typ: String) =
+      EventStreams.Event(id, ts(t), user, typ, 0.0)
+    try {
+      // view first, then 6 clicks: 7 in-flight > maxBuffer; the EARLIEST
+      // survive the cut, so the chain still resolves correctly
+      input.addData(
+        (Seq(ev(1, "2024-01-01 10:00:00", 1, "view")) ++
+          (0 until 6).map(i => ev(10 + i, f"2024-01-01 10:0${i + 1}%d:00", 1, "click"))): _*)
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 12:00:00", 2, "view")) // watermark pusher
+      q.processAllAvailable()
+      val d = spark.table("funnel_hot").filter(col("user_id") === 1)
+        .agg(max("depth")).head.getInt(0)
+      assert(d == 2, s"expected view + earliest click despite the cut, got $d")
+    } finally q.stop()
+  }
 }
