@@ -643,12 +643,17 @@ object DedupCatalog {
       """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val chunkLen = 10
+      // the size>0 guard closes a latent divergence: sequence(1, 0) defaults
+      // to step -1 and would emit [1, 0] — two spurious chunks — where the
+      // oracle's range(1, 1) emits none. Unreachable today (split of non-null
+      // text is never empty), but empty docs must drop out on BOTH engines.
       val t = Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) > 0)
       val chunks = t.select(
         col("doc_id"),
         explode(transform(
-          sequence(lit(1L), ceil(size(col("t")) / lit(chunkLen.toDouble))),
+          sequence(lit(1L), ceil(size(col("t")) / lit(chunkLen.toDouble)), lit(1L)),
           i => struct(
             i.cast("long").as("chunk_idx"),
             array_join(

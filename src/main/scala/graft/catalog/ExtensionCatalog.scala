@@ -334,9 +334,9 @@ object ExtensionCatalog {
                    AS BIGINT) AS dt
           FROM events)
         SELECT user_id,
-               SUM(dt) AS total_seconds,
+               CAST(SUM(dt) AS BIGINT) AS total_seconds,
                CAST(SUM(v * dt) AS DOUBLE) AS weighted_sum,
-               CAST(SUM(v * dt) AS DOUBLE) / SUM(dt) AS twa
+               CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS BIGINT) AS twa
         FROM iv WHERE dt IS NOT NULL
         GROUP BY 1
       """)) { (spark, dir) =>
@@ -441,7 +441,7 @@ object ExtensionCatalog {
                   FROM bounds),
         pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders)
         SELECT p.pri, s.month,
-               COALESCE(a.revenue, CAST(0.00 AS DECIMAL(18,2))) AS revenue
+               CAST(COALESCE(a.revenue, CAST(0.00 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM pris p CROSS JOIN spine s
         LEFT JOIN actual a ON a.pri = p.pri AND a.month = s.month
       """)) { (spark, dir) =>
@@ -459,7 +459,8 @@ object ExtensionCatalog {
       val b = actual.agg(min(col("month")), max(col("month"))).head
       if (b.isNullAt(0)) {
         // empty input: an empty report with the right schema, not an NPE
-        actual.select(col("pri"), col("month"), col("revenue")).limit(0)
+        actual.select(col("pri"), col("month"),
+          col("revenue").cast("double")).limit(0)
       } else {
         val lo = b.getTimestamp(0).toInstant.atZone(sessionZone).toLocalDateTime
         val hi = b.getTimestamp(1).toInstant.atZone(sessionZone).toLocalDateTime
@@ -473,7 +474,8 @@ object ExtensionCatalog {
         cells.join(actual, Seq("pri", "month"), "left")
           .select(col("pri"), col("month"),
             coalesce(col("revenue"),
-              lit(BigDecimal("0.00")).cast("decimal(18,2)")).as("revenue"))
+              lit(BigDecimal("0.00")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
       }
     },
 
@@ -502,20 +504,27 @@ object ExtensionCatalog {
       """)) { (spark, dir) =>
       val o = Tables.orders(spark, dir)
       val b = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
-      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-      // same expression tree as the oracle: (v - lo) / ((hi - lo) / 20).
-      // Degenerate hi == lo would divide 0/0 → NaN, where the engines
-      // diverge (DuckDB raises on CAST(FLOOR(NaN)), Spark folds to 0) —
-      // a single-valued measure is one bin by definition.
-      val bin =
-        if (hi == lo) lit(0L)
-        else least(
-          floor((col("o_totalprice") - lit(lo)) / lit((hi - lo) / 20)), lit(19L))
-      o.groupBy(col("o_orderpriority"), bin.as("bin"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("sum_amount"))
+      if (b.isNullAt(0)) {
+        // empty input: an empty histogram with the right schema, not an NPE
+        // (the a15 posture — the eager min/max reduction must handle zero rows)
+        o.select(col("o_orderpriority"), lit(0L).as("bin"),
+          lit(0L).as("n"), lit(0.0).as("sum_amount")).limit(0)
+      } else {
+        val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+        // same expression tree as the oracle: (v - lo) / ((hi - lo) / 20).
+        // Degenerate hi == lo would divide 0/0 → NaN, where the engines
+        // diverge (DuckDB raises on CAST(FLOOR(NaN)), Spark folds to 0) —
+        // a single-valued measure is one bin by definition.
+        val bin =
+          if (hi == lo) lit(0L)
+          else least(
+            floor((col("o_totalprice") - lit(lo)) / lit((hi - lo) / 20)), lit(19L))
+        o.groupBy(col("o_orderpriority"), bin.as("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_amount"))
+      }
     },
 
     // ---- X3: large-large interval overlap join ----------------------------
@@ -648,7 +657,8 @@ object ExtensionCatalog {
                CASE WHEN o.o_orderkey IS NULL THEN 'insert'
                     WHEN n.o_orderkey IS NULL THEN 'delete'
                     ELSE 'update' END AS action,
-               o.price AS old_price, n.price AS new_price
+               CAST(o.price AS DOUBLE) AS old_price,
+               CAST(n.price AS DOUBLE) AS new_price
         FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
            OR o.price <> n.price OR o.o_orderstatus <> n.o_orderstatus
@@ -672,8 +682,8 @@ object ExtensionCatalog {
           when(col("o.o_orderkey").isNull, "insert")
             .when(col("n.o_orderkey").isNull, "delete")
             .otherwise("update").as("action"),
-          col("o.price").as("old_price"),
-          col("n.price").as("new_price"))
+          col("o.price").cast("double").as("old_price"),
+          col("n.price").cast("double").as("new_price"))
     },
 
     // ---- K3: mergeable HLL sketches (rows-only: sketch bytes are

@@ -304,7 +304,11 @@ object SimilarityCatalog {
                -- float->decimal cast rounds via the float's shortest
                -- decimal rendering, Spark's via the exact double value —
                -- casting through DOUBLE pins both engines to the same path
-               SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS sum_val,
+               -- accumulate exact (order-independent), cast ONCE at the
+               -- boundary: the driver's pandas comparator renders DuckDB
+               -- decimals as float64, so the output dtype must be DOUBLE
+               -- on both engines (the a13/a16/f4 posture)
+               CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_val,
                COUNT(*) AS n
         FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
         GROUP BY 1, 2
@@ -313,7 +317,7 @@ object SimilarityCatalog {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(
-          sum(col("v").cast("decimal(18,9)")).as("sum_val"),
+          sum(col("v").cast("decimal(18,9)")).cast("double").as("sum_val"),
           count(lit(1)).as("n"))
     })
 }

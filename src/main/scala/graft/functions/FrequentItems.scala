@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * State is structurally bounded at k entries no matter the cardinality of
   * the input (the decrement step evicts), so a hot group costs O(k), never
   * a spill. Null inputs are skipped, matching count/collect semantics.
+  *
+  * Determinism: outside the exact regime (distinct items > k, eviction
+  * triggers) the stored WEIGHTS depend on merge order and therefore on
+  * partitioning — only the error bound holds, not the exact values. Do not
+  * use evicting configurations in hash-compared queries; entry order alone
+  * (sorted by item at eval) is always deterministic.
   */
 case class FrequentItems(
     child: Expression,
@@ -69,8 +75,10 @@ case class FrequentItems(
   }
 
   override def eval(buf: FrequentItems.Buffer): Any = {
-    // deterministic entry order (by item) so the map value is identical
-    // whatever the partitioning
+    // deterministic entry ORDER (by item). The VALUES are only
+    // partitioning-independent in the exact regime (distinct items <= k,
+    // no eviction ever triggers); once Misra-Gries evicts, counts depend
+    // on merge order — don't hash-compare results past that regime.
     val entries = buf.entries.toArray.sortBy(_._1)
     ArrayBasedMapData(
       entries.map(e => UTF8String.fromString(e._1): Any),

@@ -48,8 +48,15 @@ object Compaction {
 
   private val Marker = "_COMMITTED"
 
-  private def stagedPath(dir: String) = new Path(dir + "._compact_tmp")
-  private def oldPath(dir: String) = new Path(dir + "._compact_old")
+  // siblings via getParent/getName, not string concat: a trailing-slash
+  // caller would otherwise place staging INSIDE the data directory and the
+  // phase-3 swap renames would fail mid-operation.
+  private def sibling(dir: String, suffix: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, p.getName + suffix)
+  }
+  private def stagedPath(dir: String) = sibling(dir, "._compact_tmp")
+  private def oldPath(dir: String) = sibling(dir, "._compact_old")
 
   /** Data files directly under `dir` (no recursion — partitioned layouts
     * compact per partition directory, which also bounds one run's blast
