@@ -35,6 +35,15 @@ import java.util.concurrent.atomic.AtomicInteger
   * aggregated value — all computed work is forced, only 8 bytes cross to
   * the driver. A failed query reports -1 and logs to stderr rather than
   * recording a fast fake timing.
+  *
+  * Output contract: the FINAL stdout line is the bare totals JSON
+  * (`{"metric":"total","value":<best wall>,...}`) — nothing follows it, and
+  * build.sbt routes forked stdout through unprefixed so the driver can
+  * `json.loads` the last line. The per-query seconds map goes to
+  * BENCH_LOCAL.json (or SPARK_GRAFT_BENCH_OUT), never stdout. The suite
+  * runs SPARK_GRAFT_BENCH_REPEATS times (default 2); the headline is the
+  * best wall, and every repeat's wall + 1-min load average ships in the
+  * record (`walls`, `load_avg_1m`) so box contention is self-diagnosing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -110,29 +119,44 @@ object Bench {
       if (warmup) runAll(queries, warmDir) else Map.empty
     val order = queries.sortBy { case (n, _) => (-warmTimes.getOrElse(n, 0.0), n) }
 
-    val t0 = System.nanoTime()
-    val results = runAll(order, sfDir)
-    val wall = (System.nanoTime() - t0) / 1e9
+    def loadAvg: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+
+    // Best-of-N (default 2): on a shared box one contended sample can
+    // masquerade as a 5× regression (round-5 lesson: 82.6 s at load ~3.3 vs
+    // 14.1 s at load 1.5 on identical code). Each repeat records its wall
+    // and the 1-min load average at start; the headline is the BEST wall,
+    // per-query seconds are the min across repeats, and all samples ship in
+    // the record so a contended round is self-diagnosing.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    val runs = (1 to repeats).map { _ =>
+      val load = loadAvg
+      val t0 = System.nanoTime()
+      val res = runAll(order, sfDir)
+      ((System.nanoTime() - t0) / 1e9, load, res)
+    }
+    val (wall, _, _) = runs.minBy(_._1)
+    val results = runs.map(_._3).reduce { (a, b) =>
+      a.map { case (k, v) =>
+        val w = b.getOrElse(k, v)
+        // -1 marks a failure; min() must not prefer it over a real timing
+        k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+      }
+    }
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sumSec = results.valuesIterator.filter(_ >= 0).sum
     val failures = results.valuesIterator.count(_ < 0)
-    // Self-evidencing record (round-3 lesson: the driver's tail capture
-    // truncated the single long JSON line and lost "value"; round-4 lesson:
-    // the tail window is SMALLER than the query-map line, so a summary
-    // printed only FIRST is cut off too). Redundant forms: (1) a compact
-    // summary line first, (2) the full one-line contract JSON, (3) the same
-    // compact summary AGAIN as the very last line — a tail capture of any
-    // size ends with a complete parseable record — and (4) the full JSON
-    // persisted to a file next to the repo artifacts.
+    val walls = runs.map(_._1).mkString("[", ",", "]")
+    val loads = runs.map(_._2).mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":$wall,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads}"""
     val full =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec}"""
-    println(summary)
-    println(full)
-    println(summary)
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
     // full-suite record with an n=1 artifact (and a typo'd filter would
     // silently persist n=0): targeted runs only write when the caller
@@ -145,5 +169,13 @@ object Bench {
       java.nio.file.Files.write(out, (summary + "\n" + full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}") }
     spark.stop()
+    // Self-evidencing headline, LAST and BARE (round-5 lesson: the driver
+    // parses the final stdout line as JSON; printed earlier it scrolls out
+    // of the tail window, printed under sbt's logger it gains an "[info] "
+    // prefix — build.sbt sets run/outputStrategy := StdoutOutput so this
+    // passes through unprefixed). The per-query map lives in
+    // BENCH_LOCAL.json only: a 5 KB line would push the headline out of a
+    // bounded tail capture.
+    println(summary)
   }
 }
