@@ -833,12 +833,27 @@ object ExtensionCatalog {
         .select(col("doc_id"), col("train_pos"))
     },
 
-    // ---- X8: sequence packing (rows-only: bin assignment is an imperative
-    // per-partition algorithm, not SQL) --------------------------------------
+    // ---- X8: sequence packing ----------------------------------------------
+    // The packing ALGORITHM is per-partition imperative logic and bin ids
+    // are partition-relative (they shift with cluster size), so raw bin ids
+    // can never be cross-engine hash-compared. But the packing's
+    // partition-INDEPENDENT projection can (round-5 verdict #4): every doc
+    // exactly once (row multiset equality does this), its recomputable
+    // token count, the deterministic oversize flag, and a boolean asserting
+    // the doc's bin respects the budget (or is an oversize singleton, whose
+    // bin total equals its own tokens). The in-engine raise_error guard
+    // stays — structural violations kill the query; value-level drift now
+    // also fails the driver's hash.
     QueryDef(
       "x8_sequence_pack",
-      "LLM-batch sequence packing (operators/SequencePack): documents into <=512-token bins, next-fit-decreasing per hash-assigned partition — bins never span partitions, O(1) packing state. Rows-only check (the packing itself is not SQL-expressible), but the bin INVARIANTS are: the query asserts them in-engine via raise_error, so a violated invariant turns the driver's rows-only row into a hard error instead of a silent pass (round-3 verdict #9)",
-      None) { (spark, dir) =>
+      "LLM-batch sequence packing (operators/SequencePack): documents into <=512-token bins, next-fit-decreasing per hash-assigned partition — bins never span partitions, O(1) packing state. Hash-gated on the partition-independent projection (doc multiset, token counts, oversize flag, budget-respect boolean); bin ids stay an operator-API concern (partition-relative by construction)",
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               len(string_split(lower(text), ' ')) > 512 AS oversize,
+               TRUE AS bin_ok
+        FROM documents
+      """)) { (spark, dir) =>
       val budget = 512
       val withTokens = Tables.documents(spark, dir)
         .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tokens"))
@@ -854,6 +869,14 @@ object ExtensionCatalog {
       val guard = graft.operators.SequencePack.checkInvariants(
         packed, withTokens, budget)
       packed.crossJoin(broadcast(guard))
+        .select(
+          col("doc_id"),
+          col("tokens").cast("long").as("n_tokens"),
+          (col("tokens") > budget).as("oversize"),
+          // oversize docs pack as singletons, so their bin total IS their
+          // token count; everyone else's bin must fit the budget
+          ((col("bin_tokens") <= budget || col("bin_tokens") === col("tokens"))
+            && col("invariants_ok")).as("bin_ok"))
     },
 
     // ---- X9: deterministic weighted mixture resampling ---------------------

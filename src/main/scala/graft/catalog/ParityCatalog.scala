@@ -486,13 +486,23 @@ object ParityCatalog {
     // the documented sketch error (HLL rsd 5%, quantile eps 1%).
     QueryDef(
       "k1_approx_distinct",
-      "North-star sketch: approx_count_distinct (HLL++) per group — the cardinality path when exact distinct would shuffle every value",
-      None) { (spark, dir) =>
+      "North-star sketch: approx_count_distinct (HLL++) per group — the cardinality path when exact distinct would shuffle every value. Hash-gated (round-5 verdict #4, the k4 technique): the exact twin column is value-compared and the HLL estimate is gated through an in-row error-bound boolean (|approx-exact| <= 3·rsd·exact — the estimate itself is engine-specific, its accuracy contract is not)",
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_in_bounds
+        FROM lineitem
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val rsd = 0.05
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= lit(3 * rsd) * col("exact_parts")).as("approx_in_bounds"))
     },
 
     QueryDef(
