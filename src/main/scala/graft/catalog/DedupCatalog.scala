@@ -211,10 +211,14 @@ object DedupCatalog {
       // only if a 64-bit collision merges two distinct shingles
       // (birthday bound ~1e-9 at 260k shingles/SF — and the md5 path
       // carried its own 2^-60 collision term anyway).
+      // No size>0 filter here: explode() already emits nothing for empty or
+      // null shingle arrays, and an explicit filter gets predicate-pushed
+      // BELOW the fan exchange, where it evaluates the shingle pipeline a
+      // second time on the single scan task (profiled: the pushed filter
+      // serialized the whole hash pass onto one core before the fan).
       val docSh = Tables.documentsFanned(spark, dir)
         .select(col("doc_id"),
           graft.functions.HashedWordShingles(col("text"), 3).as("hs"))
-        .filter(size(col("hs")) > 0)
       // Each bucket member is doc_id and |doc| packed into ONE long
       // (doc_id<<24 | n): doc ids fit 32 bits by corpus contract, and
       // 2^24 distinct 3-gram shingles implies a >100 MB document — far
