@@ -101,17 +101,24 @@ object DedupCatalog {
     * shared "" bucket — the oracle emits no rows for them. */
   private def minhashBandsDF(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    // documentsFanned + NO isNotNull filter: a `.filter(mhs.isNotNull)`
+    // gets predicate-pushed below the exchange onto the single scan task,
+    // where it evaluates the ENTIRE minhash pipeline a second time (the d3
+    // round-6 profiling finding, worse here because minhash is the CPU-heavy
+    // one). Null signatures are instead dropped inside the generator: the
+    // when() guard nulls the band array and posexplode of a null array
+    // emits no rows — same semantics, one evaluation, post-fan parallel.
+    val sh = Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
     val mhs = sh.select(col("doc_id"),
       graft.functions.MinHashSignature(col("shingles"), minhashCoeffs, MinhashP).as("mhs"))
-      .filter(col("mhs").isNotNull)
     mhs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(2)),
-          b => concat_ws("|",
-            element_at(col("mhs"), b * 3 + 1),
-            element_at(col("mhs"), b * 3 + 2),
-            element_at(col("mhs"), b * 3 + 3)))))
+        posexplode(when(col("mhs").isNotNull,
+          transform(sequence(lit(0), lit(2)),
+            b => concat_ws("|",
+              element_at(col("mhs"), b * 3 + 1),
+              element_at(col("mhs"), b * 3 + 2),
+              element_at(col("mhs"), b * 3 + 3))))))
       .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
   }
 
