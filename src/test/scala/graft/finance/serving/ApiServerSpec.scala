@@ -1,0 +1,191 @@
+package graft.finance.serving
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.finance.Serving
+
+/** Drives the HTTP façade through the same branch matrix as ServingSpec:
+  * the pure param layer (FastAPI Query semantics → 422) and the live
+  * server end-to-end over real sockets on an ephemeral port.
+  */
+class ApiServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- the ServingSpec fixture, served over HTTP ----
+  private def joinedFixture: DataFrame = {
+    val preds = Seq(
+      ("t1", "2024-01-05", "coffee", Some("Dining"), Some(0.95), None),
+      ("t2", "2024-01-03", "mystery", None, None, None),
+      ("t3", "2024-01-04", "uncertain thing", Some("UNCERTAIN"), Some(0.2), None),
+      ("t4", "2024-01-01", "validated thing", Some("Travel"), Some(0.7), Some(true)),
+      ("t5", "2024-01-02", "low conf", Some("Dining"), Some(0.15), None))
+      .toDF("transaction_id", "d", "description", "pmc", "conf", "validated")
+      .select(
+        col("transaction_id"),
+        col("d").cast("date").as("transacted_date"),
+        col("description"),
+        col("pmc").as("predicted_master_category"),
+        col("conf").cast("decimal(6,4)").as("prediction_confidence"),
+        col("validated"))
+    val uc = preds.filter(col("validated").isNotNull)
+      .select(col("transaction_id"), col("validated"),
+        lit("Travel").as("master_category"), lit(null).cast("string").as("notes"))
+    Serving.servingJoin(preds.drop("validated"), uc)
+  }
+
+  private def validatedFixture: DataFrame =
+    Seq(
+      ("t1", "2024-01-05", "Dining", "Junior Checking", "starbucks"),
+      ("t2", "2024-01-03", "Dining", "Blue Cash", "pizza"),
+      ("t3", "2024-01-04", "Travel", "Junior Checking", "flight"))
+      .toDF("transaction_id", "d", "master_category", "account_name", "description")
+      .select(col("transaction_id"), col("d").cast("date").as("transacted_date"),
+        col("master_category"), col("account_name"), col("description"))
+
+  private def simplefinFixture: DataFrame =
+    Seq(
+      ("a1", "Checking (1234)", "First Bank", "2024-02-01 08:00:00", "2024-01-28"),
+      ("a1", "Checking (1234)", "First Bank", "2024-02-01 08:00:00", "2024-01-05"),
+      ("a1", "Checking (1234)", "First Bank", "2024-01-15 08:00:00", "2023-12-20"))
+      .toDF("account_id", "account_name", "institution_name", "import_timestamp", "transacted_date")
+
+  // ---- pure param layer: FastAPI Query constraint matrix ----
+
+  test("transaction params: defaults mirror the route signature") {
+    val p = ApiParams.transactionQuery(Map.empty).toOption.get
+    assert(p.limit == 100 && p.offset == 0 && !p.excludeLowConfidence)
+    assert(p.lowConfidenceThreshold == 0.40 && p.sortBy == "transacted_date" && !p.ascending)
+    assert(p.mode == Serving.AllTransactions)
+  }
+
+  test("limit/offset/threshold constraint violations collect as 422 errors") {
+    val errs = ApiParams.transactionQuery(Map(
+      "limit" -> "5000", "offset" -> "-1", "low_confidence_threshold" -> "1.5")).swap.toOption.get
+    assert(errs.map(_.param).toSet == Set("limit", "offset", "low_confidence_threshold"))
+    assert(ApiParams.transactionQuery(Map("limit" -> "0")).isLeft)
+    assert(ApiParams.transactionQuery(Map("limit" -> "abc")).isLeft)
+    assert(ApiParams.validatedQuery(Map("limit" -> "10001")).isLeft)
+    assert(ApiParams.validatedQuery(Map("limit" -> "10000")).isRight)
+  }
+
+  test("bool coercion accepts FastAPI's spellings and rejects garbage") {
+    def excl(s: String) =
+      ApiParams.transactionQuery(Map("exclude_low_confidence" -> s))
+    assert(excl("true").toOption.get.excludeLowConfidence)
+    assert(excl("1").toOption.get.excludeLowConfidence)
+    assert(excl("ON").toOption.get.excludeLowConfidence)
+    assert(!excl("off").toOption.get.excludeLowConfidence)
+    assert(excl("maybe").isLeft)
+  }
+
+  test("view_mode maps the three names; unknown strings serve everything") {
+    assert(ApiParams.viewMode(Some("unvalidated_predicted")) == Serving.UnvalidatedPredicted)
+    assert(ApiParams.viewMode(Some("unvalidated_unpredicted")) == Serving.UnvalidatedUnpredicted)
+    assert(ApiParams.viewMode(Some("validated")) == Serving.Validated)
+    assert(ApiParams.viewMode(Some("bogus")) == Serving.AllTransactions)
+    assert(ApiParams.viewMode(None) == Serving.AllTransactions)
+  }
+
+  test("sort_order: only 'asc' (case-insensitive) ascends, anything else descends") {
+    assert(ApiParams.transactionQuery(Map("sort_order" -> "ASC")).toOption.get.ascending)
+    assert(!ApiParams.transactionQuery(Map("sort_order" -> "upward")).toOption.get.ascending)
+  }
+
+  test("query-string parse: percent-decoding, empty values, last-wins") {
+    val q = ApiParams.parseQueryString("a=x%20y&b=&a=z&flag")
+    assert(q == Map("a" -> "z", "b" -> "", "flag" -> ""))
+  }
+
+  // ---- end-to-end over a real socket ----
+
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$pathAndQuery")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (status, body)
+  }
+
+  private def withServer[A](f: Int => A): A = {
+    val server = new ApiServer(
+      () => joinedFixture, () => validatedFixture, () => simplefinFixture,
+      today = () => LocalDate.parse("2024-02-03")).start()
+    try f(server.boundPort) finally server.stop()
+  }
+
+  test("GET /api/transactions serves the filtered, sorted, counted page") {
+    withServer { port =>
+      val (status, body) = get(port,
+        "/api/transactions?view_mode=unvalidated_predicted&exclude_low_confidence=true")
+      assert(status == 200)
+      assert(body.contains("\"total_count\":1"))
+      assert(body.contains("\"transaction_id\":\"t1\"") && !body.contains("\"t5\""))
+      // decimal confidence renders as a bare JSON number
+      assert(body.contains("\"prediction_confidence\":0.9500"))
+
+      val (s2, b2) = get(port, "/api/transactions?limit=2&offset=1")
+      assert(s2 == 200 && b2.contains("\"total_count\":5"))
+      val ids = "\"transaction_id\":\"(t\\d)\"".r.findAllMatchIn(b2).map(_.group(1)).toSeq
+      assert(ids == Seq("t3", "t2")) // dates desc, page 2 of 2
+
+      val (s3, b3) = get(port, "/api/transactions?description_search=COFFEE")
+      assert(s3 == 200 && b3.contains("\"t1\"") && b3.contains("\"total_count\":1"))
+    }
+  }
+
+  test("constraint violations come back as FastAPI-shaped 422s") {
+    withServer { port =>
+      val (status, body) = get(port, "/api/transactions?limit=5000&offset=-1")
+      assert(status == 422)
+      assert(body.contains("\"loc\":[\"query\",\"limit\"]"))
+      assert(body.contains("\"loc\":[\"query\",\"offset\"]"))
+    }
+  }
+
+  test("categories list, validated page, unknown paths, wrong methods") {
+    withServer { port =>
+      val (s1, b1) = get(port, "/api/transactions/categories/list")
+      assert(s1 == 200 && b1 == "[\"Dining\",\"Travel\"]")
+
+      val (s2, b2) = get(port, "/api/validated-transactions?category=Dining&sort_order=asc")
+      assert(s2 == 200 && b2.contains("\"total_count\":2"))
+      val ids = "\"transaction_id\":\"(t\\d)\"".r.findAllMatchIn(b2).map(_.group(1)).toSeq
+      assert(ids == Seq("t2", "t1")) // dates asc within Dining
+
+      val (s3, _) = get(port, "/api/transactions/nope")
+      assert(s3 == 404)
+
+      val conn = URI.create(s"http://127.0.0.1:$port/api/transactions")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("{}".getBytes(StandardCharsets.UTF_8))
+      assert(conn.getResponseCode == 405)
+      conn.disconnect()
+    }
+  }
+
+  test("GET /api/control-center/connections annotates health per account") {
+    withServer { port =>
+      val (status, body) = get(port, "/api/control-center/connections")
+      assert(status == 200)
+      assert(body.contains("\"total_count\":1"))
+      assert(body.contains("\"account_name\":\"Checking\"")) // (1234) suffix stripped
+      assert(body.contains("\"transaction_count\":3"))
+      // poll window 2024-01-05..2024-01-28 → lookback 23 days; last load
+      // 2024-02-01 vs today 2024-02-03 → 2 days since load
+      assert(body.contains("\"lookback_days\":23"))
+      assert(body.contains("\"days_since_last_load\":2"))
+      assert(body.contains("\"health_status\":"))
+    }
+  }
+}
