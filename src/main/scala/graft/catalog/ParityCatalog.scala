@@ -505,19 +505,63 @@ object ParityCatalog {
             <= lit(3 * rsd) * col("exact_parts")).as("approx_in_bounds"))
     },
 
+    // Hash-gated via the k1/k4 technique (round-5 verdict #4): the output
+    // carries EXACT value-at-rank percentiles (rank = ceil(p·n) under an
+    // explicit shared ordering — the one discrete-quantile definition both
+    // engines can compute identically; quantile_disc/percentile_disc
+    // interpolation conventions differ across engines) plus a boolean that
+    // the sketch estimate lands within 10× its documented rank-error bound
+    // (eps = 1/accuracy → rank error ≤ n·1e-4; gate window ±max(⌈n·1e-3⌉,1)
+    // ranks). The exact twin's 3-partition window is gate-side machinery at
+    // test SF, exactly like k1's exact count_distinct — the sketch is the
+    // scale path.
     QueryDef(
       "k2_approx_quantiles",
-      "North-star sketch: percentile_approx p50/p95/p99 per group — single-pass quantiles without a global sort. Scalar output columns: the driver's rows-only check still sorts by every column, and an ARRAY column crashes that sort (round-1 lesson).",
-      None) { (spark, dir) =>
-      val qs = percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-      Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(qs.as("qs"))
-        .select(col("l_returnflag"),
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p95"),
-          element_at(col("qs"), 3).as("p99"))
+      "North-star sketch: percentile_approx p50/p95/p99 per group — single-pass quantiles without a global sort; exact value-at-rank twins hash-matched, sketch gated through an in-row rank-error-bound boolean",
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS price,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN price END) AS p50,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN price END) AS p95,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN price END) AS p99,
+               TRUE AS approx_in_bounds
+        FROM r GROUP BY 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+      val r = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      // gate window: ±10× the sketch's worst-case rank error (n·1e-4)
+      val d = greatest(ceil(col("n") * lit(0.001)), lit(1L))
+      def atRank(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        max(when(col("rn") === rank, col("price")))
+      def target(p: Double): org.apache.spark.sql.Column = ceil(col("n") * lit(p))
+      val agg = r.groupBy(col("l_returnflag")).agg(
+        atRank(target(0.50)).as("p50"),
+        atRank(target(0.95)).as("p95"),
+        atRank(target(0.99)).as("p99"),
+        atRank(greatest(target(0.50) - d, lit(1L))).as("lo50"),
+        atRank(least(target(0.50) + d, col("n").cast("long"))).as("hi50"),
+        atRank(greatest(target(0.95) - d, lit(1L))).as("lo95"),
+        atRank(least(target(0.95) + d, col("n").cast("long"))).as("hi95"),
+        atRank(greatest(target(0.99) - d, lit(1L))).as("lo99"),
+        atRank(least(target(0.99) + d, col("n").cast("long"))).as("hi99"),
+        percentile_approx(col("price"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+      agg.select(col("l_returnflag"), col("p50"), col("p95"), col("p99"),
+        (element_at(col("qs"), 1).between(col("lo50"), col("hi50")) &&
+          element_at(col("qs"), 2).between(col("lo95"), col("hi95")) &&
+          element_at(col("qs"), 3).between(col("lo99"), col("hi99")))
+          .as("approx_in_bounds"))
     },
 
     // ---- O2: multi-column whitelisted sort + deep page --------------------
