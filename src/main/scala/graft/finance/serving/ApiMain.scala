@@ -1,0 +1,100 @@
+package graft.finance.serving
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.finance.{Schemas, Serving, TableStore, UserCategoryService}
+import graft.finance.connector.JobLaunchClient
+
+/** The deployable serving boundary: `spark-submit --class
+  * graft.finance.serving.ApiMain <jar> <warehouseDir> [port]` boots the
+  * [[ApiServer]] over a [[TableStore]] warehouse — the reference's
+  * `uvicorn main:app` equivalent (`ui/backend/main.py`), completing the
+  * browser→API→engine hop on the Spark side.
+  *
+  * Read suppliers re-read the stored tables per request, so pages reflect
+  * whatever the last [[graft.finance.JobsMain]] run wrote — the same
+  * freshness contract as the reference's per-request DB session over
+  * dbt-materialized tables. The write half (user-category mutations) and
+  * the Dagster trigger (`GRAFT_DAGSTER_URL`, same GraphQL client the
+  * reference's backend uses) are wired when their backing services are
+  * reachable.
+  */
+object ApiMain {
+
+  def main(args: Array[String]): Unit = {
+    val warehouseDir = args.headOption.getOrElse(
+      sys.error("usage: ApiMain <warehouseDir> [port]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(8000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = build(spark, warehouseDir, port).start()
+    System.err.println(s"[api] serving on 127.0.0.1:${server.boundPort}")
+    Thread.currentThread.join() // serve until the process is stopped
+  }
+
+  /** Assemble the server (unstarted) — separated from main so specs can
+    * drive the same wiring on an ephemeral port. */
+  def build(spark: SparkSession, warehouseDir: String, port: Int = 0): ApiServer = {
+    val store = new TableStore(spark, warehouseDir)
+
+    def tableOrEmpty(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (store.exists(name)) store.read(name)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    def userCategories() = tableOrEmpty("user_categories", Schemas.userCategories)
+
+    // the serving read join (J6): predictions view + live overrides
+    def joined() = Serving.servingJoin(
+      store.read("fct_trxns_with_predictions"), userCategories())
+
+    val service = new UserCategoryService(spark, store, () => joined())
+
+    val trigger: Option[String => String] = sys.env.get("GRAFT_DAGSTER_URL").map {
+      baseUrl => (jobName: String) =>
+        JobLaunchClient.launch(httpTransport, baseUrl, jobName,
+          locationName = sys.env.getOrElse("GRAFT_DAGSTER_LOCATION", "graft_definitions.py"),
+          repositoryName = sys.env.getOrElse("GRAFT_DAGSTER_REPOSITORY", "__repository__"))
+        match {
+          case Right(runId) => runId
+          case Left(err) => throw new RuntimeException(err.message)
+        }
+    }
+
+    new ApiServer(
+      joined = () => joined(),
+      validated = () => store.read("fct_validated_trxns"),
+      simplefinRaw = () => tableOrEmpty("raw_simplefin", Schemas.simplefinRaw),
+      userCategories = Some(service),
+      trigger = trigger,
+      port = port)
+  }
+
+  /** JDK-only POST transport for the GraphQL launch client. */
+  val httpTransport: JobLaunchClient.Transport = new JobLaunchClient.Transport {
+    def post(url: String, jsonBody: String, timeoutMs: Int): (Int, String) = {
+      val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(jsonBody.getBytes(StandardCharsets.UTF_8))
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) ""
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      (status, body)
+    }
+  }
+}

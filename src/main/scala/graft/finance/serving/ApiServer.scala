@@ -7,7 +7,7 @@ import java.time.LocalDate
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 
-import graft.finance.{CategoryCatalog, ConnectionHealth, Serving}
+import graft.finance.{CategoryCatalog, ConnectionHealth, Serving, UserCategoryService}
 
 /** The HTTP serving boundary: the reference's browser→API→engine hop
   * (`ui/backend/api/transactions.py:38-62`,
@@ -27,6 +27,8 @@ final class ApiServer(
     joined: () => DataFrame,
     validated: () => DataFrame,
     simplefinRaw: () => DataFrame,
+    userCategories: Option[UserCategoryService] = None,
+    trigger: Option[String => String] = None,
     today: () => LocalDate = () => LocalDate.now(java.time.ZoneOffset.UTC),
     port: Int = 0) {
 
@@ -35,7 +37,7 @@ final class ApiServer(
   // `exchange` turns unknown subpaths into 404s as FastAPI's router would.
   server.createContext("/api/transactions/categories/list",
     exchange("/api/transactions/categories/list", categoriesList))
-  server.createContext("/api/transactions", exchange("/api/transactions", transactions))
+  server.createContext("/api/transactions", transactionsDispatch _)
   server.createContext("/api/validated-transactions",
     exchange("/api/validated-transactions", validatedTransactions))
   server.createContext("/api/control-center/connections",
@@ -53,12 +55,192 @@ final class ApiServer(
       else if (ex.getRequestMethod != "GET") (405, methodNotAllowed)
       else try route(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
       catch { case e: Exception => (500, serverError(e)) }
+    respond(ex, status, body)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
   }
+
+  /** The /api/transactions router (`api/transactions.py`): the GET list on
+    * the bare path plus the write half — categorize / validate / notes /
+    * exclude-from-forecast / bulk-validate / trigger — dispatched on
+    * (method, path tail) as FastAPI's path templates do. */
+  private def transactionsDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/transactions")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (ex.getRequestMethod, tail) match {
+        case ("GET", Nil) =>
+          transactions(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
+        case ("POST", List("bulk-validate")) => bulkValidateRoute(readBody(ex))
+        case ("POST", List("trigger-refresh-validated")) => triggerRefreshRoute()
+        case ("POST", List(id, "categorize")) => categorizeRoute(id, readBody(ex))
+        case ("PUT", List(id, "validate")) => validateRoute(id, readBody(ex))
+        case ("PUT", List(id, "notes")) => notesRoute(id, readBody(ex))
+        case ("PUT", List(id, "exclude-from-forecast")) => excludeRoute(id, readBody(ex))
+        case (_, Nil) => (405, methodNotAllowed)
+        case _ => (404, notFound)
+      } catch {
+        case e: ApiJson.ParseError => (422, bodyError(e.getMessage))
+        case e: Exception => (500, serverError(e))
+      }
+    respond(ex, status, body)
+  }
+
+  // ---- request-body plumbing ----
+
+  private def readBody(ex: HttpExchange): Map[String, Any] =
+    ApiJson.parse(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new ApiJson.ParseError("expected a JSON object body")
+    }
+
+  /** FastAPI's body-validation 422 shape. */
+  private def bodyError(msg: String, field: String = "__root__"): String =
+    ApiJson.obj(Seq("detail" -> ("[" + ApiJson.obj(Seq(
+      "loc" -> ApiJson.strings(Seq("body", field)),
+      "msg" -> ApiJson.str(msg))) + "]")))
+
+  private def detail(msg: String): String =
+    ApiJson.obj(Seq("detail" -> ApiJson.str(msg)))
+
+  private def requiredString(b: Map[String, Any], k: String): Either[(Int, String), String] =
+    b.get(k) match {
+      case Some(s: String) => Right(s)
+      case Some(_) => Left((422, bodyError("str type expected", k)))
+      case None => Left((422, bodyError("field required", k)))
+    }
+
+  private def requiredBool(b: Map[String, Any], k: String): Either[(Int, String), Boolean] =
+    b.get(k) match {
+      case Some(v: Boolean) => Right(v)
+      case Some(_) => Left((422, bodyError("bool type expected", k)))
+      case None => Left((422, bodyError("field required", k)))
+    }
+
+  private def optString(b: Map[String, Any], k: String): Option[String] =
+    b.get(k).collect { case s: String => s }
+
+  private def optBool(b: Map[String, Any], k: String): Option[Boolean] =
+    b.get(k).collect { case v: Boolean => v }
+
+  private def withService(f: UserCategoryService => (Int, String)): (Int, String) =
+    userCategories match {
+      case Some(svc) => f(svc)
+      case None => (404, notFound) // read-only deployment: write surface absent
+    }
+
+  private def ucJson(r: Any): String = r match {
+    case row: UserCategoryService#UserCategoryRow =>
+      ApiJson.obj(Seq(
+        "transaction_id" -> ApiJson.str(row.transactionId),
+        "master_category" -> ApiJson.value(row.masterCategory.orNull),
+        "source_category" -> ApiJson.value(row.sourceCategory.orNull),
+        "notes" -> ApiJson.value(row.notes.orNull),
+        "validated" -> row.validated.toString,
+        "exclude_from_forecast" -> row.excludeFromForecast.toString,
+        "updated_at" -> ApiJson.value(row.updatedAt.orNull)))
+    case other => ApiJson.value(other)
+  }
+
+  // ---- write routes (`api/transactions.py:66-200`) ----
+
+  private def categorizeRoute(id: String, b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      requiredString(b, "master_category") match {
+        case Left(err) => err
+        case Right(master) =>
+          if (!svc.transactionExists(id)) (404, detail("Transaction not found"))
+          else (200, ucJson(svc.categorize(id, master,
+            sourceCategory = optString(b, "source_category"),
+            notes = optString(b, "notes"),
+            validated = optBool(b, "validated"),
+            excludeFromForecast = optBool(b, "exclude_from_forecast"))))
+      }
+    }
+
+  private def validateRoute(id: String, b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      requiredBool(b, "validated") match {
+        case Left(err) => err
+        case Right(v) =>
+          try {
+            val r = svc.updateValidation(id, v)
+            (200, ApiJson.obj(Seq(
+              "transaction_id" -> ApiJson.str(id),
+              "validated" -> r.validated.toString)))
+          } catch {
+            case e: UserCategoryService.NoCategoryError => (404, detail(e.getMessage))
+          }
+      }
+    }
+
+  private def notesRoute(id: String, b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      try {
+        val r = svc.updateNotes(id, optString(b, "notes"))
+        (200, ApiJson.obj(Seq(
+          "transaction_id" -> ApiJson.str(id),
+          "notes" -> ApiJson.value(r.notes.orNull))))
+      } catch {
+        case e: UserCategoryService.NoCategoryError => (404, detail(e.getMessage))
+      }
+    }
+
+  private def excludeRoute(id: String, b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      requiredBool(b, "exclude_from_forecast") match {
+        case Left(err) => err
+        case Right(v) =>
+          try {
+            val r = svc.updateExcludeFromForecast(id, v)
+            (200, ApiJson.obj(Seq(
+              "transaction_id" -> ApiJson.str(id),
+              "exclude_from_forecast" -> r.excludeFromForecast.toString)))
+          } catch {
+            // this route maps ValueError to 400, not 404 (transactions.py:146)
+            case e: UserCategoryService.NoCategoryError => (400, detail(e.getMessage))
+          }
+      }
+    }
+
+  private def bulkValidateRoute(b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      b.get("transaction_ids") match {
+        case Some(ids: List[_]) if ids.forall(_.isInstanceOf[String]) =>
+          val n = svc.bulkValidate(ids.asInstanceOf[List[String]])
+          (200, ApiJson.obj(Seq(
+            "message" -> ApiJson.str(s"Marked $n transactions as validated"),
+            "updated_count" -> n.toString)))
+        case Some(_) => (422, bodyError("list of str expected", "transaction_ids"))
+        case None => (422, bodyError("field required", "transaction_ids"))
+      }
+    }
+
+  /** POST /api/transactions/trigger-refresh-validated
+    * (`api/transactions.py:164-181`): launch the refresh job by name via
+    * the injected launcher (JobLaunchClient or the Dagster glue). */
+  private def triggerRefreshRoute(): (Int, String) =
+    trigger match {
+      case None => (404, notFound)
+      case Some(launch) =>
+        try {
+          val runId = launch("4_refresh_validated_retrain_repredict")
+          (200, ApiJson.obj(Seq(
+            "success" -> "true",
+            "message" -> ApiJson.str("Dagster job triggered successfully"),
+            "run_id" -> ApiJson.str(runId))))
+        } catch {
+          case e: Exception =>
+            (500, detail(s"Error triggering Dagster job: ${e.getMessage}"))
+        }
+    }
 
   private val methodNotAllowed =
     ApiJson.obj(Seq("detail" -> ApiJson.str("Method Not Allowed")))

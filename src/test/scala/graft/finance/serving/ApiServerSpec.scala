@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.finance.Serving
+import graft.finance.{Serving, TableStore, UserCategoryService}
 
 /** Drives the HTTP façade through the same branch matrix as ServingSpec:
   * the pure param layer (FastAPI Query semantics → 422) and the live
@@ -122,6 +122,40 @@ class ApiServerSpec extends SparkSpec {
     try f(server.boundPort) finally server.stop()
   }
 
+  /** Server with the write half wired: a fresh warehouse-backed
+    * UserCategoryService and a recording trigger. */
+  private def withWritableServer[A](f: (Int, TableStore) => A): A = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-api-wh").toString
+    val store = new TableStore(spark, wh)
+    val tx = () => joinedFixture.select(
+      col("transaction_id"),
+      col("uc_master_category").as("master_category"),
+      col("predicted_master_category"))
+    val svc = new UserCategoryService(spark, store, tx,
+      now = () => java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))
+    val server = new ApiServer(
+      () => joinedFixture, () => validatedFixture, () => simplefinFixture,
+      userCategories = Some(svc),
+      trigger = Some(name => s"run-for-$name"),
+      today = () => LocalDate.parse("2024-02-03")).start()
+    try f(server.boundPort, store) finally server.stop()
+  }
+
+  private def send(port: Int, method: String, pathAndQuery: String,
+      body: String): (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$pathAndQuery")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (status, out)
+  }
+
   test("GET /api/transactions serves the filtered, sorted, counted page") {
     withServer { port =>
       val (status, body) = get(port,
@@ -172,6 +206,116 @@ class ApiServerSpec extends SparkSpec {
       assert(conn.getResponseCode == 405)
       conn.disconnect()
     }
+  }
+
+  test("write routes: categorize, validate, notes, exclude, bulk-validate, trigger") {
+    withWritableServer { (port, store) =>
+      // categorize an unknown transaction -> the route's 404 gate
+      val (s404, _) = send(port, "POST", "/api/transactions/nope/categorize",
+        """{"master_category":"Dining"}""")
+      assert(s404 == 404)
+      // missing required field -> FastAPI-shaped 422
+      val (s422, b422) = send(port, "POST", "/api/transactions/t2/categorize", "{}")
+      assert(s422 == 422 && b422.contains("\"loc\":[\"body\",\"master_category\"]"))
+
+      val (s1, b1) = send(port, "POST", "/api/transactions/t2/categorize",
+        """{"master_category":"Groceries","notes":"weekly"}""")
+      assert(s1 == 200)
+      assert(b1.contains("\"master_category\":\"Groceries\"") &&
+        b1.contains("\"validated\":false"))
+
+      // validate the fresh row, then one with only a prediction (t1 -> Dining)
+      val (s2, b2) = send(port, "PUT", "/api/transactions/t2/validate",
+        """{"validated":true}""")
+      assert(s2 == 200 && b2.contains("\"validated\":true"))
+      val (s3, b3) = send(port, "PUT", "/api/transactions/t1/validate",
+        """{"validated":true}""")
+      assert(s3 == 200 && b3.contains("\"validated\":true"))
+      // t3's prediction is UNCERTAIN... but it IS a category fallback; use an
+      // unknown id instead for the 404 branch
+      val (s4, b4) = send(port, "PUT", "/api/transactions/zzz/validate",
+        """{"validated":true}""")
+      assert(s4 == 404 && b4.contains("No category found"))
+
+      val (s5, b5) = send(port, "PUT", "/api/transactions/t2/notes",
+        """{"notes":null}""")
+      assert(s5 == 200 && b5.contains("\"notes\":null"))
+
+      val (s6, b6) = send(port, "PUT", "/api/transactions/t2/exclude-from-forecast",
+        """{"exclude_from_forecast":true}""")
+      assert(s6 == 200 && b6.contains("\"exclude_from_forecast\":true"))
+      val (s7, _) = send(port, "PUT", "/api/transactions/zzz/exclude-from-forecast",
+        """{"exclude_from_forecast":true}""")
+      assert(s7 == 400) // this route maps the no-category error to 400
+
+      // t4 is already validated=true in the fixture? (no: uc has validated=true
+      // only in joinedFixture's uc table, not this store) -> t4 creates from
+      // its master_category
+      val (s8, b8) = send(port, "POST", "/api/transactions/bulk-validate",
+        """{"transaction_ids":["t1","t2","t4","zzz"]}""")
+      assert(s8 == 200)
+      // t1,t2 already validated above -> only t4 changes; zzz has no category
+      assert(b8.contains("\"updated_count\":1"), b8)
+
+      val stored = store.read("user_categories").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(stored("t4").getAs[Boolean]("validated"))
+      assert(!stored.contains("zzz"))
+
+      val (s9, b9) = send(port, "POST", "/api/transactions/trigger-refresh-validated", "{}")
+      assert(s9 == 200 &&
+        b9.contains("\"run_id\":\"run-for-4_refresh_validated_retrain_repredict\""))
+
+      // malformed JSON body -> 422, not a 500
+      val (s10, _) = send(port, "POST", "/api/transactions/t2/categorize", "{nope")
+      assert(s10 == 422)
+    }
+  }
+
+  test("read-only deployment: write surface is absent (404), reads still serve") {
+    withServer { port =>
+      val (s1, _) = send(port, "PUT", "/api/transactions/t1/validate",
+        """{"validated":true}""")
+      assert(s1 == 404)
+      val (s2, _) = get(port, "/api/transactions")
+      assert(s2 == 200)
+    }
+  }
+
+  test("ApiMain.build serves a JobsMain-materialized warehouse end-to-end") {
+    import graft.finance.{JobsMain, Schemas}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Files.createTempDirectory("graft-api-main").toString
+    val store = new TableStore(spark, wh)
+    val raws = (0 until 4).map { i =>
+      Row(s"t$i", "a1", "Checking", "dom", "Bank",
+        new java.math.BigDecimal("-5.00"), 1700000000L + i, "2024-01-01",
+        1700000000L + i, "2024-01-01", s"coffee $i", false, null,
+        "2024-01-02 00:00:00", "2024-01-02")
+    }
+    store.overwrite("raw_simplefin",
+      spark.createDataFrame(raws.asJava, Schemas.simplefinRaw))
+    JobsMain.run(spark, wh, "3_run_all_dbt_models")
+
+    val server = ApiMain.build(spark, wh).start()
+    try {
+      val (s1, b1) = get(server.boundPort, "/api/transactions?limit=10")
+      assert(s1 == 200 && b1.contains("\"total_count\":4"))
+      // a mutation lands in the same warehouse the reads serve from
+      val id = "\"transaction_id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(b1).get.group(1)
+      val (s2, _) = send(server.boundPort, "POST",
+        s"/api/transactions/$id/categorize", """{"master_category":"Dining"}""")
+      assert(s2 == 200)
+      val (s3, b3) = get(server.boundPort, "/api/transactions?view_mode=validated")
+      assert(s3 == 200 && b3.contains("\"total_count\":0"))
+      val (s4, _) = send(server.boundPort, "PUT",
+        s"/api/transactions/$id/validate", """{"validated":true}""")
+      assert(s4 == 200)
+      val (s5, b5) = get(server.boundPort, "/api/transactions?view_mode=validated")
+      assert(s5 == 200 && b5.contains("\"total_count\":1"))
+    } finally server.stop()
   }
 
   test("GET /api/control-center/connections annotates health per account") {
