@@ -164,6 +164,29 @@ final class UserCategoryService(
     resultRow(transactionId)
   }
 
+  /** `update_validated_transaction_category`
+    * (`transaction_service.py:345-377`): the All-Data editor path — only a
+    * validated row may be edited; the change routes through [[categorize]]
+    * with the stored side fields carried so nothing else moves. The
+    * debounced retrain trigger is the ROUTE's concern, not the service's. */
+  def updateValidatedCategory(
+      transactionId: String, masterCategory: String): UserCategoryRow = {
+    val row = existingRow(transactionId)
+    val isValidated = row.exists(r =>
+      !r.isNullAt(r.fieldIndex("validated")) && r.getBoolean(r.fieldIndex("validated")))
+    if (!isValidated)
+      throw new NoCategoryError(s"Transaction $transactionId is not validated. " +
+        "Only validated transactions can be edited in All Data.")
+    val r = row.get
+    def s(c: String) = Option(r.getString(r.fieldIndex(c)))
+    def b(c: String) = !r.isNullAt(r.fieldIndex(c)) && r.getBoolean(r.fieldIndex(c))
+    categorize(transactionId, masterCategory,
+      sourceCategory = s("source_category"),
+      notes = s("notes"),
+      validated = Some(true),
+      excludeFromForecast = Some(b("exclude_from_forecast")))
+  }
+
   /** `bulk_validate_transactions` (`transaction_service.py:301-345`),
     * set-based: ONE join decides each id's disposition — existing
     * unvalidated rows flip to validated, missing rows are created from the

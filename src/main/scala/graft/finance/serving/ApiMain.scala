@@ -58,6 +58,21 @@ object ApiMain {
 
     val service = new UserCategoryService(spark, store, () => joined())
 
+    // in-use scan for the catalog listing, as Jobs.refreshCategoryCatalog
+    def inUse() = {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val catCols = StructType(Seq(
+        StructField("master_category", StringType),
+        StructField("predicted_master_category", StringType)))
+      Serving.inUseCategories(
+        userCategories(),
+        tableOrEmpty("fct_trxns_categorized", catCols),
+        tableOrEmpty("fct_trxns_with_predictions", catCols))
+    }
+    val catalogSvc = new CategoryCatalogService(spark, store, () => inUse())
+    val backupSvc = new BackupService(warehouseDir,
+      sys.env.getOrElse("GRAFT_BACKUP_DIR", s"$warehouseDir/../backups"))
+
     val trigger: Option[String => String] = sys.env.get("GRAFT_DAGSTER_URL").map {
       baseUrl => (jobName: String) =>
         JobLaunchClient.launch(httpTransport, baseUrl, jobName,
@@ -75,6 +90,9 @@ object ApiMain {
       simplefinRaw = () => tableOrEmpty("raw_simplefin", Schemas.simplefinRaw),
       userCategories = Some(service),
       trigger = trigger,
+      categoryCatalog = Some(catalogSvc),
+      registry = Some(() => tableOrEmpty("model_registry", Schemas.modelRegistry)),
+      backups = Some(backupSvc),
       port = port)
   }
 

@@ -6,6 +6,7 @@ import java.time.LocalDate
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.finance.{CategoryCatalog, ConnectionHealth, Serving, UserCategoryService}
 
@@ -30,6 +31,9 @@ final class ApiServer(
     userCategories: Option[UserCategoryService] = None,
     trigger: Option[String => String] = None,
     today: () => LocalDate = () => LocalDate.now(java.time.ZoneOffset.UTC),
+    categoryCatalog: Option[CategoryCatalogService] = None,
+    registry: Option[() => DataFrame] = None,
+    backups: Option[BackupService] = None,
     port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -38,10 +42,11 @@ final class ApiServer(
   server.createContext("/api/transactions/categories/list",
     exchange("/api/transactions/categories/list", categoriesList))
   server.createContext("/api/transactions", transactionsDispatch _)
-  server.createContext("/api/validated-transactions",
-    exchange("/api/validated-transactions", validatedTransactions))
-  server.createContext("/api/control-center/connections",
-    exchange("/api/control-center/connections", connections))
+  server.createContext("/api/validated-transactions", validatedDispatch _)
+  server.createContext("/api/control-center", controlCenterDispatch _)
+  server.createContext("/api/categories", categoriesDispatch _)
+  server.createContext("/api/model-metrics", modelMetricsDispatch _)
+  server.createContext("/api/backup", backupDispatch _)
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
@@ -227,11 +232,14 @@ final class ApiServer(
     * (`api/transactions.py:164-181`): launch the refresh job by name via
     * the injected launcher (JobLaunchClient or the Dagster glue). */
   private def triggerRefreshRoute(): (Int, String) =
+    triggerJob("4_refresh_validated_retrain_repredict")
+
+  private def triggerJob(jobName: String): (Int, String) =
     trigger match {
       case None => (404, notFound)
       case Some(launch) =>
         try {
-          val runId = launch("4_refresh_validated_retrain_repredict")
+          val runId = launch(jobName)
           (200, ApiJson.obj(Seq(
             "success" -> "true",
             "message" -> ApiJson.str("Dagster job triggered successfully"),
@@ -241,6 +249,234 @@ final class ApiServer(
             (500, detail(s"Error triggering Dagster job: ${e.getMessage}"))
         }
     }
+
+  // ---- /api/validated-transactions (`api/validated_transactions.py`) ----
+
+  private def validatedDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/validated-transactions")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (ex.getRequestMethod, tail) match {
+        case ("GET", Nil) =>
+          validatedTransactions(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
+        case ("GET", List("categories", "list")) => validatedCategoriesList()
+        case ("GET", List("categories", "all")) => categoriesAll()
+        case ("PUT", List(id, "category")) => validatedCategoryRoute(id, readBody(ex))
+        case (_, Nil) => (405, methodNotAllowed)
+        case _ => (404, notFound)
+      } catch {
+        case e: ApiJson.ParseError => (422, bodyError(e.getMessage))
+        case e: Exception => (500, serverError(e))
+      }
+    respond(ex, status, body)
+  }
+
+  /** GET categories/list (`validated_transactions.py:176-188`): distinct
+    * categories present in the validated fact. */
+  private def validatedCategoriesList(): (Int, String) = {
+    val names = validated()
+      .select(col("master_category")).filter(col("master_category").isNotNull)
+      .distinct().orderBy(col("master_category"))
+      .collect().map(_.getString(0)).toSeq
+    (200, ApiJson.strings(names))
+  }
+
+  /** GET categories/all (`validated_transactions.py:191-194` →
+    * `get_categories`): the active catalog, defaults on any failure. */
+  private def categoriesAll(): (Int, String) = {
+    val names =
+      try categoryCatalog.map(_.activeNames())
+        .getOrElse(CategoryCatalog.DefaultCategories.sorted)
+      catch { case _: Exception => CategoryCatalog.DefaultCategories.sorted }
+    (200, ApiJson.strings(names))
+  }
+
+  /** PUT {id}/category (`validated_transactions.py:197-217`): All-Data
+    * editor — only validated rows editable, errors map to 400. */
+  private def validatedCategoryRoute(id: String, b: Map[String, Any]): (Int, String) =
+    withService { svc =>
+      requiredString(b, "master_category") match {
+        case Left(err) => err
+        case Right(master) =>
+          try {
+            val r = svc.updateValidatedCategory(id, master)
+            (200, ApiJson.obj(Seq(
+              "transaction_id" -> ApiJson.str(r.transactionId),
+              "master_category" -> ApiJson.value(r.masterCategory.orNull),
+              "message" -> ApiJson.str(
+                "Category updated. Full refresh + retrain scheduled (~45s after your last edit."))))
+          } catch {
+            case e: UserCategoryService.NoCategoryError => (400, detail(e.getMessage))
+          }
+      }
+    }
+
+  // ---- /api/control-center (`api/control_center.py`) ----
+
+  private def controlCenterDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/control-center")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (ex.getRequestMethod, tail) match {
+        case ("GET", List("connections")) =>
+          connections(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
+        case ("GET", List("initialization-status")) => initializationStatus()
+        case ("POST", List("trigger-ingest-and-predict")) =>
+          triggerJob("2_ingest_and_predict")
+        case ("POST", List("trigger-initialization")) =>
+          triggerJob("1_dagster_init")
+        case _ => (404, notFound)
+      } catch { case e: Exception => (500, serverError(e)) }
+    respond(ex, status, body)
+  }
+
+  /** GET initialization-status (`control_center.py:344-390`, the A11
+    * existence check): empty source AND empty validated fact → needs init.
+    * Any failure to check also reports needs-init, as the reference does. */
+  private def initializationStatus(): (Int, String) = {
+    val (needsInit, message) =
+      try {
+        val hasSource = simplefinRaw().limit(1).count() > 0
+        val hasValidated =
+          try validated().limit(1).count() > 0
+          catch { case _: Exception => false }
+        if (!hasSource && !hasValidated)
+          (true, "No data found. Please run initialization to set up the pipeline.")
+        else (false, "System is initialized.")
+      } catch {
+        case _: Exception =>
+          (true, "Unable to check initialization status. Please run initialization.")
+      }
+    (200, ApiJson.obj(Seq(
+      "needs_initialization" -> needsInit.toString,
+      "message" -> ApiJson.str(message))))
+  }
+
+  // ---- /api/categories (`api/categories.py`) ----
+
+  private def categoriesDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/categories")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (categoryCatalog, ex.getRequestMethod, tail) match {
+        case (None, _, _) => (404, notFound)
+        case (Some(svc), "GET", Nil) =>
+          (200, svc.list().map(categoryJson).mkString("[", ",", "]"))
+        case (Some(svc), "POST", Nil) =>
+          requiredString(readBody(ex), "name") match {
+            case Left(err) => err
+            case Right(name) =>
+              try (200, categoryJson(svc.add(name)))
+              catch { case e: IllegalArgumentException => (400, detail(e.getMessage)) }
+          }
+        case (Some(svc), "PUT", List(name, "active")) =>
+          requiredBool(readBody(ex), "is_active") match {
+            case Left(err) => err
+            case Right(active) =>
+              try (200, categoryJson(svc.setActive(
+                java.net.URLDecoder.decode(name, "UTF-8"), active)))
+              catch { case e: IllegalArgumentException => (404, detail(e.getMessage)) }
+          }
+        case (_, _, Nil) => (405, methodNotAllowed)
+        case _ => (404, notFound)
+      } catch {
+        case e: ApiJson.ParseError => (422, bodyError(e.getMessage))
+        case e: Exception => (500, serverError(e))
+      }
+    respond(ex, status, body)
+  }
+
+  /** CategoryResponse shape (`categories.py:18-23`). */
+  private def categoryJson(r: org.apache.spark.sql.Row): String =
+    ApiJson.obj(Seq(
+      "name" -> ApiJson.str(r.getString(0)),
+      "is_default" -> r.getBoolean(1).toString,
+      "is_active" -> r.getBoolean(2).toString,
+      "in_use" -> r.getBoolean(3).toString,
+      "created_at" -> ApiJson.value(r.get(4))))
+
+  // ---- /api/model-metrics (`api/model_metrics.py`) ----
+
+  private def modelMetricsDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/model-metrics")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (registry, ex.getRequestMethod, tail) match {
+        case (None, _, _) => (404, notFound)
+        case (Some(reg), "GET", List("metrics", "history")) =>
+          val rows = graft.finance.TableStore.metricsHistory(reg())
+          val history = ApiJson.rows(rows)
+          val n = rows.count()
+          (200, ApiJson.obj(Seq(
+            "metrics" -> history, "total_count" -> n.toString)))
+        case (Some(reg), "GET", List("training-status")) =>
+          val rows = graft.finance.TableStore.trainingStatus(reg()).collect()
+          rows.headOption match {
+            case None => (200, ApiJson.obj(Seq(
+              "status" -> ApiJson.str("not_found"),
+              "message" -> ApiJson.str("No training runs recorded"))))
+            case Some(r) => (200, ApiJson.row(r))
+          }
+        case _ => (404, notFound)
+      } catch { case e: Exception => (500, serverError(e)) }
+    respond(ex, status, body)
+  }
+
+  // ---- /api/backup (`api/backup.py`) ----
+
+  private def backupDispatch(ex: HttpExchange): Unit = {
+    val tail = ex.getRequestURI.getPath.stripPrefix("/api/backup")
+      .split("/").filter(_.nonEmpty).toList
+    val (status, body) =
+      try (backups, ex.getRequestMethod, tail) match {
+        case (None, _, _) => (404, notFound)
+        case (Some(svc), "POST", List("run")) =>
+          val (name, size) = svc.run()
+          (200, ApiJson.obj(Seq(
+            "success" -> "true",
+            "filename" -> ApiJson.str(name),
+            "message" -> ApiJson.str(s"Backup saved: $name ($size bytes)"))))
+        case (Some(svc), "GET", List("list")) =>
+          (200, ApiJson.obj(Seq("backups" -> svc.list().map(b =>
+            ApiJson.obj(Seq(
+              "filename" -> ApiJson.str(b.filename),
+              "size_bytes" -> b.sizeBytes.toString,
+              "created" -> ApiJson.str(b.created)))).mkString("[", ",", "]"))))
+        case (Some(svc), "POST", List("restore")) =>
+          val b = readBody(ex)
+          requiredString(b, "filename") match {
+            case Left(err) => err
+            case Right(filename) =>
+              svc.restore(filename, optString(b, "confirm")) match {
+                case Left((code, msg)) => (code, detail(msg))
+                case Right(msg) => (200, ApiJson.obj(Seq(
+                  "success" -> "true", "message" -> ApiJson.str(msg))))
+              }
+          }
+        case (Some(svc), "GET", List("schedule")) =>
+          (200, scheduleJson(svc.loadSchedule()))
+        case (Some(svc), "POST", List("schedule")) =>
+          val b = readBody(ex)
+          requiredBool(b, "enabled") match {
+            case Left(err) => err
+            case Right(enabled) =>
+              val retention = b.get("retention_days").collect { case d: Double => d.toInt }
+              (200, scheduleJson(svc.saveSchedule(enabled, optString(b, "cron"), retention)))
+          }
+        case _ => (404, notFound)
+      } catch {
+        case e: ApiJson.ParseError => (422, bodyError(e.getMessage))
+        case e: Exception => (500, serverError(e))
+      }
+    respond(ex, status, body)
+  }
+
+  private def scheduleJson(s: BackupService#ScheduleState): String =
+    ApiJson.obj(Seq(
+      "enabled" -> s.enabled.toString,
+      "cron" -> ApiJson.str(s.cron),
+      "retention_days" -> s.retentionDays.toString,
+      "next_run" -> s.nextRun.map(ApiJson.str).getOrElse("null")))
 
   private val methodNotAllowed =
     ApiJson.obj(Seq("detail" -> ApiJson.str("Method Not Allowed")))

@@ -97,6 +97,20 @@ class UserCategoryServiceSpec extends SparkSpec {
     assert(svc.bulkValidate(Seq("t1", "t2", "t3")) == 0L)
   }
 
+  test("updateValidatedCategory: only validated rows editable; side fields carried") {
+    val (svc, _) = freshService()
+    intercept[UserCategoryService.NoCategoryError] {
+      svc.updateValidatedCategory("t1", "Home") // no row at all
+    }
+    svc.categorize("t1", "Dining", notes = Some("keep me"))
+    intercept[UserCategoryService.NoCategoryError] {
+      svc.updateValidatedCategory("t1", "Home") // exists but unvalidated
+    }
+    svc.updateValidation("t1", validated = true)
+    val r = svc.updateValidatedCategory("t1", "Home")
+    assert(r.masterCategory.contains("Home") && r.validated && r.notes.contains("keep me"))
+  }
+
   test("first-ever write through any mutation keeps the full canonical schema") {
     val (svc, store) = freshService()
     svc.updateValidation("t2", validated = true) // narrow batch, fresh table

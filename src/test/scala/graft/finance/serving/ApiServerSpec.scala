@@ -318,6 +318,81 @@ class ApiServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("category catalog, model metrics, backup, and control-center route families") {
+    import graft.finance.Schemas
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Files.createTempDirectory("graft-api-full").toString
+    val bk = java.nio.file.Files.createTempDirectory("graft-api-bk").toString
+    val store = new TableStore(spark, wh)
+    store.overwrite("user_categories",
+      spark.createDataFrame(List.empty[Row].asJava, Schemas.userCategories))
+    val reg = Seq(
+      ("v1", "trained", 0.9, 100L, 25L, 5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("v2", "skipped", 0.0, 0L, 0L, 0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("model_version", "status", "accuracy", "n_train", "n_test", "n_classes",
+        "training_timestamp")
+      .withColumn("f1_macro", col("accuracy"))
+      .withColumn("f1_weighted", col("accuracy"))
+      .withColumn("precision_macro", col("accuracy"))
+      .withColumn("recall_macro", col("accuracy"))
+      .withColumn("reason", lit(null).cast("string"))
+    val catalogSvc = new CategoryCatalogService(spark, store,
+      () => Seq("Gas", "CustomCat").toDF("category"),
+      now = () => java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val backupSvc = new BackupService(wh, bk,
+      now = () => java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    val server = new ApiServer(
+      () => joinedFixture, () => validatedFixture, () => simplefinFixture,
+      today = () => LocalDate.parse("2024-02-03"),
+      categoryCatalog = Some(catalogSvc),
+      registry = Some(() => reg),
+      backups = Some(backupSvc)).start()
+    try {
+      val port = server.boundPort
+      // categories: defaults seeded + custom add + deactivate + 404 branch
+      val (s1, b1) = get(port, "/api/categories")
+      assert(s1 == 200 && b1.contains("\"name\":\"Groceries\"") &&
+        b1.contains("\"in_use\":false"))
+      val (s2, b2) = send(port, "POST", "/api/categories", """{"name":"CustomCat"}""")
+      assert(s2 == 200 && b2.contains("\"is_default\":false") && b2.contains("\"in_use\":true"))
+      val (s2b, _) = send(port, "POST", "/api/categories", """{"name":"CustomCat"}""")
+      assert(s2b == 400) // active duplicate
+      val (s3, b3) = send(port, "PUT", "/api/categories/CustomCat/active",
+        """{"is_active":false}""")
+      assert(s3 == 200 && b3.contains("\"is_active\":false"))
+      val (s4, _) = send(port, "PUT", "/api/categories/NoSuch/active",
+        """{"is_active":true}""")
+      assert(s4 == 404)
+
+      // model metrics: trained-only history + latest status
+      val (s5, b5) = get(port, "/api/model-metrics/metrics/history")
+      assert(s5 == 200 && b5.contains("\"total_count\":1") && b5.contains("\"v1\""))
+      val (s6, b6) = get(port, "/api/model-metrics/training-status")
+      assert(s6 == 200 && b6.contains("\"status\":\"skipped\"") && b6.contains("\"v2\""))
+
+      // backup: run -> list -> schedule roundtrip -> restore guards
+      val (s7, b7) = send(port, "POST", "/api/backup/run", "{}")
+      assert(s7 == 200 && b7.contains("warehouse_backup_20240201_000000"))
+      val (s8, b8) = get(port, "/api/backup/list")
+      assert(s8 == 200 && b8.contains("\"filename\":\"warehouse_backup_20240201_000000\""))
+      val (s9, b9) = send(port, "POST", "/api/backup/schedule",
+        """{"enabled":true,"cron":"0 2 * * *","retention_days":200}""")
+      assert(s9 == 200 && b9.contains("\"retention_days\":90") && // clamped
+        b9.contains("\"next_run\":\"2024-02-01T02:00\""))
+      val (s10, _) = send(port, "POST", "/api/backup/restore",
+        """{"filename":"warehouse_backup_20240201_000000"}""")
+      assert(s10 == 400) // missing confirm
+      val (s11, b11) = send(port, "POST", "/api/backup/restore",
+        """{"filename":"warehouse_backup_20240201_000000","confirm":"RESTORE"}""")
+      assert(s11 == 200 && b11.contains("\"success\":true"), b11)
+
+      // control-center: initialization status over non-empty fixtures
+      val (s12, b12) = get(port, "/api/control-center/initialization-status")
+      assert(s12 == 200 && b12.contains("\"needs_initialization\":false"))
+    } finally server.stop()
+  }
+
   test("GET /api/control-center/connections annotates health per account") {
     withServer { port =>
       val (status, body) = get(port, "/api/control-center/connections")
