@@ -536,10 +536,14 @@ object ParityCatalog {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+      // group sizes as a broadcast 3-row aggregate, not a second window
+      // pass: count() over a partition-only window re-buffers the whole
+      // 600k-row partition just to stamp a constant on every row
+      val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
       val r = base
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .join(broadcast(counts), Seq("l_returnflag"))
       // gate window: ±10× the sketch's worst-case rank error (n·1e-4)
       val d = greatest(ceil(col("n") * lit(0.001)), lit(1L))
       def atRank(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
