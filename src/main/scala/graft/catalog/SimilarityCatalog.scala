@@ -319,5 +319,49 @@ object SimilarityCatalog {
         .agg(
           sum(col("v").cast("decimal(18,9)")).cast("double").as("sum_val"),
           count(lit(1)).as("n"))
+    },
+
+    // ---- S7: SemDeDup-style semantic corpus pruning ------------------------
+    // The embedding dedup that SHRINKS the corpus rather than listing pairs
+    // (Abbas et al. 2023 "SemDeDup": cluster embeddings, drop all but one of
+    // each within-cluster semantic-duplicate group). Keep rule here: drop a
+    // vector iff SOME earlier-id vector in its cell is cosine-similar above
+    // the threshold. That drop-list rule is deterministic, one-pass, and
+    // anti-join-shaped — unlike greedy kept-set pruning, whose "kept depends
+    // on kept" recursion serializes and doesn't distribute. It is also
+    // recall-safe in the dedup direction: everything it drops HAS a similar
+    // earlier representative (which may itself be dropped only for having
+    // its own even-earlier representative — the canonical chain ends at a
+    // kept vector).
+    //
+    // Scale shape: pairs are cell-bucketed (the s2/s3 posture — label stands
+    // in for an IVF cell from operators/AnnIndex at 100 TB, where the pair
+    // join prunes at the parquet-partition scan), never all-pairs; the
+    // drop list shuffles bare ids, and the final anti-join is the only
+    // corpus-wide exchange.
+    QueryDef(
+      "s7_semantic_prune",
+      "SemDeDup-style semantic dedup: within a cell, drop any vector with an earlier-id neighbor at cosine >= 0.45; deterministic drop-list anti-join, cell-bucketed pairs — the corpus-shrinking embedding dedup next to the pair-listing s3",
+      Some(s"""
+        SELECT e.vec_id, e.label
+        FROM embeddings e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings a
+          WHERE a.label = e.label AND a.vec_id < e.vec_id
+            AND ${cosineSql("a.embedding", "e.embedding")} >= 0.45)
+      """)) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val a = e.select(col("vec_id").as("vec1"), col("label"),
+        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
+      val b = e.select(col("vec_id").as("vec2"), col("label"),
+        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
+      val dropped = a.join(b, Seq("label"))
+        .filter(col("vec1") < col("vec2"))
+        .filter((dot(col("emb1"), col("emb2"))
+          / (col("norm1") * col("norm2"))) >= 0.45)
+        .select(col("vec2").as("vec_id"))
+        .distinct()
+      e.select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left_anti")
     })
 }
