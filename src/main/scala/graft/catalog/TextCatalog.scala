@@ -37,6 +37,10 @@ object TextCatalog {
   private val PhoneRe = "555-[0-9]+-[0-9]+"
   private val Ipv4Re = "10[.][0-9]+[.][0-9]+[.][0-9]+"
 
+  // merge count for v2 — declared BEFORE `all`: object vals initialize in
+  // declaration order, and `all` evaluates bpeOracle(BpeMerges) eagerly
+  private final val BpeMerges = 8
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- T1: language identification --------------------------------------
@@ -388,6 +392,87 @@ object TextCatalog {
           (termScore(col("tf_spark"), dfs(0))
             + termScore(col("tf_join"), dfs(1))
             + termScore(col("tf_window"), dfs(2))).as("bm25"))
+    },
+
+    // ---- V2: BPE merge learning -------------------------------------------
+    // Tokenizer TRAINING (v1 counts whole words; this learns the subword
+    // merge table): Sennrich ACL'16 byte-pair encoding, K merges. The Spark
+    // side touches the corpus once (word counts) and iterates on the
+    // vocab-sized word table (graft.operators.BpeLearn — scale notes there).
+    // The DuckDB oracle is the SAME K iterations UNROLLED as generated CTE
+    // layers (pair-count → argmax → two-pass merge rewrite per layer), so
+    // the full iterative result — not just round one — is hash-gated.
+    // Determinism: exact integer pair counts, (count DESC, left, right)
+    // argmax tiebreak, and an identical two-pass non-overlapping replace as
+    // the merge rewrite on both engines (contract in BpeLearn's scaladoc).
+    QueryDef(
+      "v2_bpe_merges",
+      "North-star tokenizer training: first 8 BPE merges over the document corpus — corpus-pass word counts, then pair-count/argmax/rewrite iterations on the vocab-sized word table",
+      Some(bpeOracle(BpeMerges))) { (spark, dir) =>
+      val wc = graft.operators.BpeLearn.wordCounts(Tables.documentsFanned(spark, dir))
+      val merges = graft.operators.BpeLearn.learn(wc, BpeMerges)
+      spark.createDataFrame(merges).orderBy("merge_rank")
+    },
+
+    // ---- V3: BPE tokenization ---------------------------------------------
+    // The inference half of v2: apply the learned merge table and emit the
+    // resulting SUBWORD vocabulary with exact corpus frequencies (v1 is the
+    // word-level vocab; this is what the corpus looks like to the model).
+    // Spark side: the K merges fold into ONE map-only projection over the
+    // vocab-sized word table — no per-merge jobs at tokenization time.
+    // Oracle: the same unrolled layers as v2; `w8` IS the tokenized word
+    // table, so the final aggregate just explodes its renderings.
+    QueryDef(
+      "v3_bpe_tokenize",
+      "North-star tokenizer inference: corpus subword frequencies after applying the 8 learned BPE merges — the merge chain folded into one map-only rewrite of the word table",
+      Some(bpeOracle(BpeMerges,
+        finalSelect = Some(s"""
+      SELECT t AS token, CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(w, ' ')) AS t, cnt FROM w$BpeMerges)
+      GROUP BY 1""")))) { (spark, dir) =>
+      val wc = graft.operators.BpeLearn.wordCounts(Tables.documentsFanned(spark, dir))
+      val merges = graft.operators.BpeLearn.learn(wc, BpeMerges)
+      val words = graft.operators.BpeLearn.applyMerges(
+        graft.operators.BpeLearn.initialSymbols(wc), merges)
+      words.select(explode(split(col("w"), " ")).as("token"), col("cnt"))
+        .groupBy("token").agg(sum("cnt").as("freq"))
     })
 
+  /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
+    * pairs of rendering `w_{i-1}` (lateral unnest over positions — the d11
+    * shape), `b_i` the argmax row, `w_i` the rewritten rendering (two-pass
+    * replace via cross join with the single-row `b_i`). `CAST(SUM(cnt) AS
+    * BIGINT)`: DuckDB sums BIGINT into HUGEINT, which its pandas bridge
+    * renders as float64 and the driver hash would diverge (the a17 lesson). */
+  private def bpeOracle(k: Int, finalSelect: Option[String] = None): String = {
+    val layers = (1 to k).map { i =>
+      s"""p$i AS (
+        SELECT s[t.i] AS a, s[t.i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (SELECT string_split(w, ' ') AS s, cnt FROM w${i - 1}),
+             unnest(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2),
+      b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+      w$i AS (
+        SELECT trim(replace(replace(' ' || w || ' ',
+                                    ' ' || a || ' ' || b || ' ',
+                                    ' ' || a || b || ' '),
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS w, cnt
+        FROM w${i - 1} CROSS JOIN b$i)"""
+    }.mkString(",\n      ")
+    val finals = finalSelect.getOrElse(
+      (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$i")
+        .mkString("\n      UNION ALL ") + "\n      ORDER BY merge_rank")
+    s"""
+      WITH wc AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY 1),
+      w0 AS (SELECT array_to_string(string_split(word, ''), ' ') || ' </w>' AS w, cnt
+             FROM wc),
+      $layers
+      $finals
+    """
+  }
 }
