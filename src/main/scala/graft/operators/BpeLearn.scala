@@ -91,23 +91,28 @@ object BpeLearn {
     * previous one, so storage is bounded at two renderings regardless of K. */
   def learn(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
     var words = initialSymbols(wordCounts).cache()
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
+      // ONE job per round: this collect materializes `words`' cache (reading
+      // the previous round's cache, or the corpus on round one) — so only
+      // AFTER it is the previous rendering safe to free. Storage stays
+      // bounded at two vocab-sized renderings with no extra count() job.
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(words)
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, a, b, c)
-        val next = words.select(applyMerge(col("w"), a, b).as("w"), col("cnt")).cache()
-        next.count() // materialize before freeing the parent it reads from
-        words.unpersist()
-        words = next
+        words = words.select(applyMerge(col("w"), a, b).as("w"), col("cnt")).cache()
         rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     merges.result()
   }
