@@ -713,24 +713,27 @@ object ExtensionCatalog {
               FROM gw GROUP BY 1) g
         ON f.l_returnflag = g.l_returnflag
       """)) { (spark, dir) =>
-      // 3-column project THEN fan out: the fixture scan is one task
-      // (single row group), which would build every partial sketch on one
-      // core; repartitioning the narrow projection spreads the CPU-heavy
-      // sketch updates across the cluster — the same layout-decoupling
-      // trick as Tables.documentsFanned
-      val base = Tables.lineitem(spark, dir)
+      // ONE exchange feeds everything: dedup to distinct (flag, status,
+      // partkey) triples first — the sketch is insert-idempotent and both
+      // exact twins are functions of the distinct SET, so the groupwise
+      // sketch/count branch and the merged-exact branch are two consumers
+      // of the SAME dedup aggregate and Spark's ReuseExchange runs the
+      // scan + first shuffle once (the previous shape scanned and fanned
+      // the 3-column projection twice). The dedup shuffle also spreads the
+      // CPU-heavy sketch updates across the cluster at any scale.
+      val triples = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
-        .repartition(spark.sparkContext.defaultParallelism)
-      val partials = base
+        .distinct()
+      val partials = triples
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
-          count_distinct(col("l_partkey")).as("exact_within_group"))
+          count(lit(1)).as("exact_within_group"))
       val merged = partials.groupBy(col("l_returnflag"))
         .agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_merged"),
           sum(col("exact_within_group")).as("sum_groupwise_exact"))
       // exact merged distinct per flag: the 3-row gate join is broadcast
-      val exact = base.groupBy(col("l_returnflag"))
+      val exact = triples.groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")).as("exact_merged"))
       merged.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_merged"), col("sum_groupwise_exact"),
