@@ -358,5 +358,41 @@ object AggWindowCatalog {
           percent_rank().over(wt).as("prnk"),
           cume_dist().over(wt).as("cdist"),
           ntile(4).over(wu).as("quartile"))
+    },
+
+    // ---- W9: time-RANGE window frame ---------------------------------------
+    // The rolling-window shape the ROWS-frame family can't express: "trailing
+    // 30 days of revenue per customer" must bound the frame by the ORDER
+    // VALUE (dates), not a row count — sparse/bursty order histories make
+    // ROWS BETWEEN N PRECEDING wrong. Spark's rangeBetween needs a numeric
+    // order column, so the date becomes epoch-days (unix_date) with a
+    // [-29, 0] frame ≡ DuckDB's RANGE BETWEEN INTERVAL 29 DAY PRECEDING.
+    // Determinism: RANGE frames include ALL peer rows of the current order
+    // value on both engines, so same-day ties share identical sums and no
+    // tiebreak is needed; the money sum accumulates in DECIMAL and casts to
+    // DOUBLE once at the boundary. One hash exchange on o_custkey + one
+    // in-partition sort — the standard distributed window shape.
+    QueryDef(
+      "w9_rolling_range",
+      "Time-RANGE window frame: per-customer trailing-30-day revenue — epoch-day rangeBetween(-29,0) ≡ RANGE BETWEEN INTERVAL 29 DAY PRECEDING, DECIMAL accumulation, peer-inclusive and tie-proof",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS rolling_30d
+        FROM orders
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // o_orderdate is TIMESTAMP_NTZ midnight-pinned in the fixtures, so
+      // epoch-DAY framing is exact; a true time-of-day feed would order by
+      // epoch seconds with a seconds-denominated frame instead
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_date(to_date(col("o_orderdate"))))
+        .rangeBetween(-29, 0)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("rolling_30d"))
     })
 }
