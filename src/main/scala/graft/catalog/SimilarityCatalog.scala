@@ -289,26 +289,31 @@ object SimilarityCatalog {
     // per-class mean vectors (classifier prototypes, cluster updates,
     // per-source drift monitors). Long format (label, pos) — posexplode is
     // map-only and the ONE shuffle carries labels × dims partial sums, not
-    // vectors. Accumulation is DECIMAL(18,9) from the float values: float
-    // addition is order-dependent, so a double sum would hash differently
-    // under every partitioning — the decimal sum is exact and engine/
-    // partition-order-independent (the f2 moment-stats posture applied to
-    // vectors). Sum and count ship separately; consumers divide — decimal
+    // vectors. Accumulation is nano-quantized INTEGERS from the float
+    // values: float addition is order-dependent, so a double sum would hash
+    // differently under every partitioning — the integer sum is exact and
+    // engine/partition-order-independent (the f2 moment-stats posture
+    // applied to vectors), and quantization happens in identical IEEE
+    // double ops on both engines (see the oracle comment: a decimal cast
+    // ties on floats whose exact expansion terminates one digit past the
+    // scale, and the engines' cast rounding modes differ).
+    // Sum and count ship separately; consumers divide — decimal
     // division scale rules differ across engines, the inputs don't.
     QueryDef(
       "s6_label_centroids",
-      "Per-label embedding centroid accumulators: posexplode to (label, pos), exact DECIMAL(18,9) sums + counts — order/partitioning-independent, one shuffle of labels x dims rows",
+      "Per-label embedding centroid accumulators: posexplode to (label, pos), nano-quantized integer sums + counts — order/partitioning-independent, one shuffle of labels x dims rows",
       Some("""
         SELECT label, i AS pos,
-               -- the DOUBLE hop is load-bearing: DuckDB's direct
-               -- float->decimal cast rounds via the float's shortest
-               -- decimal rendering, Spark's via the exact double value —
-               -- casting through DOUBLE pins both engines to the same path
-               -- accumulate exact (order-independent), cast ONCE at the
-               -- boundary: the driver's pandas comparator renders DuckDB
-               -- decimals as float64, so the output dtype must be DOUBLE
-               -- on both engines (the a13/a16/f4 posture)
-               CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_val,
+               -- quantize with IDENTICAL IEEE double arithmetic on both
+               -- engines, never a decimal cast: x*1e9 is the same double
+               -- product bit-for-bit, round_even matches Spark's bround
+               -- (HALF_EVEN), and the integer sum is order-independent.
+               -- A decimal(18,9) cast here ties when a float's exact
+               -- expansion terminates at digit 10 (e.g. 0.1494140625, an
+               -- odd multiple of 2^-10) and the engines' cast rounding
+               -- modes split (Spark HALF_UP vs DuckDB HALF_EVEN) — hit at
+               -- sf0.1. One final division by 1e9: same double op on both.
+               CAST(SUM(CAST(round_even(CAST(embedding[i + 1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS sum_val,
                COUNT(*) AS n
         FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
         GROUP BY 1, 2
@@ -317,7 +322,8 @@ object SimilarityCatalog {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(
-          sum(col("v").cast("decimal(18,9)")).cast("double").as("sum_val"),
+          (sum(bround(col("v").cast("double") * lit(1e9), 0).cast("long")).cast("double")
+            / lit(1e9)).as("sum_val"),
           count(lit(1)).as("n"))
     },
 
