@@ -1089,5 +1089,76 @@ object ExtensionCatalog {
         round((col("sxy") - col("sx") * col("sy") / col("n")) /
           sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
             (col("syy") - col("sy") * col("sy") / col("n"))), 10).as("corr_qty_price"))
+    },
+
+    // ---- G1: graph centrality, oracle-gated --------------------------------
+    // The corpus-curation link-score signal (operators/PageRank) gets a
+    // HASH gate via integer quantization — double PageRank cannot be
+    // cross-engine-compared (order-dependent float sums), but
+    // ranksQuantized is pure integer arithmetic (ranks in nano-units,
+    // truncating division, damping = 85/100), so every engine computes the
+    // SAME longs and the DuckDB oracle unrolls the identical 5 iterations
+    // as generated CTE layers (the v2 BPE technique applied to graphs).
+    // The graph: supplier→customer trade edges (lineitem⋈orders, distinct),
+    // with the reverse edge only for finalized orders — customers with no
+    // finalized order stay DANGLING, exercising the dangling-mass path.
+    // Customer node ids offset by 1e6 to keep the key spaces disjoint.
+    QueryDef(
+      "g1_pagerank",
+      "Integer-quantized PageRank over the supplier-customer trade graph, 5 rounds: bit-exact cross-engine centrality (nano-unit longs, truncating division, rational 85/100 damping, dangling mass redistributed floor-uniformly); oracle = the same iterations unrolled as CTE layers",
+      Some(pagerankOracle(PrIters))) { (spark, dir) =>
+      val j = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+      val fwd = j.select(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(1000000L)).as("dst"))
+      val back = j.filter(col("o_orderstatus") === "F")
+        .select((col("o_custkey") + lit(1000000L)).as("src"), col("l_suppkey").as("dst"))
+      val edges = fwd.union(back).distinct()
+      graft.operators.PageRank.ranksQuantized(edges, "src", "dst", PrIters)
     })
+
+  private final val PrIters = 5
+
+  /** g1's oracle: the quantized iterations unrolled. Layer i: dangling mass
+    * `d_i` (nodes with no out-edges), per-destination contributions `c_i`
+    * (s div deg per edge), rank update `r_i`. All sums cast back to BIGINT
+    * immediately (DuckDB SUM(BIGINT) is HUGEINT — the a17 lesson); `//` on
+    * nonneg integers truncates exactly like Spark's `div`. */
+  private def pagerankOracle(k: Int): String = {
+    val layers = (1 to k).map { i =>
+      s"""d$i AS (
+        SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS dm
+        FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src
+        WHERE deg.src IS NULL),
+      c$i AS (
+        SELECT e.dst AS node, CAST(SUM(r.s // g.deg) AS BIGINT) AS contrib
+        FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
+        GROUP BY 1),
+      r$i AS (
+        SELECT n0.node,
+               CAST((15 * CAST(1000000000 AS BIGINT)
+                     + 85 * (COALESCE(c.contrib, 0)
+                             + (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100
+                    AS BIGINT) AS s
+        FROM nodes n0 LEFT JOIN c$i c ON n0.node = c.node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH joined AS (
+        SELECT l_suppkey, o_custkey + 1000000 AS cust_node, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT DISTINCT l_suppkey AS src, cust_node AS dst FROM joined
+        UNION
+        SELECT DISTINCT cust_node AS src, l_suppkey AS dst FROM joined
+        WHERE o_orderstatus = 'F'),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes),
+      $layers
+      SELECT node, s FROM r$k
+    """
+  }
 }

@@ -76,4 +76,66 @@ object PageRank {
     }
     ranks
   }
+
+  /** Integer-QUANTIZED PageRank: bit-identical results on any engine,
+    * partitioning, or summation order — the cross-engine-checkable scoring
+    * mode. Double ranks cannot be hash-compared across engines (float
+    * addition is order-dependent); here ranks live in `unit`ths as longs,
+    * every division truncates, and damping is the rational 85/100, so each
+    * round is pure integer arithmetic with one deterministic result.
+    * Per round: dangling mass D (one scalar), its per-node share D div n,
+    * per-edge contribution s_u div deg_u, then
+    * s'_v = (15·unit + 85·(Σ contrib + share)) div 100.
+    * Floor losses mean mass is NOT exactly conserved — the trade for
+    * bit-exactness; relative error per round is ~deg/unit. Overflow
+    * envelope: 85·n·unit must fit a long → n ≤ ~1e8 at unit=1e9; shrink
+    * `unit` beyond that. Same iteration discipline as [[ranks]]: two keyed
+    * shuffles per round, one scalar to the driver, storage bounded at two
+    * checkpointed vectors. */
+  def ranksQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      unit: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "PageRank: empty graph")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, "src").localCheckpoint(false)
+
+    def freeBlocks(df: DataFrame): Unit =
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+    var ranks = nodes.withColumn("s", lit(unit)).localCheckpoint(false)
+    var iter = 0
+    while (iter < iterations) {
+      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("s")), lit(0L))).head.getLong(0)
+      val share = dangling / n
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("s div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .withColumn("acc",
+          lit(15L) * lit(unit) + lit(85L) * (coalesce(col("contrib"), lit(0L)) + lit(share)))
+        .select(col("node"), expr("acc div 100").as("s"))
+        .localCheckpoint(false)
+      freeBlocks(ranks)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
 }

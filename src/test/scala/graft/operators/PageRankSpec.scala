@@ -47,6 +47,28 @@ class PageRankSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - want(r.getLong(0))) < 1e-9))
   }
 
+  test("quantized ranks track the double ranks within quantization error") {
+    val got = PageRank.ranksQuantized(chainWithHub.toDF("s", "t"), "s", "t", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference(chainWithHub, 8)
+    assert(got.keySet == want.keySet)
+    // floor losses accumulate at most ~iters·deg units of 1e-9
+    got.foreach { case (k, s) =>
+      assert(math.abs(s / 1e9 - want(k)) < 1e-6, s"node $k: $s vs ${want(k)}")
+    }
+  }
+
+  test("quantized ranks are bit-identical under repartitioning, incl. dangling") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)) // node 3 dangling
+    def run(parts: Int) =
+      PageRank.ranksQuantized(edges.toDF("s", "t").repartition(parts), "s", "t", 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val a = run(1)
+    assert(a == run(7))
+    val want = reference(edges, 12)
+    a.foreach { case (k, s) => assert(math.abs(s / 1e9 - want(k)) < 1e-6) }
+  }
+
   test("linked-to pages outrank unlinked ones; symmetric pages tie exactly") {
     val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L))
     val ranks = PageRank.ranks(star.toDF("s", "t"), "s", "t", iterations = 10)
