@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-preserving batch iteration,
-  * output shapes — is real and tested, and so is IMAGE DECODE: `Codec`
-  * parses actual PNG/JPEG/GIF/BMP bytes through the JDK's `javax.imageio`
-  * (no external dependency) for true width/height/channels. Payloads
+  * output shapes — is real and tested, and so are IMAGE and AUDIO decode:
+  * `Codec` parses actual PNG/JPEG/GIF/BMP bytes through the JDK's
+  * `javax.imageio` for true width/height/channels, and actual WAV/AIFF/AU
+  * bytes through `javax.sound.sampled` for true sample rate / channels /
+  * frame count plus a windowed-RMS energy profile (both pure JDK, no
+  * external dependency). Payloads
   * ImageIO cannot parse fall back to a deterministic payload-keyed fake so
   * the operators stay total over synthetic corpora (the container has no
   * real image fixtures); a production corpus would route undecodable
@@ -116,6 +119,90 @@ object Multimodal {
       out
     }
 
+    final case class DecodedAudio(
+        sampleRateHz: Int, channels: Int, frames: Long, pcmOk: Boolean)
+
+    /** Audio decode — REAL for WAV/AIFF/AU: the JDK's
+      * `javax.sound.sampled.AudioSystem` parses the container (no external
+      * dependency, the `ImageIO` posture applied to audio) and reports the
+      * true sample rate, channel count, and frame length. Payloads the JDK
+      * cannot parse get the deterministic payload-keyed fake with
+      * `pcmOk=false` — same total-function contract as `decodeImage`. */
+    def decodeAudio(payload: Array[Byte]): DecodedAudio = {
+      val real =
+        if (payload == null || payload.isEmpty) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val f = in.getFormat
+            Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
+              in.getFrameLength, pcmOk = true))
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      real.getOrElse {
+        val h = java.util.Arrays.hashCode(payload)
+        DecodedAudio(8000 + math.abs(h % 40000), 1 + math.abs(h >> 8) % 2,
+          1000L + math.abs((h >> 4) % 100000), pcmOk = false)
+      }
+    }
+
+    /** Windowed RMS energy profile — the real audio feature under every
+      * VAD/silence-trim/quality gate: decode to signed-16-bit PCM via the
+      * JDK's converter, mix channels down, split the clip into `windows`
+      * equal slices, RMS per slice normalized to [0,1]. Undecodable
+      * payloads fall back to the rolling-hash fold (total-function
+      * contract); a learned audio encoder slots into the same signature. */
+    def audioEnergy(payload0: Array[Byte], windows: Int): Array[Float] = {
+      val payload = if (payload0 == null) Array.emptyByteArray else payload0
+      val samples =
+        if (payload.isEmpty) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val f = in.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+              f.getSampleRate, false)
+            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            try {
+              val bytes = pcm.readAllBytes()
+              val ch = f.getChannels
+              val nFrames = bytes.length / (2 * ch)
+              val mono = new Array[Double](nFrames)
+              var i = 0
+              while (i < nFrames) {
+                var s = 0.0; var c = 0
+                while (c < ch) {
+                  val o = (i * ch + c) * 2
+                  s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toDouble
+                  c += 1
+                }
+                mono(i) = s / ch; i += 1
+              }
+              if (nFrames == 0) None else Some(mono)
+            } finally pcm.close()
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      samples.map { mono =>
+        val out = new Array[Float](windows)
+        val n = mono.length
+        var w = 0
+        while (w < windows) {
+          val i0 = (w.toLong * n / windows).toInt
+          val i1 = math.max(i0 + 1, ((w + 1).toLong * n / windows).toInt)
+          var ss = 0.0; var i = i0
+          while (i < math.min(i1, n)) { ss += mono(i) * mono(i); i += 1 }
+          val cnt = math.min(i1, n) - i0
+          out(w) = if (cnt <= 0) 0f else (math.sqrt(ss / cnt) / 32768.0).toFloat
+          w += 1
+        }
+        out
+      }.getOrElse(hashFold(payload, windows))
+    }
+
     private def hashFold(payload: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Float](dim)
       var h = 1125899906842597L
@@ -158,6 +245,40 @@ object Multimodal {
     assets.select("asset_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         Row(r.getLong(0), Codec.featurize(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Decode audio metadata for every asset — the `decodeImages` shape for
+    * the audio modality: (asset_id, sample_rate_hz, channels, frames,
+    * pcm_ok), partition-preserving, codec init amortized per partition. */
+  def decodeAudios(assets: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate_hz", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("frames", LongType, nullable = false),
+      StructField("pcm_ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val d = Codec.decodeAudio(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), d.sampleRateHz, d.channels, d.frames, d.pcmOk)
+      }
+    }(enc)
+  }
+
+  /** Windowed RMS energy per asset — the fixed-dim audio feature column
+    * (VAD / silence-trim / loudness gates consume this; similarity search
+    * can index it exactly like the image embeddings). */
+  def audioFeatures(assets: DataFrame, windows: Int = 32): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("energy", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), Codec.audioEnergy(r.getAs[Array[Byte]]("payload"), windows).toSeq)
       }
     }(enc)
   }
