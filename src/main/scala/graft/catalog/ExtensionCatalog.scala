@@ -38,6 +38,11 @@ object ExtensionCatalog {
     (clicks, purchases)
   }
 
+  // g1's merge count — declared BEFORE `all` (which eagerly evaluates
+  // pagerankOracle(PrIters)): the BpeMerges init-order trap; final-val
+  // constant folding is the only reason declaring it after happened to work
+  private final val PrIters = 5
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- X1: backward as-of join ------------------------------------------
@@ -767,8 +772,14 @@ object ExtensionCatalog {
       // sharing one ReusedExchange; 3.2 s → 1.25 s solo at sf0.1 either
       // way, and the dedup shuffle spreads the CPU-heavy sketch updates
       // across the cluster at any scale.
+      // NULL partkeys dropped up front: the oracle's COUNT(DISTINCT) and
+      // the HLL sketch both ignore NULLs, but a distinct (flag, status,
+      // NULL) triple would survive distinct() and count(lit(1)) below
+      // would count it — a +1 divergence on any feed with null keys
+      // (TPC-H has none; the guard makes the semantics unconditional)
       val triples = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull)
         .distinct()
       val partials = triples
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1123,8 +1134,6 @@ object ExtensionCatalog {
       val edges = fwd.union(back).distinct()
       graft.operators.PageRank.ranksQuantized(edges, "src", "dst", PrIters)
     })
-
-  private final val PrIters = 5
 
   /** g1's oracle: the quantized iterations unrolled. Layer i: dangling mass
     * `d_i` (nodes with no out-edges), per-destination contributions `c_i`

@@ -462,12 +462,17 @@ object TextCatalog {
         GROUP BY 1, 2),
       b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
       w$i AS (
-        SELECT trim(replace(replace(' ' || w || ' ',
-                                    ' ' || a || ' ' || b || ' ',
-                                    ' ' || a || b || ' '),
-                            ' ' || a || ' ' || b || ' ',
-                            ' ' || a || b || ' ')) AS w, cnt
-        FROM w${i - 1} CROSS JOIN b$i)"""
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus runs out of
+        -- repeated pairs b_i is EMPTY, and a cross join would annihilate
+        -- the word table (v3 reads w_k — the Spark side stops early and
+        -- still tokenizes); with no merge the rendering carries forward
+        SELECT CASE WHEN a IS NULL THEN w
+                    ELSE trim(replace(replace(' ' || w || ' ',
+                                              ' ' || a || ' ' || b || ' ',
+                                              ' ' || a || b || ' '),
+                                      ' ' || a || ' ' || b || ' ',
+                                      ' ' || a || b || ' ')) END AS w, cnt
+        FROM w${i - 1} LEFT JOIN b$i ON TRUE)"""
     }.mkString(",\n      ")
     val finals = finalSelect.getOrElse(
       (1 to k).map(i =>

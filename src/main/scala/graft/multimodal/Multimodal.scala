@@ -136,8 +136,13 @@ object Multimodal {
             new java.io.ByteArrayInputStream(payload))
           try {
             val f = in.getFormat
+            // AudioSystem reports NOT_SPECIFIED (-1) for containers with no
+            // declared frame count (e.g. streamed AU with the 0xFFFFFFFF
+            // unknown-size header); clamp to 0 so downstream duration math
+            // (frames / sample_rate) never goes negative — 0 here means
+            // "container did not declare", not "empty clip"
             Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
-              in.getFrameLength, pcmOk = true))
+              math.max(in.getFrameLength, 0L), pcmOk = true))
           } finally in.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       real.getOrElse {
@@ -154,6 +159,7 @@ object Multimodal {
       * payloads fall back to the rolling-hash fold (total-function
       * contract); a learned audio encoder slots into the same signature. */
     def audioEnergy(payload0: Array[Byte], windows: Int): Array[Float] = {
+      require(windows > 0, s"windows must be positive, got $windows")
       val payload = if (payload0 == null) Array.emptyByteArray else payload0
       val samples =
         if (payload.isEmpty) None
@@ -272,6 +278,7 @@ object Multimodal {
     * (VAD / silence-trim / loudness gates consume this; similarity search
     * can index it exactly like the image embeddings). */
   def audioFeatures(assets: DataFrame, windows: Int = 32): DataFrame = {
+    require(windows > 0, s"windows must be positive, got $windows") // fail at the driver, not per-task
     val out = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("energy", ArrayType(FloatType, containsNull = false), nullable = false)))

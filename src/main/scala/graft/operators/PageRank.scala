@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Shared graph prep for both rank variants: checkpointed canonical edge
+    * list, node set, node count, out-degrees, and the degree-annotated edge
+    * list reused every round. */
+  private final case class Graph(
+      nodes: DataFrame, n: Long, outDeg: DataFrame, withDeg: DataFrame)
+
+  private def prepGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "PageRank: empty graph")
+    // per-source fanout once, reused every round
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    Graph(nodes, n, outDeg, e.join(outDeg, "src").localCheckpoint(false))
+  }
+
+  /** Frees a superseded round's localCheckpoint blocks. */
+  private def freeBlocks(df: DataFrame): Unit =
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Ranks after `iterations` rounds: (node, rank). Nodes = every distinct
     * src or dst. Parallel edges count once per occurrence (a multigraph
     * edge is a stronger link); self-loops are legal. */
@@ -36,24 +64,8 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
-    val n = nodes.count().toDouble
-    require(n > 0, "PageRank: empty graph")
-    // per-source fanout once, reused every round
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(outDeg, "src").localCheckpoint(false)
-
-    def freeBlocks(df: DataFrame): Unit =
-      try df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-        case _ => ()
-      } catch { case scala.util.control.NonFatal(_) => () }
+    val Graph(nodes, nL, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
+    val n = nL.toDouble
 
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(false)
     var iter = 0
@@ -99,23 +111,7 @@ object PageRank {
       iterations: Int,
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
-    val n = nodes.count()
-    require(n > 0, "PageRank: empty graph")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(outDeg, "src").localCheckpoint(false)
-
-    def freeBlocks(df: DataFrame): Unit =
-      try df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-        case _ => ()
-      } catch { case scala.util.control.NonFatal(_) => () }
+    val Graph(nodes, n, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
 
     var ranks = nodes.withColumn("s", lit(unit)).localCheckpoint(false)
     var iter = 0
