@@ -42,6 +42,19 @@ object ExtensionCatalog {
   // pagerankOracle(PrIters)): the BpeMerges init-order trap; final-val
   // constant folding is the only reason declaring it after happened to work
   private final val PrIters = 5
+  private final val HitsIters = 4
+
+  /** The shared SQL prologue (declared before `all` — same init-order rule) deriving the same graph as [[tradeGraphEdges]]. */
+  private val TradeGraphSql: String = """
+      WITH joined AS MATERIALIZED (
+        SELECT l_suppkey, o_custkey + 1000000 AS cust_node, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS src, cust_node AS dst FROM joined
+        UNION
+        SELECT DISTINCT cust_node AS src, l_suppkey AS dst FROM joined
+        WHERE o_orderstatus = 'F'),
+      nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1123,17 +1136,42 @@ object ExtensionCatalog {
       "g1_pagerank",
       "Integer-quantized PageRank over the supplier-customer trade graph, 5 rounds: bit-exact cross-engine centrality (nano-unit longs, truncating division, rational 85/100 damping, dangling mass redistributed floor-uniformly); oracle = the same iterations unrolled as CTE layers",
       Some(pagerankOracle(PrIters))) { (spark, dir) =>
-      val j = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
-          col("l_orderkey") === col("o_orderkey"))
-      val fwd = j.select(col("l_suppkey").as("src"),
-        (col("o_custkey") + lit(1000000L)).as("dst"))
-      val back = j.filter(col("o_orderstatus") === "F")
-        .select((col("o_custkey") + lit(1000000L)).as("src"), col("l_suppkey").as("dst"))
-      val edges = fwd.union(back).distinct()
-      graft.operators.PageRank.ranksQuantized(edges, "src", "dst", PrIters)
+      graft.operators.PageRank.ranksQuantized(
+        tradeGraphEdges(spark, dir), "src", "dst", PrIters)
+    },
+
+    // ---- G2: HITS hub/authority scoring ------------------------------------
+    // The second link-graph centrality next to g1 (Kleinberg JACM'99):
+    // authorities = nodes good hubs point AT, hubs = nodes pointing at good
+    // authorities — the directory-vs-reference separation signal. Same
+    // bit-exact posture as g1: scores in nano-unit longs, each half-round
+    // max-normalized to exactly 1e9, the raw·unit rescale computed in
+    // exact wide integers on both engines (Spark DECIMAL(38,0) integral
+    // divide, DuckDB HUGEINT `//`), oracle = the iterations unrolled.
+    QueryDef(
+      "g2_hits",
+      "Integer-quantized HITS over the supplier-customer trade graph, 4 rounds: hub and authority vectors, max-normalized per half-round in exact wide-integer arithmetic; oracle = the same iterations unrolled as CTE layers",
+      Some(hitsOracle(HitsIters))) { (spark, dir) =>
+      graft.operators.Hits.hubsAndAuthorities(
+        tradeGraphEdges(spark, dir), "src", "dst", HitsIters)
     })
+
+  /** The g1/g2 graph: directed supplier→customer trade edges from
+    * lineitem⋈orders (distinct), the reverse edge only for finalized
+    * orders — customers without one stay dangling. Customer ids offset by
+    * 1e6 to keep the key spaces disjoint. */
+  private def tradeGraphEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val j = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+    val fwd = j.select(col("l_suppkey").as("src"),
+      (col("o_custkey") + lit(1000000L)).as("dst"))
+    val back = j.filter(col("o_orderstatus") === "F")
+      .select((col("o_custkey") + lit(1000000L)).as("src"), col("l_suppkey").as("dst"))
+    fwd.union(back).distinct()
+  }
+
 
   /** g1's oracle: the quantized iterations unrolled. Layer i: dangling mass
     * `d_i` (nodes with no out-edges), per-destination contributions `c_i`
@@ -1142,15 +1180,15 @@ object ExtensionCatalog {
     * nonneg integers truncates exactly like Spark's `div`. */
   private def pagerankOracle(k: Int): String = {
     val layers = (1 to k).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
         SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS dm
         FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src
         WHERE deg.src IS NULL),
-      c$i AS (
+      c$i AS MATERIALIZED (
         SELECT e.dst AS node, CAST(SUM(r.s // g.deg) AS BIGINT) AS contrib
         FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
         GROUP BY 1),
-      r$i AS (
+      r$i AS MATERIALIZED (
         SELECT n0.node,
                CAST((15 * CAST(1000000000 AS BIGINT)
                      + 85 * (COALESCE(c.contrib, 0)
@@ -1158,21 +1196,48 @@ object ExtensionCatalog {
                     AS BIGINT) AS s
         FROM nodes n0 LEFT JOIN c$i c ON n0.node = c.node)"""
     }.mkString(",\n      ")
-    s"""
-      WITH joined AS (
-        SELECT l_suppkey, o_custkey + 1000000 AS cust_node, o_orderstatus
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS (
-        SELECT DISTINCT l_suppkey AS src, cust_node AS dst FROM joined
-        UNION
-        SELECT DISTINCT cust_node AS src, l_suppkey AS dst FROM joined
-        WHERE o_orderstatus = 'F'),
-      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM nodes),
-      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes),
+    s"""$TradeGraphSql,
+      deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes),
       $layers
       SELECT node, s FROM r$k
+    """
+  }
+
+  /** g2's oracle: the quantized HITS iterations unrolled. Layer i:
+    * authority half (raw pull of hub mass, max scalar, wide-integer
+    * rescale), then hub half symmetric. HUGEINT keeps the raw·1e9 product
+    * exact — the same wide-integer space as Spark's DECIMAL(38,0). */
+  private def hitsOracle(k: Int): String = {
+    val layers = (1 to k).map { i =>
+      s"""ra$i AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(h.hub) AS raw
+        FROM edges e JOIN s${i - 1} h ON e.src = h.node GROUP BY 1),
+      ma$i AS MATERIALIZED (SELECT MAX(raw) AS m FROM ra$i),
+      sa$i AS MATERIALIZED (
+        SELECT n0.node, s.hub,
+               CAST(COALESCE(ra.raw, 0) * 1000000000 // (SELECT m FROM ma$i)
+                    AS BIGINT) AS auth
+        FROM nodes n0 JOIN s${i - 1} s ON n0.node = s.node
+        LEFT JOIN ra$i ra ON n0.node = ra.node),
+      rh$i AS MATERIALIZED (
+        SELECT e.src AS node, SUM(a.auth) AS raw
+        FROM edges e JOIN sa$i a ON e.dst = a.node GROUP BY 1),
+      mh$i AS MATERIALIZED (SELECT MAX(raw) AS m FROM rh$i),
+      s$i AS (
+        SELECT n0.node,
+               CAST(COALESCE(rh.raw, 0) * 1000000000 // (SELECT m FROM mh$i)
+                    AS BIGINT) AS hub,
+               sa.auth
+        FROM nodes n0 JOIN sa$i sa ON n0.node = sa.node
+        LEFT JOIN rh$i rh ON n0.node = rh.node)"""
+    }.mkString(",\n      ")
+    s"""$TradeGraphSql,
+      s0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS hub,
+                    CAST(1000000000 AS BIGINT) AS auth FROM nodes),
+      $layers
+      SELECT node, hub, auth FROM s$k
     """
   }
 }

@@ -28,10 +28,11 @@ object PageRank {
   /** Shared graph prep for both rank variants: checkpointed canonical edge
     * list, node set, node count, out-degrees, and the degree-annotated edge
     * list reused every round. */
-  private final case class Graph(
-      nodes: DataFrame, n: Long, outDeg: DataFrame, withDeg: DataFrame)
+  private[operators] final case class Graph(
+      edges: DataFrame, nodes: DataFrame, n: Long,
+      outDeg: DataFrame, withDeg: DataFrame)
 
-  private def prepGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
+  private[operators] def prepGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -43,11 +44,11 @@ object PageRank {
     require(n > 0, "PageRank: empty graph")
     // per-source fanout once, reused every round
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    Graph(nodes, n, outDeg, e.join(outDeg, "src").localCheckpoint(false))
+    Graph(e, nodes, n, outDeg, e.join(outDeg, "src").localCheckpoint(false))
   }
 
   /** Frees a superseded round's localCheckpoint blocks. */
-  private def freeBlocks(df: DataFrame): Unit =
+  private[operators] def freeBlocks(df: DataFrame): Unit =
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
       case _ => ()
@@ -64,15 +65,20 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val Graph(nodes, nL, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
+    val Graph(_, nodes, nL, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
     val n = nL.toDouble
 
+    // Free discipline (the Hits lesson): a finalized local checkpoint with
+    // dropped blocks cannot recompute, so the superseded vector is freed
+    // only AFTER the next round's collect has materialized its dependent.
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(false)
+    var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
       // dangling mass: one scalar to the driver per round
       val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+      retired.foreach(freeBlocks); retired = None // that collect materialized `ranks`
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
@@ -82,10 +88,12 @@ object PageRank {
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         .localCheckpoint(false)
-      freeBlocks(ranks)
+      retired = Some(ranks)
       ranks = next
       iter += 1
     }
+    ranks.count() // materialize the final vector so the last retiree can go
+    retired.foreach(freeBlocks)
     ranks
   }
 
@@ -111,13 +119,16 @@ object PageRank {
       iterations: Int,
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val Graph(nodes, n, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
+    val Graph(_, nodes, n, outDeg, withDeg) = prepGraph(edges, srcCol, dstCol)
 
+    // same deferred-free discipline as `ranks` (the Hits lesson)
     var ranks = nodes.withColumn("s", lit(unit)).localCheckpoint(false)
+    var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
       val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("s")), lit(0L))).head.getLong(0)
+      retired.foreach(freeBlocks); retired = None
       val share = dangling / n
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
@@ -128,10 +139,12 @@ object PageRank {
           lit(15L) * lit(unit) + lit(85L) * (coalesce(col("contrib"), lit(0L)) + lit(share)))
         .select(col("node"), expr("acc div 100").as("s"))
         .localCheckpoint(false)
-      freeBlocks(ranks)
+      retired = Some(ranks)
       ranks = next
       iter += 1
     }
+    ranks.count() // materialize the final vector so the last retiree can go
+    retired.foreach(freeBlocks)
     ranks
   }
 }
