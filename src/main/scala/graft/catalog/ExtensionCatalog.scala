@@ -43,6 +43,8 @@ object ExtensionCatalog {
   // constant folding is the only reason declaring it after happened to work
   private final val PrIters = 5
   private final val HitsIters = 4
+  private final val KmK = 4
+  private final val KmIters = 3
 
   // Centrality vectors are deterministic corpus ARTIFACTS (the learnedMerges
   // posture): train once per (session, dir), hand back the checkpointed
@@ -1164,6 +1166,29 @@ object ExtensionCatalog {
       graphScores.getOrElseUpdate((spark, dir, "g2"),
         graft.operators.Hits.hubsAndAuthorities(
           tradeGraphEdges(spark, dir), "src", "dst", HitsIters))
+    },
+
+    // ---- G3: quantized Lloyd's k-means -------------------------------------
+    // The clustering trainer behind IVF ANN indexes, oracle-gated: double
+    // KMeans can't be hash-compared (float sums + RNG seeding), so this is
+    // Lloyd 1982 on MICRO-UNIT integer coordinates — quantization via the
+    // s6 identical-IEEE trick (bround/round_even of v*1e6), exact integer
+    // distances with a cid tiebreak, centroid update = sum div count
+    // (both engines truncate toward zero — probe-verified), empty clusters
+    // keep their coordinates, seeding = the k smallest vec_ids (no RNG).
+    // Oracle = the 3 Lloyd rounds unrolled (assignment argmin via a window
+    // over the grouped distances, update via LEFT JOIN + COALESCE), CTEs
+    // MATERIALIZED like g1/g2.
+    QueryDef(
+      "g3_kmeans",
+      "Integer-quantized Lloyd's k-means over the embeddings (k=4, 3 rounds): micro-unit coordinates, exact integer distances with deterministic tiebreaks, truncating-division centroid updates; oracle = the rounds unrolled as CTE layers",
+      Some(kmeansOracle(KmK, KmIters))) { (spark, dir) =>
+      graphScores.getOrElseUpdate((spark, dir, "g3"), {
+        val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
+        graft.operators.KMeansQuantized.fit(pts, KmK, KmIters)
+      })
     })
 
 
@@ -1249,6 +1274,51 @@ object ExtensionCatalog {
                     CAST(1000000000 AS BIGINT) AS auth FROM nodes),
       $layers
       SELECT node, hub, auth FROM s$k
+    """
+  }
+
+  /** g3's oracle: quantized Lloyd rounds unrolled. `pq` is the micro-unit
+    * long table (identical IEEE quantization — see s6); layer i: `a_i`
+    * assignment (window argmin over grouped exact distances, cid
+    * tiebreak), `g_i` per-(cid,pos) sums/counts, `c_i` update with
+    * LEFT JOIN + COALESCE so empty clusters keep coordinates. `//` and
+    * Spark's `div` both truncate toward zero, so negative coordinate
+    * means agree. MATERIALIZED per the g1/g2 inlining lesson. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val layers = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+          SELECT p.vec_id, c.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY SUM((p.v - c.cval) * (p.v - c.cval)), c.cid) AS rn
+          FROM pq p JOIN c${i - 1} c ON p.pos = c.pos
+          GROUP BY p.vec_id, c.cid)
+        WHERE rn = 1),
+      g$i AS MATERIALIZED (
+        SELECT a.cid, p.pos,
+               CAST(SUM(p.v) AS BIGINT) AS s, COUNT(*) AS cnt
+        FROM pq p JOIN a$i a USING (vec_id)
+        GROUP BY 1, 2),
+      c$i AS MATERIALIZED (
+        SELECT c.cid, c.pos, CAST(COALESCE(g.s // g.cnt, c.cval) AS BIGINT) AS cval
+        FROM c${i - 1} c LEFT JOIN g$i g ON c.cid = g.cid AND c.pos = g.pos)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pq AS MATERIALIZED (
+        SELECT vec_id, CAST(t.j - 1 AS BIGINT) AS pos,
+               CAST(round_even(CAST(embedding[t.j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)),
+      init_ids AS MATERIALIZED (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+      c0 AS MATERIALIZED (
+        SELECT i.cid, p.pos, p.v AS cval FROM pq p JOIN init_ids i USING (vec_id)),
+      $layers,
+      sizes AS (SELECT cid, COUNT(*) AS n_points FROM a$iters GROUP BY 1)
+      SELECT c.cid AS cluster_id, c.pos, c.cval AS centroid_q,
+             CAST(COALESCE(z.n_points, 0) AS BIGINT) AS n_points
+      FROM c$iters c LEFT JOIN sizes z ON c.cid = z.cid
     """
   }
 }
