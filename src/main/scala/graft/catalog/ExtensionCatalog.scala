@@ -51,6 +51,9 @@ object ExtensionCatalog {
   // result — its blocks stay alive precisely because the iteration loops
   // free only superseded rounds, never the returned vector. Keyed by
   // session too: a DataFrame is unusable from a different SparkSession.
+  // Envelope: no eviction — entries are k-row score vectors pinned for the
+  // session's lifetime, and a harness that builds a fresh session per run
+  // simply never hits (it pays cold training each time, nothing breaks).
   private val graphScores = new scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
@@ -1195,8 +1198,17 @@ object ExtensionCatalog {
   /** The g1/g2 graph: directed supplier→customer trade edges from
     * lineitem⋈orders (distinct), the reverse edge only for finalized
     * orders — customers without one stay dangling. Customer ids offset by
-    * 1e6 to keep the key spaces disjoint. */
-  private def tradeGraphEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    * 1e6 to keep the key spaces disjoint. Memoized as ONE checkpointed
+    * list per (session, dir) so g1 and g2 don't each pay the join+distinct
+    * (the operators' prepGraph then canonicalizes from the cached blocks). */
+  private def tradeGraphEdges(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graphScores.getOrElseUpdate((spark, dir, "edges"), {
+      val df = tradeGraphEdgesUncached(spark, dir).localCheckpoint(false)
+      df.count() // materialize so both consumers read blocks, not the join
+      df
+    })
+
+  private def tradeGraphEdgesUncached(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val j = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
@@ -1261,7 +1273,7 @@ object ExtensionCatalog {
         SELECT e.src AS node, SUM(a.auth) AS raw
         FROM edges e JOIN sa$i a ON e.dst = a.node GROUP BY 1),
       mh$i AS MATERIALIZED (SELECT MAX(raw) AS m FROM rh$i),
-      s$i AS (
+      s$i AS MATERIALIZED (
         SELECT n0.node,
                CAST(COALESCE(rh.raw, 0) * 1000000000 // (SELECT m FROM mh$i)
                     AS BIGINT) AS hub,

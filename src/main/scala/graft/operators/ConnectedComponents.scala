@@ -68,19 +68,9 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
-    /** Free a superseded round's checkpointed blocks deterministically.
-      * `Dataset.unpersist` is the wrong tool here: it is non-cascading
-      * (SPARK-21478), so dependent cached rounds would be rebuilt from
-      * FULL lineage — measured 10-20× slower. After `localCheckpoint` the
-      * round's plan is a LogicalRDD over the materialized blocks and the
-      * next round's checkpoint no longer references them, so unpersisting
-      * the underlying RDD is safe; best-effort (ContextCleaner GC remains
-      * the fallback if the plan shape ever changes). */
-    def freeBlocks(df: DataFrame): Unit =
-      try df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-        case _ => ()
-      } catch { case scala.util.control.NonFatal(_) => () }
+    // shared with the other iterative graph operators — rationale at the
+    // definition (PageRank.freeBlocks)
+    def freeBlocks(df: DataFrame): Unit = PageRank.freeBlocks(df)
 
     /** Termination test that doubles as a correctness certificate: a
       * canonically-oriented edge set is the algorithm's fixpoint IFF it is

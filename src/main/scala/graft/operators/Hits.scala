@@ -34,7 +34,8 @@ object Hits {
       iterations: Int,
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val PageRank.Graph(e, nodes, _, _, _) = PageRank.prepGraph(edges, srcCol, dstCol)
+    val g = PageRank.prepGraph(edges, srcCol, dstCol)
+    val PageRank.Graph(e, nodes, _, _, _) = g
 
     // (node, hub, auth) — one vector carries both scores.
     // Free discipline: a finalized local checkpoint whose blocks are
@@ -79,6 +80,7 @@ object Hits {
     }
     scores.count() // materialize the final vector so the last retiree can go
     retired.foreach(PageRank.freeBlocks)
+    g.free()
     scores
   }
 }
