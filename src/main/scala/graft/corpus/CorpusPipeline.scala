@@ -1,0 +1,148 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, Md5Bucket, MinHashSignature, WordShingles}
+import graft.functions.BloomBits
+import graft.operators.{BpeLearn, ConnectedComponents, Dedup, SequencePack}
+
+/** The end-to-end training-corpus pipeline, composed from the library's
+  * operators — the user story the catalog entries exercise one at a time:
+  *
+  *   quality gate → exact dedup → MinHash-LSH near-dup clustering (keep
+  *   best per cluster) → bloom decontamination against a held-out set →
+  *   BPE tokenizer training + per-doc token counts → sequence packing →
+  *   deterministic sharding
+  *
+  * Every stage is the same machinery the oracle-gated queries check
+  * (t7/d1/d2+d8/b1/v2+v3/x8/x7 respectively), wired on arbitrary input
+  * DataFrames instead of fixture dirs, with a row-accounting manifest so
+  * corpus shrinkage is auditable per stage. Deterministic end to end: no
+  * RNG, all drop rules are hash- or id-canonical, so two runs (or two
+  * clusters) produce identical corpora.
+  *
+  * Scale posture inherited from the parts: LSH banding is O(docs×bands)
+  * with hot-bucket ceilings, clustering is the SoCC'14 star contraction,
+  * the bloom filter ships as a literal, BPE iterates on the vocab-sized
+  * word table, packing is NFD per hash partition.
+  */
+object CorpusPipeline {
+
+  final case class Manifest(stage: String, rows: Long)
+
+  final case class Result(
+      corpus: DataFrame,      // doc_id, lang, n_tokens, bin_id, shard
+      merges: Seq[BpeLearn.Merge],
+      manifest: Seq[Manifest])
+
+  private val MaxBucket = 64
+
+  private def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Run the pipeline over `docs` (doc_id long, lang string, text string).
+    * `heldOut` supplies the decontamination reference texts (same shape).
+    */
+  def run(
+      docs: DataFrame,
+      heldOut: DataFrame,
+      minTokens: Int = 5,
+      maxTokens: Int = 1000,
+      bpeMerges: Int = 8,
+      packBudget: Int = 512,
+      shards: Int = 8): Result = {
+    val spark = docs.sparkSession
+    val manifest = Seq.newBuilder[Manifest]
+    def record(stage: String, df: DataFrame): DataFrame = {
+      manifest += Manifest(stage, df.count()); df
+    }
+
+    record("ingest", docs)
+
+    // 1. quality gate: token-count window (the t7 battery's load-bearing
+    // core; the full Gopher rules drop in here unchanged at production)
+    val toks = split(lower(col("text")), " ")
+    val gated = record("quality_gate",
+      docs.filter(size(toks).between(minTokens, maxTokens)))
+
+    // 2. exact dedup — d1's canonical rule: min doc_id per content hash
+    val exact = record("exact_dedup",
+      gated.withColumn("rk", row_number().over(
+          Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1).drop("rk"))
+
+    // 3. near-dup clustering: shingles → minhash → LSH bands → bucket
+    // pairs (bounded, never all-pairs) → connected components → keep the
+    // min doc per cluster (the d2 → d8 → x10 chain)
+    val sh = exact.select(col("doc_id"), WordShingles(col("text"), 3).as("shingles"))
+    val mhs = sh.select(col("doc_id"),
+      MinHashSignature(col("shingles"),
+        GraftExtensions.DefaultCoeffs, GraftExtensions.DefaultModulus).as("mhs"))
+    val bands = mhs.select(col("doc_id"),
+      posexplode(when(col("mhs").isNotNull,
+        transform(sequence(lit(0), lit(2)),
+          b => concat_ws("|",
+            element_at(col("mhs"), b * 3 + 1),
+            element_at(col("mhs"), b * 3 + 2),
+            element_at(col("mhs"), b * 3 + 3))))))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+    val pairs = Dedup.boundedDocLists(bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
+      .select(explode(flatten(
+        transform(col("docs"), (x, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))),
+            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+    val keepPerCluster = ConnectedComponents.label(pairs, "doc1", "doc2")
+      .groupBy(col("component")).agg(min(col("node")).as("keep"))
+      .select(col("keep"))
+    val inAnyCluster = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+    val nearDupDrops = inAnyCluster.join(keepPerCluster,
+      inAnyCluster("doc_id") === keepPerCluster("keep"), "left_anti")
+    val deduped = record("near_dup_dedup",
+      exact.join(nearDupDrops, Seq("doc_id"), "left_anti"))
+
+    // 4. decontamination — b1's posture: a fixed-size bloom over the
+    // held-out set's shingle hashes ships as a literal; bloom suspects are
+    // exact-confirmed so the drop set is identical to an exact anti-join
+    val refHashes = heldOut
+      .select(explode(WordShingles(col("text"), 3)).as("s"))
+      .select(shingleHash(col("s")).as("h")).distinct()
+    val bloom = refHashes.agg(BloomBits.bloomBuild(col("h"))).head.getAs[Array[Byte]](0)
+    val docHashes = deduped.select(col("doc_id"),
+        explode(WordShingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val suspects = docHashes
+      .filter(BloomBits.bloomMightContain(lit(bloom), col("h")))
+    val contaminated = suspects.join(refHashes, "h").select("doc_id").distinct()
+    val clean = record("decontaminated",
+      deduped.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // 5. tokenizer: BPE on the surviving corpus, then per-doc token counts
+    // through the vocab-sized word table (one map-only rewrite + one join)
+    val wc = BpeLearn.wordCounts(clean)
+    val merges = BpeLearn.learn(wc, bpeMerges)
+    val rendered = wc.select(col("word"),
+      concat(concat_ws(" ", filter(split(col("word"), ""), s => length(s) > 0)),
+        lit(" " + BpeLearn.EndMark)).as("w"))
+    val wordTok = rendered.select(col("word"),
+      size(split(merges.foldLeft(col("w"))(
+        (c, m) => BpeLearn.applyMerge(c, m.left_sym, m.right_sym)), " ")).as("n_tok"))
+    val docTokens = clean
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordTok, "word")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n_tok")).cast("int").as("n_tokens"))
+
+    // 6. pack + 7. shard — x8's NFD bins, x7's deterministic buckets
+    val packed = SequencePack.pack(docTokens, "doc_id", "n_tokens", packBudget)
+    val corpus = record("packed_sharded",
+      docTokens.join(packed.select(col("doc_id"), col("bin_id")), "doc_id")
+        .withColumn("shard", Md5Bucket(col("doc_id"), shards)))
+
+    Result(corpus, merges, manifest.result())
+  }
+}
