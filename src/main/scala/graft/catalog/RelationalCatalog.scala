@@ -263,5 +263,74 @@ object RelationalCatalog {
           && (col("o_totalprice").isNull || col("o_totalprice") >= 1000.0)
           && col("o_orderstatus") =!= "P")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    },
+
+    // ---- TPC-H Q4 shape: priority check via EXISTS semi-join ---------------
+    // The fixture schema carries no commit/receipt dates, so the correlated
+    // predicate is "has a returned line" — the operator under test is
+    // identical: date-windowed orders, an EXISTS against lineitem planned
+    // as a LEFT SEMI hash join (no fan-out, no dedup), grouped priority
+    // counts. The semi-join build side is the filtered lineitem keys.
+    QueryDef(
+      "q4_priority_semi",
+      "TPC-H Q4 shape: orders in a quarter having at least one returned lineitem (EXISTS -> left semi join), counted per priority",
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1995-04-01 00:00:00").cast("timestamp_ntz"))
+      val returned = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- TPC-H Q10: returned-item revenue ranking --------------------------
+    // The marquee multi-join + top-k: customer ⋈ orders ⋈ lineitem('R') ⋈
+    // broadcast(nation), exact DECIMAL revenue, TakeOrderedAndProject for
+    // the limit (no global sort materializes). The LIMIT rides a total
+    // order — revenue is the same exact-decimal-to-double value on both
+    // engines, c_custkey breaks ties uniquely.
+    QueryDef(
+      "q10_returned_revenue",
+      "TPC-H Q10: top-20 customers by revenue lost to returns in a quarter — 4-table join, DECIMAL-exact revenue cast once at the boundary, unique-tiebreak LIMIT",
+      Some("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """)) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+      val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      Tables.customer(spark, dir)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D)
+          * (lit(1).cast(D) - col("l_discount").cast(D))).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     })
 }
