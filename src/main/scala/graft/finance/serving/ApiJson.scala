@@ -162,7 +162,12 @@ object ApiJson {
             case 'f' => sb.append('\f')
             case 'u' =>
               if (pos + 4 >= s.length) fail("bad unicode escape")
-              sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+              // non-hex digits must surface as a 422 ParseError like every
+              // other malformed body, not a NumberFormatException→500
+              val cp =
+                try Integer.parseInt(s.substring(pos + 1, pos + 5), 16)
+                catch { case _: NumberFormatException => fail("bad unicode escape") }
+              sb.append(cp.toChar)
               pos += 4
             case other => fail(s"bad escape \\$other")
           }

@@ -52,9 +52,38 @@ object ApiMain {
 
     def userCategories() = tableOrEmpty("user_categories", Schemas.userCategories)
 
+    // Pre-initialization (before the first JobsMain run) the derived marts
+    // don't exist; list endpoints must degrade to an empty page — the
+    // reference's initialization-status path deliberately tolerates the
+    // missing tables, so a fresh warehouse 500ing on GET /api/transactions
+    // would diverge (advisor round-6). The canonical mart schemas are
+    // DERIVED, not hand-written: run the same staging+mart builders Jobs
+    // runs over empty canonical inputs — zero rows, so the plans never
+    // execute, and the schemas can't drift from the real pipeline.
+    lazy val (predictionsSchema, validatedSchema) = {
+      import graft.finance.{Marts, Staging}
+      def empty(s: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      val features = Marts.intTrxnsFeatures(Marts.intTrxns(
+        Staging.stgSimplefin(empty(Schemas.simplefinRaw),
+          empty(Schemas.accountMappingSimplefin),
+          empty(Schemas.transactionExclusions)),
+        Staging.stgHistoric(empty(Schemas.historicRaw),
+          empty(Schemas.accountMappingHistoric))))
+      val validated = Marts.fctValidatedBootstrap(
+        Marts.fctTrxnsCategorized(features),
+        Staging.stgUserValidatedCategories(
+          empty(Schemas.userCategories), features))
+      val withPreds = Marts.fctTrxnsWithPredictions(
+        Marts.fctTrxnsUncategorized(features, validated),
+        Staging.stgPredictions(empty(Schemas.predictedTransactions)))
+      (withPreds.schema, validated.schema)
+    }
+
     // the serving read join (J6): predictions view + live overrides
     def joined() = Serving.servingJoin(
-      store.read("fct_trxns_with_predictions"), userCategories())
+      tableOrEmpty("fct_trxns_with_predictions", predictionsSchema),
+      userCategories())
 
     val service = new UserCategoryService(spark, store, () => joined())
 
@@ -84,15 +113,23 @@ object ApiMain {
         }
     }
 
+    // same orchestrator endpoint as the trigger wiring: the warnings panel
+    // reads the run logs of whatever Dagster the triggers launch into
+    val warningsFetch: Option[Int => JobLaunchClient.WarningsResult] =
+      sys.env.get("GRAFT_DAGSTER_URL").map { baseUrl => (limit: Int) =>
+        JobLaunchClient.simplefinWarnings(httpTransport, baseUrl, limit)
+      }
+
     new ApiServer(
       joined = () => joined(),
-      validated = () => store.read("fct_validated_trxns"),
+      validated = () => tableOrEmpty("fct_validated_trxns", validatedSchema),
       simplefinRaw = () => tableOrEmpty("raw_simplefin", Schemas.simplefinRaw),
       userCategories = Some(service),
       trigger = trigger,
       categoryCatalog = Some(catalogSvc),
       registry = Some(() => tableOrEmpty("model_registry", Schemas.modelRegistry)),
       backups = Some(backupSvc),
+      simplefinWarnings = warningsFetch,
       port = port)
   }
 

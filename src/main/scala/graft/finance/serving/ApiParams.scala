@@ -139,6 +139,12 @@ object ApiParams {
   }
 
   /** FastAPI's 422 body shape: {"detail":[{"loc":["query",p],"msg":m}]}. */
+  /** GET /api/control-center/simplefin-warnings: `limit: int = 50`
+    * (`control_center.py:177`) — FastAPI validates only int-ness here, no
+    * range constraint. */
+  def warningsQuery(q: Map[String, String]): Either[Seq[ParamError], Int] =
+    intParam(q, "limit", 50, Int.MinValue, Int.MaxValue).left.map(Seq(_))
+
   def errorBody(errs: Seq[ParamError]): String =
     ApiJson.obj(Seq("detail" -> errs.map(e =>
       ApiJson.obj(Seq(

@@ -34,6 +34,7 @@ final class ApiServer(
     categoryCatalog: Option[CategoryCatalogService] = None,
     registry: Option[() => DataFrame] = None,
     backups: Option[BackupService] = None,
+    simplefinWarnings: Option[Int => graft.finance.connector.JobLaunchClient.WarningsResult] = None,
     port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -304,7 +305,7 @@ final class ApiServer(
               "transaction_id" -> ApiJson.str(r.transactionId),
               "master_category" -> ApiJson.value(r.masterCategory.orNull),
               "message" -> ApiJson.str(
-                "Category updated. Full refresh + retrain scheduled (~45s after your last edit."))))
+                "Category updated. Full refresh + retrain scheduled (~45s after your last edit)."))))
           } catch {
             case e: UserCategoryService.NoCategoryError => (400, detail(e.getMessage))
           }
@@ -321,6 +322,8 @@ final class ApiServer(
         case ("GET", List("connections")) =>
           connections(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
         case ("GET", List("initialization-status")) => initializationStatus()
+        case ("GET", List("simplefin-warnings")) =>
+          warningsRoute(ApiParams.parseQueryString(ex.getRequestURI.getRawQuery))
         case ("POST", List("trigger-ingest-and-predict")) =>
           triggerJob("2_ingest_and_predict")
         case ("POST", List("trigger-initialization")) =>
@@ -329,6 +332,33 @@ final class ApiServer(
       } catch { case e: Exception => (500, serverError(e)) }
     respond(ex, status, body)
   }
+
+  /** GET simplefin-warnings (`control_center.py:176-189`): WARNING/ERROR
+    * logs from the most recent simplefin asset run, via the warnings
+    * fetcher (the [[graft.finance.connector.JobLaunchClient]] GraphQL
+    * pair). Like the reference, EVERY backend failure — including no
+    * orchestrator configured at all — degrades to the empty response, 200:
+    * the warnings panel must never take the control center down. */
+  private def warningsRoute(q: Map[String, String]): (Int, String) =
+    ApiParams.warningsQuery(q) match {
+      case Left(errs) => (422, ApiParams.errorBody(errs))
+      case Right(limit) =>
+        val result =
+          try simplefinWarnings.map(_(limit))
+            .getOrElse(graft.finance.connector.JobLaunchClient.WarningsResult(Nil, 0))
+          catch { case _: Exception =>
+            graft.finance.connector.JobLaunchClient.WarningsResult(Nil, 0)
+          }
+        val items = result.warnings.map { w =>
+          ApiJson.obj(Seq(
+            "message" -> ApiJson.str(w.message),
+            "timestamp" -> w.timestamp.map(ApiJson.str).getOrElse("null"),
+            "run_id" -> w.runId.map(ApiJson.str).getOrElse("null")))
+        }.mkString("[", ",", "]")
+        (200, ApiJson.obj(Seq(
+          "warnings" -> items,
+          "total_count" -> result.totalCount.toString)))
+    }
 
   /** GET initialization-status (`control_center.py:344-390`, the A11
     * existence check): empty source AND empty validated fact → needs init.
@@ -427,6 +457,10 @@ final class ApiServer(
   private def backupDispatch(ex: HttpExchange): Unit = {
     val tail = ex.getRequestURI.getPath.stripPrefix("/api/backup")
       .split("/").filter(_.nonEmpty).toList
+    (backups, ex.getRequestMethod, tail) match {
+      case (Some(svc), "GET", List("download")) => downloadRoute(ex, svc); return
+      case _ => ()
+    }
     val (status, body) =
       try (backups, ex.getRequestMethod, tail) match {
         case (None, _, _) => (404, notFound)
@@ -469,6 +503,31 @@ final class ApiServer(
         case e: Exception => (500, serverError(e))
       }
     respond(ex, status, body)
+  }
+
+  /** GET /api/backup/download (`backup.py:106-118`): the reference's
+    * `StreamingResponse(run_pg_dump_stream(), media_type =
+    * "application/octet-stream", Content-Disposition: attachment)` —
+    * chunked transfer (length 0), the zip built file-at-a-time directly
+    * onto the socket. Once headers are sent a failure can only truncate
+    * the stream (same as a dying pg_dump pipe), so the 500 fallback fires
+    * only if the snapshot fails before the first byte. */
+  private def downloadRoute(ex: HttpExchange, svc: BackupService): Unit = {
+    var headersSent = false
+    try {
+      val filename = svc.downloadFilename()
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      ex.getResponseHeaders.set(
+        "Content-Disposition", "attachment; filename=\"" + filename + "\"")
+      ex.sendResponseHeaders(200, 0)
+      headersSent = true
+      val os = ex.getResponseBody
+      try svc.writeDownload(os) finally os.close()
+    } catch {
+      case e: Exception =>
+        if (!headersSent)
+          try respond(ex, 500, serverError(e)) catch { case _: Exception => () }
+    } finally ex.close()
   }
 
   private def scheduleJson(s: BackupService#ScheduleState): String =

@@ -57,6 +57,43 @@ final class BackupService(
     }
   }
 
+  /** GET /api/backup/download filename — the reference's
+    * `dagster_backup_{ts}.dump` convention (`backup.py:111-112`) with the
+    * engine's own prefix and a zip container in place of pg_dump -Fc. */
+  def downloadFilename(): String = {
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(now())
+    s"graft_backup_$ts.zip"
+  }
+
+  /** GET /api/backup/download body (`backup.py:106-118`): create a manual
+    * backup and STREAM it to the browser. The reference streams `pg_dump
+    * -Fc` without retaining anything server-side; the engine equivalent
+    * takes a consistent [[Snapshots]] copy into a temp dir (the pg_dump
+    * snapshot semantics), zips it file-at-a-time straight onto the
+    * response stream (constant memory, compression in flight), then
+    * deletes the temp copy — nothing retained, exactly like the manual
+    * dump. */
+  def writeDownload(out: java.io.OutputStream): Unit = {
+    val tmp = Files.createTempDirectory("graft_backup_dl")
+    try {
+      val snap = Snapshots.create(warehouseRoot, tmp.toString, now())
+      val zos = new java.util.zip.ZipOutputStream(out)
+      val walk = Files.walk(snap)
+      try {
+        val files = walk.filter(Files.isRegularFile(_)).sorted.iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          zos.putNextEntry(new java.util.zip.ZipEntry(
+            snap.getParent.relativize(f).toString))
+          Files.copy(f, zos)
+          zos.closeEntry()
+        }
+      } finally walk.close()
+      zos.finish()
+    } finally graft.finance.ops.FileTrees.delete(tmp)
+  }
+
   /** GET /api/backup/schedule. */
   def loadSchedule(): ScheduleState = {
     val s =

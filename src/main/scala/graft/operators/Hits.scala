@@ -35,7 +35,9 @@ object Hits {
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val g = PageRank.prepGraph(edges, srcCol, dstCol)
-    val PageRank.Graph(e, nodes, _, _, _) = g
+    // HITS reads only the canonical edges and nodes — g.withDeg is never
+    // touched, so the degree-annotated checkpoint is never built here
+    val (e, nodes) = (g.edges, g.nodes)
 
     // (node, hub, auth) — one vector carries both scores.
     // Free discipline: a finalized local checkpoint whose blocks are

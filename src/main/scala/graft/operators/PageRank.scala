@@ -26,15 +26,28 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** Shared graph prep for both rank variants: checkpointed canonical edge
-    * list, node set, node count, out-degrees, and the degree-annotated edge
-    * list reused every round. */
-  private[operators] final case class Graph(
-      edges: DataFrame, nodes: DataFrame, n: Long,
-      outDeg: DataFrame, withDeg: DataFrame) {
+    * list, node set, node count, out-degrees — and, built on first use
+    * only, the degree-annotated edge list the PageRank rounds reuse.
+    * [[Hits]] shares the prep but never reads degrees, so the annotated
+    * list (and its checkpoint) must not be constructed for it at all
+    * (advisor round-6): it is materialized lazily and freed only if it was
+    * ever built. */
+  private[operators] final class Graph(
+      val edges: DataFrame, val nodes: DataFrame, val n: Long,
+      val outDeg: DataFrame) {
+    private var deg: Option[DataFrame] = None
+    /** Degree-annotated edge list, checkpointed once and reused every
+      * PageRank round. */
+    def withDeg: DataFrame = synchronized {
+      if (deg.isEmpty) deg = Some(edges.join(outDeg, "src").localCheckpoint(false))
+      deg.get
+    }
     /** Release the prep checkpoints once the trained vector is finalized
       * (its blocks are self-contained after a materializing count) — the
       * edge list must not outlive training in executor storage. */
-    def free(): Unit = { freeBlocks(edges); freeBlocks(nodes); freeBlocks(withDeg) }
+    def free(): Unit = synchronized {
+      freeBlocks(edges); freeBlocks(nodes); deg.foreach(freeBlocks); deg = None
+    }
   }
 
   private[operators] def prepGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
@@ -49,7 +62,7 @@ object PageRank {
     require(n > 0, "PageRank: empty graph")
     // per-source fanout once, reused every round
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    Graph(e, nodes, n, outDeg, e.join(outDeg, "src").localCheckpoint(false))
+    new Graph(e, nodes, n, outDeg)
   }
 
   /** Free a superseded round's checkpointed blocks deterministically.
@@ -79,8 +92,8 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val g = prepGraph(edges, srcCol, dstCol)
-    val Graph(_, nodes, nL, outDeg, withDeg) = g
-    val n = nL.toDouble
+    val (nodes, outDeg, withDeg) = (g.nodes, g.outDeg, g.withDeg)
+    val n = g.n.toDouble
 
     // Free discipline (the Hits lesson): a finalized local checkpoint with
     // dropped blocks cannot recompute, so the superseded vector is freed
@@ -135,7 +148,7 @@ object PageRank {
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val g = prepGraph(edges, srcCol, dstCol)
-    val Graph(_, nodes, n, outDeg, withDeg) = g
+    val (nodes, n, outDeg, withDeg) = (g.nodes, g.n, g.outDeg, g.withDeg)
 
     // same deferred-free discipline as `ranks` (the Hits lesson)
     var ranks = nodes.withColumn("s", lit(unit)).localCheckpoint(false)

@@ -91,4 +91,69 @@ class JobLaunchClientSpec extends AnyFunSuite {
     }
     assert(parseResponse("job", "<html>oops</html>").isLeft)
   }
+
+  // ---- simplefin-warnings GraphQL pair (`control_center.py:176-341`) ----
+
+  test("warnings requests mirror the reference's two queries and variables") {
+    val assetReq = JsonMethods.parse(buildAssetRunsRequest(SimplefinStepKey))
+    assert((assetReq \ "query").asInstanceOf[JString].s.contains("query GetAssetRuns"))
+    assert((assetReq \ "variables" \ "assetKey" \ "path") ==
+      JArray(List(JString("simplefin_financial_data"))))
+    // the reference always asks for ONE materialization (the most recent)
+    assert((assetReq \ "variables" \ "limit") == JInt(1))
+    val logsReq = JsonMethods.parse(buildRunLogsRequest("run-9"))
+    assert((logsReq \ "query").asInstanceOf[JString].s.contains("query GetRunLogs"))
+    assert((logsReq \ "variables" \ "runId") == JString("run-9"))
+  }
+
+  test("latest-run-id parse degrades to None on every reference error branch") {
+    assert(parseLatestRunId(
+      """{"data":{"assetOrError":{"assetMaterializations":[
+        {"runId":"r2","timestamp":"200"},{"runId":"r1","timestamp":"100"}]}}}""")
+      .contains("r2"))
+    assert(parseLatestRunId(
+      """{"data":{"assetOrError":{"__typename":"AssetNotFoundError","message":"no"}}}""").isEmpty)
+    assert(parseLatestRunId(
+      """{"data":{"assetOrError":{"assetMaterializations":[]}}}""").isEmpty)
+    assert(parseLatestRunId("""{"errors":[{"message":"boom"}]}""").isEmpty)
+    assert(parseLatestRunId("<html>oops</html>").isEmpty)
+  }
+
+  test("run-log warnings apply the level, stepKey, and SimpleFIN-content filters") {
+    val body =
+      """{"data":{"runOrError":{"__typename":"Run","runId":"r2","eventConnection":{"events":[
+        {"message":"Connection to Chase may need attention","level":"WARNING","timestamp":"3","stepKey":"simplefin_financial_data"},
+        {"message":"SimpleFIN token expired","level":"ERROR","timestamp":"5","stepKey":""},
+        {"message":"SimpleFIN poll ok","level":"INFO","timestamp":"4","stepKey":"simplefin_financial_data"},
+        {"message":"unrelated warning","level":"WARNING","timestamp":"6","stepKey":"simplefin_financial_data"},
+        {"message":"SimpleFIN data not provided in time","level":"WARN","timestamp":"1","stepKey":"other_step"},
+        {}]}}}}"""
+    val ws = parseRunWarnings("r2", body)
+    // INFO level, non-SimpleFIN content, and foreign stepKey all drop;
+    // empty stepKey passes (the reference's `or not step_key_in_log`)
+    assert(ws.map(_.message) == Seq(
+      "Connection to Chase may need attention", "SimpleFIN token expired"))
+    assert(ws.forall(_.runId.contains("r2")))
+    assert(parseRunWarnings("r2",
+      """{"data":{"runOrError":{"__typename":"RunNotFoundError","message":"no"}}}""").isEmpty)
+  }
+
+  test("simplefinWarnings chains the queries, sorts newest-first, caps at limit") {
+    val assetBody =
+      """{"data":{"assetOrError":{"assetMaterializations":[{"runId":"r7","timestamp":"9"}]}}}"""
+    val logsBody =
+      """{"data":{"runOrError":{"runId":"r7","eventConnection":{"events":[
+        {"message":"SimpleFIN a","level":"WARNING","timestamp":"1"},
+        {"message":"SimpleFIN b","level":"WARNING","timestamp":"3"},
+        {"message":"SimpleFIN c","level":"ERROR","timestamp":"2"}]}}}}"""
+    val transport: Transport = (_: String, req: String, _: Int) =>
+      if (req.contains("GetAssetRuns")) (200, assetBody) else (200, logsBody)
+    val r = simplefinWarnings(transport, "http://orch", limit = 2)
+    assert(r.totalCount == 3) // uncapped count, like the reference
+    assert(r.warnings.map(_.message) == Seq("SimpleFIN b", "SimpleFIN c"))
+    // every failure path is the empty response, never an exception
+    val dead: Transport = (_, _, _) => throw new RuntimeException("down")
+    assert(simplefinWarnings(dead, "http://orch") == WarningsResult(Nil, 0))
+    assert(simplefinWarnings(fake(500, "oops"), "http://orch") == WarningsResult(Nil, 0))
+  }
 }

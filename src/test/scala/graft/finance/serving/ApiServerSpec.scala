@@ -390,6 +390,76 @@ class ApiServerSpec extends SparkSpec {
       // control-center: initialization status over non-empty fixtures
       val (s12, b12) = get(port, "/api/control-center/initialization-status")
       assert(s12 == 200 && b12.contains("\"needs_initialization\":false"))
+
+      // backup download: streamed zip with the attachment disposition
+      // (`backup.py:106-118`); the zip carries the warehouse snapshot
+      val conn = java.net.URI.create(
+          s"http://127.0.0.1:$port/api/backup/download")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType == "application/octet-stream")
+      val disp = conn.getHeaderField("Content-Disposition")
+      assert(disp != null &&
+        disp.matches("""attachment; filename="graft_backup_\d{8}_\d{6}\.zip""""), disp)
+      val zin = new java.util.zip.ZipInputStream(conn.getInputStream)
+      val entries = Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null).map(_.getName).toList
+      zin.close(); conn.disconnect()
+      assert(entries.exists(_.contains("user_categories")), entries)
+
+      // unknown-warnings deployment (no orchestrator wired): the panel
+      // degrades to the empty response, exactly like the reference's
+      // catch-all (`control_center.py:186-189`)
+      val (s13, b13) = get(port, "/api/control-center/simplefin-warnings")
+      assert(s13 == 200 && b13 == """{"warnings":[],"total_count":0}""")
+      val (s14, _) = get(port, "/api/control-center/simplefin-warnings?limit=abc")
+      assert(s14 == 422)
+    } finally server.stop()
+  }
+
+  test("GET /api/control-center/simplefin-warnings serves the fetched page") {
+    import graft.finance.connector.JobLaunchClient.{WarningInfo, WarningsResult}
+    val server = new ApiServer(
+      () => joinedFixture, () => validatedFixture, () => simplefinFixture,
+      today = () => LocalDate.parse("2024-02-03"),
+      simplefinWarnings = Some(limit => WarningsResult(
+        Seq(
+          WarningInfo("Connection to Chase may need attention",
+            Some("1706745600000"), Some("r7")),
+          WarningInfo("SimpleFIN token expired", None, Some("r7")))
+          .take(limit), 2))).start()
+    try {
+      val port = server.boundPort
+      val (s, b) = get(port, "/api/control-center/simplefin-warnings")
+      assert(s == 200)
+      assert(b.contains("\"message\":\"Connection to Chase may need attention\""))
+      assert(b.contains("\"timestamp\":\"1706745600000\""))
+      assert(b.contains("\"run_id\":\"r7\""))
+      assert(b.contains("\"total_count\":2"))
+      // limit caps the page but not the count — WarningsResponse semantics
+      val (s2, b2) = get(port, "/api/control-center/simplefin-warnings?limit=1")
+      assert(s2 == 200 && b2.contains("\"total_count\":2") &&
+        !b2.contains("token expired"))
+      // the null-timestamp render matches FastAPI's Optional[str] = None
+      val (_, b3) = get(port, "/api/control-center/simplefin-warnings")
+      assert(b3.contains("\"timestamp\":null"))
+    } finally server.stop()
+  }
+
+  test("fresh warehouse: list endpoints serve empty pages, not 500s") {
+    // advisor round-6: before the first JobsMain run the derived marts
+    // don't exist; the reference's initialization-status path tolerates
+    // that, so the list endpoints must degrade to empty results
+    val wh = java.nio.file.Files.createTempDirectory("graft-api-fresh").toString
+    val server = ApiMain.build(spark, wh).start()
+    try {
+      val port = server.boundPort
+      val (s1, b1) = get(port, "/api/transactions")
+      assert(s1 == 200 && b1.contains("\"total_count\":0"), b1)
+      val (s2, b2) = get(port, "/api/validated-transactions")
+      assert(s2 == 200 && b2.contains("\"total_count\":0"), b2)
+      val (s3, b3) = get(port, "/api/control-center/initialization-status")
+      assert(s3 == 200 && b3.contains("\"needs_initialization\":true"))
     } finally server.stop()
   }
 
