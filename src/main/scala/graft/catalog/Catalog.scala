@@ -8,7 +8,8 @@ object Catalog {
     val all =
       RelationalCatalog.all ++ JoinCatalog.all ++ AggWindowCatalog.all ++
         ParityCatalog.all ++ ExtensionCatalog.all ++
-        DedupCatalog.all ++ TextCatalog.all ++ EventsCatalog.all ++ SimilarityCatalog.all
+        DedupCatalog.all ++ TextCatalog.all ++ EventsCatalog.all ++
+        SimilarityCatalog.all ++ MultimodalCatalog.all
     // a duplicate name would silently shadow an earlier query in the toMap
     // below, shrinking the verified surface with no error
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys

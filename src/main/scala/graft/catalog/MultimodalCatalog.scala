@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import graft.multimodal.{MediaSynth, Multimodal}
+
+/** CORRECTNESS-visible gates for the multimodal stack (round-6 verdict #4 —
+  * the last spec-only extension family).
+  *
+  * Binary codecs are not expressible in DuckDB SQL, so the gate follows the
+  * x8 technique: hash-compare a **partition-independent projection whose
+  * expected value is pure arithmetic**. Payload parameters (geometry, gray
+  * level, sample rate, amplitude, …) are integer functions of `doc_id`;
+  * Spark synthesizes REAL container bytes from them on the executors
+  * (`multimodal/MediaSynth` — actual PNG / RIFF-WAVE encodings), pushes
+  * the bytes through the REAL decode operators
+  * (`Multimodal.decodeImages/featurize/decodeAudios/audioFeatures`,
+  * `javax.imageio` / `javax.sound.sampled`), and projects the decoded
+  * values; DuckDB computes the same integer arithmetic directly. The
+  * quantization (`bround(cell*255)`, `bround(window*32768)`) is exact, not
+  * approximate — see the MediaSynth scaladoc for the IEEE argument — so a
+  * codec regression of even 1 gray level / 1 PCM unit breaks the hash.
+  * A fallback-path activation (the payload-keyed fake that keeps the
+  * operators total over undecodable bytes) mismatches catastrophically, so
+  * "the real decoder actually ran" is itself gated.
+  *
+  * Scale shape: synth + decode are one fused mapPartitions pass per
+  * modality — map-only over the asset scan, no shuffle until the final
+  * (tiny) projection; the persist() mirrors the warehouse reality that the
+  * encoded corpus is stored once, not re-encoded per consumer.
+  */
+object MultimodalCatalog {
+
+  private val assetSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Every 8th document carries an asset: present at every fixture scale,
+    * bounded fan-in, and the id stride exercises non-contiguous keys. */
+  private val AssetFilter = "doc_id % 8 = 0"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- MM1: image decode + pooled-luminance featurize --------------------
+    QueryDef(
+      "mm1_image_decode",
+      "Multimodal image gate: constant-gray PNGs synthesized from doc_id arithmetic (MediaSynth.constantPng), decoded by the real javax.imageio path (Multimodal.decodeImages → true geometry + band count) and featurized by the real pooled-luminance grid (Multimodal.featurize); the oracle predicts every decoded value with integer arithmetic — codec fallback or pooling drift breaks the hash",
+      Some(s"""
+        SELECT doc_id AS asset_id,
+               CAST(16 + doc_id % 48 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS lum_q,
+               TRUE AS grid_uniform
+        FROM documents WHERE $AssetFilter
+      """)) { (spark, dir) =>
+      val params = Tables.documents(spark, dir)
+        .filter(expr(AssetFilter))
+        .select(col("doc_id").as("asset_id"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("w"),
+          (lit(16) + (col("doc_id") * 7) % 48).cast("int").as("h"),
+          (col("doc_id") % 256).cast("int").as("gray"))
+      // encode ONCE, per partition, with the real PNG writer; persist so the
+      // two downstream operators (decode, featurize) read the stored corpus
+      // instead of re-encoding — the warehouse shape, and required for a
+      // deterministic single materialization
+      val assets = params.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), MediaSynth.constantPng(r.getInt(1), r.getInt(2), r.getInt(3)))
+        }
+      }(org.apache.spark.sql.Encoders.row(assetSchema)).persist()
+      val decoded = Multimodal.decodeImages(assets)
+      // 4x4 grid: every cell of a constant image pools to gray/255
+      val feats = Multimodal.featurize(assets, dim = 16)
+        .select(col("asset_id"),
+          bround(element_at(col("embedding"), 1).cast("double") * 255d, 0)
+            .cast("long").as("lum_q"),
+          (size(array_distinct(transform(col("embedding"),
+            e => bround(e.cast("double") * 255d, 0)))) === 1).as("grid_uniform"))
+      decoded.join(feats, "asset_id")
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("lum_q"), col("grid_uniform"))
+    },
+
+    // ---- MM2: audio decode + windowed-RMS energy ---------------------------
+    QueryDef(
+      "mm2_audio_decode",
+      "Multimodal audio gate: constant-amplitude 16-bit PCM WAVs synthesized from doc_id arithmetic (MediaSynth.constantWav), decoded by the real javax.sound path (Multimodal.decodeAudios → true rate/channels/frames) with the real windowed-RMS profile (Multimodal.audioFeatures); RMS of a constant signal is exactly amp/32768 (IEEE-exact, see MediaSynth), so the oracle predicts energy_q = amp with integer arithmetic",
+      Some(s"""
+        SELECT doc_id AS asset_id,
+               CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate_hz,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(400 + (doc_id % 100) * 8 AS BIGINT) AS frames,
+               TRUE AS pcm_ok,
+               CAST(500 + (doc_id % 64) * 500 AS BIGINT) AS energy_q,
+               TRUE AS windows_uniform
+        FROM documents WHERE $AssetFilter
+      """)) { (spark, dir) =>
+      val params = Tables.documents(spark, dir)
+        .filter(expr(AssetFilter))
+        .select(col("doc_id").as("asset_id"),
+          (lit(8000) + (col("doc_id") % 8) * 1000).cast("int").as("rate"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+          (lit(400) + (col("doc_id") % 100) * 8).cast("int").as("frames"),
+          (lit(500) + (col("doc_id") % 64) * 500).cast("int").as("amp"))
+      val assets = params.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            MediaSynth.constantWav(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        }
+      }(org.apache.spark.sql.Encoders.row(assetSchema)).persist()
+      val decoded = Multimodal.decodeAudios(assets)
+      val energy = Multimodal.audioFeatures(assets, windows = 4)
+        .select(col("asset_id"),
+          bround(element_at(col("energy"), 1).cast("double") * 32768d, 0)
+            .cast("long").as("energy_q"),
+          (size(array_distinct(transform(col("energy"),
+            e => bround(e.cast("double") * 32768d, 0)))) === 1).as("windows_uniform"))
+      decoded.join(energy, "asset_id")
+        .select(col("asset_id"),
+          col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+          col("channels").cast("long").as("channels"),
+          col("frames").as("frames"),
+          col("pcm_ok"), col("energy_q"), col("windows_uniform"))
+    })
+}
