@@ -127,5 +127,40 @@ object MultimodalCatalog {
           col("channels").cast("long").as("channels"),
           col("frames").as("frames"),
           col("pcm_ok"), col("energy_q"), col("windows_uniform"))
+    },
+
+    // ---- MM3: video frame sampling -----------------------------------------
+    // The third modality's plumbing (chunk the binary, keep every stride-th
+    // frame, byte offsets) is pure arithmetic over the payload length, so
+    // the oracle needs no codec at all: payload length is a doc_id formula,
+    // DuckDB enumerates the expected (frame_no, offset) pairs with
+    // generate_series. Unlike mm1/mm2 the payload content is irrelevant —
+    // what's gated is the codegen'd sequence/filter/explode pipeline in
+    // Multimodal.sampleFrames (off-by-ones in frame count, stride phase,
+    // or offset math all break the hash).
+    QueryDef(
+      "mm3_frame_sample",
+      "Multimodal video gate: frame sampling over synthesized payloads whose byte length is a doc_id formula (512 + (doc_id%7)*300 bytes, 256-byte frames, stride 2); Multimodal.sampleFrames chunks and strides the real binary column, the oracle enumerates the same frames with generate_series — offsets and frame counts gate the whole codegen'd pipeline",
+      Some(s"""
+        SELECT d.doc_id AS asset_id,
+               CAST(g.frame_no AS BIGINT) AS frame_no,
+               CAST(g.frame_no * 256 AS BIGINT) AS frame_payload_offset
+        FROM (SELECT doc_id,
+                     CAST(ceil((512 + (doc_id % 7) * 300) / 256.0) AS BIGINT) AS nf
+              FROM documents WHERE $AssetFilter) d,
+             LATERAL (SELECT unnest(range(0, CAST(d.nf AS BIGINT), 2)) AS frame_no) g
+      """)) { (spark, dir) =>
+      val assets = Tables.documents(spark, dir)
+        .filter(expr(AssetFilter))
+        .select(col("doc_id").as("asset_id"),
+          // opaque payload of the formula-determined length; content is
+          // irrelevant to the sampler, so a codegen'd repeat() suffices —
+          // no mapPartitions, the whole query stays in whole-stage codegen
+          expr("cast(repeat('x', cast(512 + doc_id % 7 * 300 as int)) as binary)")
+            .as("payload"))
+      Multimodal.sampleFrames(assets, frameBytes = 256, stride = 2)
+        .select(col("asset_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("frame_payload_offset").cast("long").as("frame_payload_offset"))
     })
 }
