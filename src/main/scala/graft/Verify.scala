@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       // progress marker: lets log warnings (e.g. WindowExec) be attributed
       // to the query that produced them
@@ -29,16 +30,22 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any stale output from a previous run — a regression must
-        // surface as a missing result, not silently PASS on old parquet
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        // A failed query must surface as a RED correctness row, never a
+        // dropped one (round 7: 26 plan errors silently shrank the gate from
+        // 131 to 108 "all-green" entries). Overwrite any stale output with a
+        // one-row sentinel whose schema can't match any oracle, so the
+        // driver's compare runs and records the mismatch loudly.
+        import spark.implicits._
+        Seq(("GRAFT_QUERY_ERROR: " + msg.take(500)))
+          .toDF("graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable error roster alongside the results — lets any consumer
+    // distinguish "query errored" from "query absent" without re-running.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // exit 0 even on per-query failures: the sentinel parquet above is the
+    // loud signal; a nonzero exit could abort the driver's compare stage
+    // entirely and produce NO artifact, which is worse than a red row.
     spark.stop()
   }
 }

@@ -211,6 +211,31 @@ object AggWindowCatalog {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_extendedprice"))
     },
 
+    // ---- W5: latest-prediction dedup on a compound key ---------------------
+    QueryDef(
+      "w5_latest_prediction_dedup",
+      "SURVEY §2.5 W5 one row per key by newest prediction_timestamp (stg_predictions.sql:17-24) — compound key + ts-desc row_number over events",
+      Some("""
+        SELECT user_id, event_type, ts, value
+        FROM (SELECT user_id, event_type, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+      """)) { (spark, dir) =>
+      // W5 vs W1: the dedup key is compound (transaction_id alone in the
+      // reference, but the predictions table arrives keyed per model run —
+      // here (user_id, event_type)) and the order column is a true event-time
+      // timestamp, not a business date. event_id desc makes the kept row
+      // deterministic under equal timestamps.
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    },
+
     // ---- W3+W4: the two-step reconnection dedup ----------------------------
     QueryDef(
       "w3w4_reconnection_dedup",

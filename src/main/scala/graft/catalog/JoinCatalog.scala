@@ -49,6 +49,78 @@ object JoinCatalog {
           coalesce(col("mapped_name"), c("c_mktsegment"), lit("Missing mapping!")).as("account_name"))
     },
 
+    // ---- J2: historic mapping join (empty-string wildcard + dual coalesce) -
+    QueryDef(
+      "j2_historic_mapping_join",
+      "SURVEY §2.3 J2 historic mapping: info NULL OR '' OR equal wildcard, coalesce chains on two output columns (stg_historic_trxns.sql:10-34)",
+      Some("""
+        SELECT c.c_custkey,
+               COALESCE(m.mapped_name, c.c_mktsegment, 'Missing mapping!') AS account_name,
+               COALESCE(m.owner_name, c.c_mktsegment, 'Missing mapping!') AS owner_name
+        FROM customer c
+        LEFT OUTER JOIN (VALUES
+            ('BUILDING',   '',                 'Building (any nation)',  'Shared'),
+            ('AUTOMOBILE', '5',                'Automobile (nation 5)',  CAST(NULL AS VARCHAR)),
+            ('FURNITURE',  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'Estate')
+          ) AS m(segment, additional_info, mapped_name, owner_name)
+          ON c.c_mktsegment = m.segment
+         AND (m.additional_info IS NULL OR m.additional_info = ''
+              OR CAST(c.c_nationkey AS VARCHAR) = m.additional_info)
+      """)) { (spark, dir) =>
+      // J2 differs from J1 in two reference-visible ways this entry pins:
+      // the wildcard branch treats empty string like NULL
+      // (stg_historic_trxns.sql), and BOTH account_name and owner_name fall
+      // back through their own coalesce chain — a mapping row may supply one
+      // and not the other.
+      val m = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row("BUILDING", "", "Building (any nation)", "Shared"),
+          Row("AUTOMOBILE", "5", "Automobile (nation 5)", null),
+          Row("FURNITURE", null, null, "Estate")),
+        StructType(Seq(
+          StructField("segment", StringType),
+          StructField("additional_info", StringType),
+          StructField("mapped_name", StringType),
+          StructField("owner_name", StringType))))
+      val c = Tables.customer(spark, dir)
+      c.join(broadcast(m),
+          c("c_mktsegment") === m("segment")
+            && (m("additional_info").isNull || m("additional_info") === ""
+              || c("c_nationkey").cast("string") === m("additional_info")),
+          "left_outer")
+        .select(c("c_custkey"),
+          coalesce(m("mapped_name"), c("c_mktsegment"), lit("Missing mapping!")).as("account_name"),
+          coalesce(m("owner_name"), c("c_mktsegment"), lit("Missing mapping!")).as("owner_name"))
+    },
+
+    // ---- J5: validated-only filter + feature join + category override -----
+    QueryDef(
+      "j5_validated_feature_join",
+      "SURVEY §2.3 J5 + §2.2 P10/P11: validated-only filter, LEFT JOIN onto features, user-over-derived category coalesce (stg_user_validated_categories.sql:8-31)",
+      Some("""
+        SELECT o.o_orderkey,
+               c.c_name,
+               c.c_acctbal,
+               COALESCE(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN NULL
+                             ELSE o.o_orderpriority END,
+                        c.c_mktsegment) AS master_category
+        FROM orders o
+        LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+      """)) { (spark, dir) =>
+      // The reference shape: the user-side table is FILTERED to validated
+      // rows first (P10), then left-joined to the wide feature mart (J5),
+      // and the user's category wins over the derived one only when set
+      // (P11). '3-MEDIUM' plays the unset-category NULL here.
+      val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      val c = Tables.customer(spark, dir)
+      val userCat = when(col("o_orderpriority") === "3-MEDIUM", lit(null).cast("string"))
+        .otherwise(col("o_orderpriority"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(o("o_orderkey"), c("c_name"), c("c_acctbal"),
+          coalesce(userCat, c("c_mktsegment")).as("master_category"))
+    },
+
     // ---- J4/J5/J6: plain left-outer equi join ----------------------------
     QueryDef(
       "j4_left_outer_equi",

@@ -16,24 +16,29 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-      // Spark 4 refuses by default. Values are µs-aligned (verified), so read
-      // the raw int64 nanos and integer-divide to a µs TIMESTAMP_NTZ — NTZ to
-      // match how Spark reads the other tables' isAdjustedToUTC=false columns
-      // (and how DuckDB sees them: naive timestamps).
+      // The driver has shipped events.ts under two parquet encodings:
+      // TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark 4 refuses by
+      // default — and plain timestamp[us]. The fixtures are regenerated
+      // outside our control, so branch on the schema the file actually
+      // declares instead of assuming either encoding.
       //
-      // The nanosAsLong conf is a deliberate session-level side effect: it is
-      // the only way to open NANOS parquet (no per-read option exists), it
-      // only affects how NANOS columns — absent from every other fixture —
-      // are typed, and it must be set before THIS read plans its schema.
-      // The epoch-anchored timestampadd keeps the NTZ value independent of
-      // spark.sql.session.timeZone (timestamp_micros(...).cast("timestamp_ntz")
-      // would shift values in a non-UTC session).
+      // The nanosAsLong conf is the only way to open NANOS parquet (no
+      // per-read option exists); it only changes how NANOS columns are typed,
+      // so setting it unconditionally is harmless for µs fixtures, and it
+      // must be set before the read plans its schema. Under it a NANOS column
+      // arrives as LongType → integer-divide raw nanos to a µs TIMESTAMP_NTZ,
+      // epoch-anchored so the NTZ value is independent of
+      // spark.sql.session.timeZone. A µs column already arrives as a
+      // timestamp type (NTZ for isAdjustedToUTC=false) → pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
