@@ -438,21 +438,31 @@ object ParityCatalog {
       "m9_calibration_bins",
       "SURVEY §2.10 M9 (classifier_train.py:271-290): uniform 10-bin calibration — mean predicted vs fraction positive",
       Some("""
-        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
-               AVG(p) AS mean_predicted,
-               AVG(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS fraction_positive,
+        SELECT least(CAST(floor(k / 100.0 * 10) AS BIGINT), 9) AS bin,
+               CAST(SUM(k) AS DOUBLE) / (100.0 * COUNT(*)) AS mean_predicted,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS fraction_positive,
                COUNT(*) AS n
-        FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) / 100.0 AS p, event_type
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
               FROM events)
         GROUP BY 1
       """)) { (spark, dir) =>
-      val p = get_json_object(col("props"), "$.k").cast("int") / 100.0
+      // AVG over double p = k/100 diverges from the oracle in the ~15th digit
+      // once bins hold ~50k rows (sf0.5 gate catch): float sums depend on
+      // accumulation order, which differs between engines AND between runs of
+      // a distributed partial aggregate. Both averages are exactly expressible
+      // as integer sums (k is 0..99, clicks are 0/1), so accumulate in Long —
+      // order-independent, overflow-safe to ~1e17 rows·99 — and divide once
+      // at the end. Same rewrite on both sides; this is also the only
+      // scale-stable way to hash-compare float aggregates.
+      val k = get_json_object(col("props"), "$.k").cast("int")
       Tables.events(spark, dir)
-        .select(p.as("p"), col("event_type"))
-        .groupBy(least(floor(col("p") * 10), lit(9)).cast("long").as("bin"))
+        .select(k.as("k"), col("event_type"))
+        .groupBy(least(floor(col("k") / 100.0 * 10), lit(9)).cast("long").as("bin"))
         .agg(
-          avg(col("p")).as("mean_predicted"),
-          avg(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("fraction_positive"),
+          (sum(col("k")).cast("double") / (lit(100.0) * count(lit(1)))).as("mean_predicted"),
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("fraction_positive"),
           count(lit(1)).as("n"))
     },
 

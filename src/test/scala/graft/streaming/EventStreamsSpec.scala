@@ -317,6 +317,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming twin replays the driver events fixture and matches the batch e1 result") {
+    // Round-7 chaos case: the driver regenerated /root/testdata with a new
+    // parquet encoding for events.ts (timestamp[us], previously
+    // TIMESTAMP(NANOS)) and every events query broke. This test replays the
+    // CURRENT fixture file through the real streaming file source — schema
+    // taken from the batch reader, no synthetic rows — and asserts the
+    // streaming twin still agrees with the batch aggregation. If the driver
+    // ships a third encoding, this fails alongside FixtureSchemaSpec instead
+    // of silently drifting.
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.io.Tables.events(spark, sfDir)
+    val expected = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("total_value").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(expected.nonEmpty)
+
+    // The file stream source takes a directory, so stage the fixture file —
+    // byte-verbatim — into a temp dir. Watermarks require TIMESTAMP, not
+    // TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) — so the
+    // streaming ingest of an NTZ fixture casts ts at the source,
+    // value-preserving under the engine's pinned UTC session. This cast IS
+    // the production pattern for these fixtures.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("fixture_replay")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fixture_replay")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("total_value").cast("string"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expected,
+        s"stream/batch drift: onlyStream=${got -- expected} onlyBatch=${expected -- got}")
+    } finally {
+      q.stop()
+      graft.finance.ops.FileTrees.delete(streamDir)
+    }
+  }
+
   test("funnelDepth overflow degrades the hot key instead of killing the query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
