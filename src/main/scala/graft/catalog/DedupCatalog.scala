@@ -580,14 +580,23 @@ object DedupCatalog {
         .agg(graft.functions.BloomBits.bloomBuild(col("h"), numBits = 1L << 20))
         .head.getAs[Array[Byte]](0)
       val train = sh.filter(col("doc_id") >= 25)
-      val flagged = train.withColumn("maybe",
-        graft.functions.BloomBits.bloomMightContain(lit(bloom), col("h")))
       // only bloom suspects reach the exact join; a bloom "no" never lies
-      val confirmed = flagged.filter(col("maybe"))
+      val confirmed = train
+        .withColumn("maybe",
+          graft.functions.BloomBits.bloomMightContain(lit(bloom), col("h")))
+        .filter(col("maybe"))
         .join(broadcast(evalSh), Seq("h"), "left_semi")
         .select(col("doc_id")).distinct()
-      flagged.select(col("doc_id")).distinct()
-        .join(confirmed, Seq("doc_id"), "left_anti")
+      // The clean-doc roster only needs "has >=1 shingle", not the hash
+      // pipeline — deriving it from the documents table (one tokenize, no
+      // explode/md5/distinct-shuffle) halves the expensive passes: the old
+      // shape re-ran shingle+md5 over the whole training corpus a second
+      // time just to enumerate doc_ids. `confirmed` is a vanishing fraction
+      // of the corpus by construction, so the anti-join broadcasts.
+      Tables.documentsFanned(spark, dir)
+        .filter(col("doc_id") >= 25 && size(shingles(col("text"))) > 0)
+        .select(col("doc_id"))
+        .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
     },
 
     // ---- D6: canonical selection — keep the best doc per dup cluster ------

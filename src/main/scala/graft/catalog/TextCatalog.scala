@@ -414,6 +414,50 @@ object TextCatalog {
             + termScore(col("tf_window"), dfs(2))).as("bm25"))
     },
 
+    // ---- T9: overlapping document chunking ---------------------------------
+    // Context-window prep for training/RAG ingestion: fixed word windows
+    // (W=64) advanced by a stride (S=48, i.e. 16 words of overlap) so no
+    // boundary context is lost. Map-only: tokenize once, derive the chunk
+    // count arithmetically, explode a chunk-index sequence, slice the token
+    // array per index — no shuffle, no state, fanout bounded by ~n/S chunks
+    // per doc. At 100 TB this is a scan-shaped stage like t1-t7; the chunk
+    // rows feed x8 sequence packing downstream.
+    QueryDef(
+      "t9_chunk_overlap",
+      "Training-pipeline chunking: overlapping W=64/S=48 word windows per doc — chunk index, word count, and the chunk text, derived in one map-only pass",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        d AS (SELECT doc_id, toks, len(toks) AS n,
+                     1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT) AS nchunks
+              FROM t WHERE len(toks) > 0),
+        e AS (SELECT doc_id, toks, n, unnest(range(0, nchunks)) AS i FROM d)
+        SELECT doc_id,
+               i AS chunk_idx,
+               least(64, n - i * 48) AS n_words,
+               array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+        FROM e
+      """)) { (spark, dir) =>
+      val W = 64; val S = 48
+      Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        // last chunk starts at the greatest multiple of S with words left:
+        // 1 + ceil(max(0, n-W) / S), computed in exact integer arithmetic
+        .withColumn("nchunks",
+          (lit(1) + floor((greatest(col("n") - W, lit(0)) + (S - 1)) / S)).cast("long"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          least(lit(W), col("n") - col("chunk_idx") * S).cast("long").as("n_words"),
+          array_join(slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W)), " ")
+            .as("chunk_text"))
+    },
+
     // ---- V2: BPE merge learning -------------------------------------------
     // Tokenizer TRAINING (v1 counts whole words; this learns the subword
     // merge table): Sennrich ACL'16 byte-pair encoding, K merges. The Spark
