@@ -546,14 +546,27 @@ object ParityCatalog {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
-      // group sizes as a broadcast 3-row aggregate, not a second window
-      // pass: count() over a partition-only window re-buffers the whole
-      // 600k-row partition just to stamp a constant on every row
-      val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      val r = base
+      // The exact value-at-rank twin needs a per-group rank, but a plain
+      // window sort has only 3 l_returnflag partitions — a 3-core sort no
+      // matter the cluster. Price-range buckets are contiguous slices of the
+      // per-group sort order, so global rank = within-bucket rank + the
+      // bucket's prefix offset (x11's TeraSort shape): ~100 parallel bucket
+      // sorts per group, one tiny broadcast of (bucket, offset, n).
+      // Ties (equal prices) get arbitrary rank order either way; value-at-
+      // rank is insensitive to it, which is all the twin reads.
+      val bucketed = base.withColumn("bucket", floor(col("price") / 1000.0).cast("int"))
+      val offsets = bucketed
+        .groupBy(col("l_returnflag"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+        .select(col("l_returnflag"), col("bucket"), col("offset"), col("n"))
+      val r = bucketed
+        .join(broadcast(offsets), Seq("l_returnflag", "bucket"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
-        .join(broadcast(counts), Seq("l_returnflag"))
+          Window.partitionBy(col("l_returnflag"), col("bucket"))
+            .orderBy(col("price"))) + col("offset"))
       // gate window: ±10× the sketch's worst-case rank error (n·1e-4)
       val d = greatest(ceil(col("n") * lit(0.001)), lit(1L))
       def atRank(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
