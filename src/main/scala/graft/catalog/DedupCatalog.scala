@@ -116,6 +116,37 @@ object DedupCatalog {
                    || '|' || CAST(mhs[b*3+3] AS VARCHAR) AS band_key
           FROM mh, unnest(range(0, 3)) AS t(b))"""
 
+  /** d2's candidate pairs `(doc1, doc2)`, shared with d12's edit-distance
+    * verify. Pairs via per-bucket doc lists instead of a self-join: a
+    * self-join (broadcast here) evaluates the whole minhash pipeline TWICE
+    * — once per side. Grouping evaluates it once; pairs expand inside one
+    * array expression. boundedDocLists caps buckets at MaxBucket (hot-band
+    * OOM guard). */
+  private def lshCandidatePairsDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val bands = minhashBandsDF(spark, dir)
+    val buckets = graft.operators.Dedup.boundedDocLists(
+      bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
+    buckets.select(explode(flatten(
+        transform(col("docs"), (x, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))),
+            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+  }
+
+  /** The shared oracle CTE for d2/d12: `cand(doc1, doc2)` = the LSH
+    * candidate pairs (band buckets of 2..MaxBucket members, ordered pairs). */
+  private lazy val lshCandidatesCteSql: String =
+    s"""$minhashBandsCtesSql,
+        bsz AS (SELECT b, band_key FROM bands GROUP BY b, band_key
+                HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+          FROM bands a
+          JOIN bsz USING (b, band_key)
+          JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id)"""
+
   /** The d2 band pipeline `(doc_id, b, band_key)`, shared with d10.
     * One-pass native signature (graft.functions.MinHashSignature): one md5
     * per shingle with a reused digest, all 9 minima in a single compiled
@@ -188,20 +219,7 @@ object DedupCatalog {
         JOIN bsz USING (b, band_key)
         JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
       """)) { (spark, dir) =>
-      val bands = minhashBandsDF(spark, dir)
-      // Candidate pairs via per-bucket doc lists instead of a self-join: a
-      // self-join (broadcast here) evaluates the whole minhash pipeline
-      // TWICE — once per side. Grouping evaluates it once; pairs expand
-      // inside one array expression. Same result set, half the work.
-      // boundedDocLists caps buckets at MaxBucket (hot-band OOM guard).
-      val buckets = graft.operators.Dedup.boundedDocLists(
-        bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
-      buckets.select(explode(flatten(
-          transform(col("docs"), (x, i) =>
-            transform(slice(col("docs"), i + 2, size(col("docs"))),
-              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-        .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-        .distinct()
+      lshCandidatePairsDF(spark, dir)
     },
 
     // ---- D3: exact n-gram Jaccard near-dup pairs --------------------------
@@ -716,6 +734,108 @@ object DedupCatalog {
               s => s("chunk")),
             " ").as("dedup_text"),
           count(lit(1)).as("n_kept"))
+    },
+
+    // ---- D12: edit-distance verify over LSH candidates --------------------
+    // d3 verifies d2's candidates at n-gram (set) granularity; d12 is the
+    // CHARACTER-granular verify — Levenshtein distance plus a normalized
+    // similarity — for near-dup regimes where token sets barely move but
+    // characters do (OCR noise, templated spam with inline substitutions).
+    // Cost discipline: levenshtein is O(|a|·|b|) per pair, so it NEVER runs
+    // all-pairs — only on the MaxBucket-capped LSH candidates (at 100 TB
+    // the candidate set is O(docs×bands), and each verify touches two docs'
+    // text once). Both engines implement the classic unit-cost DP
+    // (insert/delete/substitute), so the distance — and the one double
+    // division deriving similarity from exact ints — is hash-identical.
+    QueryDef(
+      "d12_edit_distance_verify",
+      "North-star dedup: Levenshtein verify over d2's MinHash-LSH candidate pairs — exact char-level edit distance + normalized similarity per candidate, the character-granular twin of d3's Jaccard verify; O(candidates), never O(docs^2)",
+      Some(s"""
+        WITH $lshCandidatesCteSql
+        SELECT cand.doc1, cand.doc2,
+               levenshtein(d1.text, d2.text) AS edit_dist,
+               1.0 - levenshtein(d1.text, d2.text) * 1.0
+                     / greatest(len(d1.text), len(d2.text), 1) AS similarity
+        FROM cand
+        JOIN documents d1 ON cand.doc1 = d1.doc_id
+        JOIN documents d2 ON cand.doc2 = d2.doc_id
+      """)) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      // two id-keyed joins fetch the candidate texts; the distance runs
+      // once per pair inside the projection (codegen'd builtin)
+      val withTexts = lshCandidatePairsDF(spark, dir)
+        .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
+        .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
+      val dist = levenshtein(col("t1"), col("t2"))
+      withTexts.select(
+        col("doc1"), col("doc2"), dist.as("edit_dist"),
+        // exact ints → ONE double division, then the subtraction: pinned in
+        // the same order as the oracle so the value is bit-identical
+        (lit(1.0) - dist * lit(1.0)
+          / greatest(length(col("t1")), length(col("t2")), lit(1))).as("similarity"))
+    },
+
+    // ---- D13: C4-style boilerplate n-gram filter --------------------------
+    // d11 keeps a repeated span's FIRST occurrence; d13 is the other public
+    // dedup posture (C4, Raffel et al.): a window repeated across enough
+    // DISTINCT documents is boilerplate (headers, navigation, license
+    // blurbs) and counts against every document carrying it. Per doc:
+    // window count, boilerplate-window count, the fraction, and the keep
+    // gate. Two shuffles on uniform keys (window hash, then doc_id); the
+    // n-gram→doc-count table is the only intermediate and it shrinks with
+    // distinct-window cardinality, not corpus size. The window hash is a
+    // PRIVATE grouping key (only per-doc counts reach the output), so
+    // xxhash64 replaces the md5 path — d3's justification: engines diverge
+    // only on a 64-bit collision merging two distinct windows (~1e-9).
+    QueryDef(
+      "d13_boilerplate_ngrams",
+      "North-star dedup: C4-style boilerplate filter at word-5-gram granularity — windows shared by >= 3 distinct docs are boilerplate; per-doc window/boilerplate counts, fraction, and the keep gate",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+          FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
+        nd AS (SELECT ng, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY ng),
+        per AS (
+          SELECT w.doc_id, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN nd.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate
+          FROM wins w JOIN nd USING (ng) GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(per.n_windows, 0) AS n_windows,
+               COALESCE(per.n_boilerplate, 0) AS n_boilerplate,
+               CASE WHEN per.n_windows IS NULL THEN 0.0
+                    ELSE per.n_boilerplate * 1.0 / per.n_windows END AS boilerplate_frac,
+               CASE WHEN per.n_windows IS NULL THEN TRUE
+                    ELSE per.n_boilerplate * 1.0 / per.n_windows < 0.5 END AS keep
+        FROM documents d LEFT JOIN per USING (doc_id)
+      """)) { (spark, dir) =>
+      val t = Tables.documentsFanned(spark, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      // size<5 docs: when() nulls the array and explode emits nothing —
+      // same one-evaluation posture as minhashBandsDF (no pushed filter
+      // re-running the window pipeline below the fan exchange)
+      val wins = t.select(col("doc_id"),
+        explode(when(size(col("t")) >= 5,
+          transform(sequence(lit(1), size(col("t")) - 4),
+            i => xxhash64(array_join(slice(col("t"), i, lit(5)), " "))))).as("h"))
+      val nd = wins.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+      val per = wins.join(nd, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("ndocs") >= 3, 1).otherwise(0)).as("n_boilerplate"))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+          when(col("n_windows").isNull, lit(0.0))
+            .otherwise(col("n_boilerplate") * lit(1.0) / col("n_windows"))
+            .as("boilerplate_frac"),
+          when(col("n_windows").isNull, lit(true))
+            .otherwise(col("n_boilerplate") * lit(1.0) / col("n_windows") < 0.5)
+            .as("keep"))
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring) — a

@@ -46,6 +46,13 @@ object ExtensionCatalog {
   private final val KmK = 4
   private final val KmIters = 3
 
+  // k5's Count-Min geometry, shared verbatim between the aggregator's update
+  // path, the DataFrame probe arithmetic, and the unrolled SQL oracle
+  // (declared before `all` — same init-order rule as PrIters)
+  private final val CmW = 8
+  private val CmA = graft.functions.CountMinSketch.A
+  private val CmB = graft.functions.CountMinSketch.B
+
   // Centrality vectors are deterministic corpus ARTIFACTS (the learnedMerges
   // posture): train once per (session, dir), hand back the checkpointed
   // result — its blocks stay alive precisely because the iteration loops
@@ -900,6 +907,63 @@ object ExtensionCatalog {
         .groupBy(col("source"))
         .agg(graft.functions.FrequentItems(col("lang"), 16).as("fi"))
         .select(col("source"), explode(col("fi")).as(Seq("item", "cnt")))
+    },
+
+    // ---- K5: mergeable Count-Min frequency sketch ---------------------------
+    // The fixed-state POINT-FREQUENCY path next to k4's top-k: depth×width
+    // counters per group answer "how often does item x occur" for any probe
+    // set, where a GROUP BY holds a slot per distinct item. Unlike k1/k3
+    // (whose HLL estimates are engine-specific and only bound-gated), CM
+    // cells are plain commutative sums over md5-derived buckets — the
+    // estimate itself is partitioning/merge-order independent and the
+    // identical hash arithmetic unrolls in SQL, so the oracle reconstructs
+    // the EXACT per-item estimates (min over rows of colliding-mass sums)
+    // and the hash gate covers the sketch machinery end to end. width 8 <
+    // 16 languages forces real collisions: the estimates genuinely differ
+    // from the exact counts, and the deterministic never-underestimate
+    // contract rides along as an in-row boolean.
+    QueryDef(
+      "k5_countmin_frequency",
+      "Mergeable Count-Min sketch (functions/CountMinSketch): per-source language frequency estimates from 4x8 counters, map-side combined, merged without rescan; md5-affine buckets unroll in SQL, so DuckDB reconstructs the exact estimates — hash-matched, with the deterministic est>=exact contract as an in-row boolean",
+      Some(s"""
+        WITH ic AS (
+          SELECT source, lang AS item, COUNT(*) AS exact_cnt,
+                 CAST(('0x' || substr(md5(lang), 1, 15)) AS BIGINT) AS base
+          FROM documents WHERE lang IS NOT NULL
+          GROUP BY source, lang),
+        h(j, a, b) AS (VALUES ${CmA.indices.map(j =>
+            s"(${j}, ${CmA(j)}, ${CmB(j)})").mkString(", ")}),
+        cells AS (
+          SELECT ic.source, h.j, (h.a * ic.base + h.b) % $CmW AS bucket,
+                 CAST(SUM(ic.exact_cnt) AS BIGINT) AS cell
+          FROM ic, h GROUP BY 1, 2, 3),
+        est AS (
+          SELECT p.source, p.item, p.exact_cnt, MIN(c.cell) AS cm_est
+          FROM (SELECT ic.*, h.j, (h.a * ic.base + h.b) % $CmW AS bucket
+                FROM ic, h) p
+          JOIN cells c ON p.source = c.source AND p.j = c.j AND p.bucket = c.bucket
+          GROUP BY 1, 2, 3)
+        SELECT source, item, exact_cnt, cm_est,
+               cm_est >= exact_cnt AS never_underestimates
+        FROM est
+      """)) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir).filter(col("lang").isNotNull)
+      // the sketch build: one 32-long array per source, partials combined
+      // map-side — the only state that crosses the wire at corpus scale
+      val sk = docs.groupBy(col("source"))
+        .agg(graft.functions.CountMinSketch(col("lang"), CmW, CmA.length).as("sk"))
+      val exact = docs.groupBy(col("source"), col("lang").as("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      // probe with BUILTIN arithmetic (codegen'd, no custom probe expr):
+      // same md5-affine buckets as the aggregator's update path
+      val base = conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long")
+      val est = least(CmA.indices.map { j =>
+        element_at(col("sk"),
+          (lit(j * CmW) + (lit(CmA(j)) * base + lit(CmB(j))) % CmW + 1).cast("int"))
+      }: _*)
+      exact.join(broadcast(sk), Seq("source"))
+        .select(col("source"), col("item"), col("exact_cnt"), est.as("cm_est"),
+          (est >= col("exact_cnt")).as("never_underestimates"))
     },
 
     // ---- X7: deterministic hash sharding -----------------------------------
