@@ -229,5 +229,39 @@ object EventsCatalog {
         .filter(col("day_offset") <= 7)
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(count(lit(1)).as("active_users"))
+    },
+
+    // ---- E9: stream dedup (dropDuplicatesWithinWatermark twin) -------------
+    // The batch twin of EventStreams.appendOnlyByKey: keep the FIRST
+    // arrival per dedup key, drop later repeats. The streaming form
+    // (`dropDuplicatesWithinWatermark`) keeps whichever row arrives first
+    // and evicts key state past the watermark; the deterministic batch
+    // statement of the same contract is "minimum (ts, event_id) per key
+    // wins" — one window pass whose rn=1 filter pushes map-side as
+    // WindowGroupLimit. Key = (user_id, event_type, day): the fixture's
+    // event_ids are unique, so the composite key is what makes the dedup
+    // REAL (10k events → ~8k survivors), the shape of at-least-once
+    // delivery collapsing retried sends of the same logical action.
+    QueryDef(
+      "e9_stream_dedup",
+      "Stream-dedup twin (EventStreams.appendOnlyByKey / dropDuplicatesWithinWatermark): first arrival per (user_id, event_type, day) wins under the deterministic (ts, event_id) order — one window pass, rn=1 pushed map-side",
+      Some("""
+        WITH keyed AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT event_id, user_id, event_type, day, ts, value
+        FROM keyed WHERE rn = 1
+      """)) { (spark, dir) =>
+      val first = Window.partitionBy(
+          col("user_id"), col("event_type"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("ts"), col("value"),
+          row_number().over(first).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
     })
 }

@@ -393,6 +393,122 @@ object ExtensionCatalog {
         .withColumn("twa", col("weighted_sum") / col("total_seconds"))
     },
 
+    // ---- A18: linear interpolation over a daily spine ----------------------
+    // a15 fills silent periods with zeros (financial convention); sensor/
+    // metric series want INTERPOLATION: a missing day carries the value
+    // implied by its neighbors. Daily anchor = MIN(value) per (user, day) —
+    // min of doubles is order/partitioning-independent, unlike a double
+    // mean — then the a15 spine, then prev/next anchors via IGNORE NULLS
+    // window frames (two passes over ONE partitioning) and the two-point
+    // interpolation formula in pinned double order. Spine edges always have
+    // anchors (the span starts/ends at observed days), so no extrapolation
+    // branch exists. Scale: the spine is users × days — rows, not state;
+    // both window frames are running first/last, O(1) per row, spillable.
+    QueryDef(
+      "a18_interpolate",
+      "Per-user daily spine with linear interpolation: anchor days carry MIN(value), gap days get prev + (next-prev)*(elapsed/gap) from IGNORE NULLS window frames — one partitioning, two running frames, pinned double arithmetic",
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, MIN(value) AS v
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        spine AS (
+          SELECT user_id, CAST(u.d AS DATE) AS day
+          FROM span,
+               unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)),
+        grid AS (
+          SELECT s.user_id, s.day, daily.v
+          FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day),
+        f AS (
+          SELECT user_id, day, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM grid)
+        SELECT user_id, day, v IS NOT NULL AS is_actual,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv) * (date_diff('day', pd, day) * 1.0
+                                           / date_diff('day', pd, nd)) END AS value_filled
+        FROM f
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("value")).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val grid = spine.join(daily, Seq("user_id", "day"), "left")
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val before = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = byDay.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val anchorDay = when(col("v").isNotNull, col("day"))
+      val f = grid.select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(before).as("pv"),
+        last(anchorDay, ignoreNulls = true).over(before).as("pd"),
+        first(col("v"), ignoreNulls = true).over(after).as("nv"),
+        first(anchorDay, ignoreNulls = true).over(after).as("nd"))
+      // exact int day-diffs → one double division, multiply, add: the same
+      // pinned order as the oracle, so gap values are bit-identical
+      f.select(col("user_id"), col("day"), col("v").isNotNull.as("is_actual"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (datediff(col("day"), col("pd")) * lit(1.0)
+               / datediff(col("nd"), col("pd"))))
+          .as("value_filled"))
+    },
+
+    // ---- F6: pivot → unpivot round trip ------------------------------------
+    // The relational MELT: wide per-status money columns back to tidy
+    // (priority, status, total) rows. Spark's unpivot plans as one Expand
+    // (each input row fans out once per value column — no shuffle, no
+    // join); the oracle states the same thing as the portable UNION ALL.
+    // Null cells are coalesced to DECIMAL zero BEFORE unpivoting on both
+    // sides: engines disagree on whether unpivot drops null cells, so the
+    // contract pins "absent combination = explicit zero row" (the a15
+    // convention).
+    QueryDef(
+      "f6_unpivot",
+      "Pivot → unpivot round trip: per-priority status money columns melted back to tidy rows via Spark's Expand-planned unpivot; absent combinations pinned to explicit DECIMAL zeros; oracle is the portable UNION ALL form",
+      Some("""
+        WITH w AS (
+          SELECT o_orderpriority,
+                 SUM(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS f_total,
+                 SUM(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o_total,
+                 SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p_total
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, 'F' AS status, CAST(COALESCE(f_total, 0) AS DOUBLE) AS total FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'O' AS status, CAST(COALESCE(o_total, 0) AS DOUBLE) AS total FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'P' AS status, CAST(COALESCE(p_total, 0) AS DOUBLE) AS total FROM w
+      """)) { (spark, dir) =>
+      val wide = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(D)))
+      val filled = wide.select(col("o_orderpriority") +:
+        Seq("F", "O", "P").map(s =>
+          coalesce(col(s), lit(0).cast(D)).as(s)): _*)
+      filled.unpivot(
+          Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+          "status", "total")
+        .select(col("o_orderpriority"), col("status"),
+          col("total").cast("double").as("total"))
+    },
+
     // ---- F4: arbitrary GROUPING SETS ---------------------------------------
     // rollup (a12) and cube (a13) are the fixed hierarchies; real report
     // suites ask for ARBITRARY set lists — "by priority, by status, and the

@@ -352,6 +352,42 @@ object ParityCatalog {
       """)
     },
 
+    // ---- J13: correlated scalar subquery (TPC-H Q2 shape) ------------------
+    // The other correlated form migrations emit: an equality against a
+    // correlated scalar MIN ("the supplier charging this part's lowest
+    // price"). A naive execution re-runs the subquery per outer row —
+    // O(parts × lineitem); both engines must decorrelate it into ONE
+    // per-part min aggregate joined back (Spark: RewriteCorrelatedScalarSubquery
+    // → Aggregate + join), which is the property this entry pins through
+    // SQL on both sides. Double equality is safe: both sides compare the
+    // IDENTICAL stored double against the exact min of stored doubles.
+    // Ties (two suppliers at the part's min price) are kept on both
+    // engines — set semantics, no flap.
+    QueryDef(
+      "j13_correlated_scalar_min",
+      "TPC-H Q2 shape: suppliers hitting each part's minimum price via a correlated scalar MIN subquery — engine decorrelation to one aggregate + join, checked through SQL on both sides",
+      Some("""
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice AS min_price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 3
+          AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+      """)) { (spark, dir) =>
+      val p = s"parquet.`$dir/part.parquet`"
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      spark.sql(s"""
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice AS min_price
+        FROM $p p
+        JOIN $li l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 3
+          AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                   FROM $li l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+      """)
+    },
+
     // ---- F3: set operators -------------------------------------------------
     QueryDef(
       "f3_set_ops",

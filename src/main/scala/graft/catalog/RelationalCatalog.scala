@@ -332,5 +332,68 @@ object RelationalCatalog {
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // ---- TPC-H Q16 shape: parts/suppliers relationship count ---------------
+    // The distinct-count-per-wide-group report with a NOT IN supplier
+    // exclusion. The anti-join runs FIRST on the fact table (suppkeys are
+    // non-null on both sides, so left_anti ≡ NOT IN — the j9 translation),
+    // then one hash aggregate; count_distinct expands to the standard
+    // two-phase plan (group by (dims, suppkey), then count per dims) so no
+    // per-group distinct set ever materializes in one buffer.
+    QueryDef(
+      "q16_supplier_count",
+      "TPC-H Q16 shape: distinct suppliers per (brand, type, size) with a NOT IN supplier exclusion — anti-join before the two-phase distinct aggregate",
+      Some("""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+      """)) { (spark, dir) =>
+      val bad = Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#45"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // ---- TPC-H Q18 shape: large-volume customers ---------------------------
+    // The HAVING-subquery join: aggregate the fact table, keep the heavy
+    // tail, join back up the star. The aggregate runs BEFORE any join (the
+    // 46-of-15k orderkey survivors at sf0.01 are what ride the join), and
+    // the limit is TakeOrderedAndProject over a unique tiebreak. sum_qty
+    // stays DOUBLE end-to-end: quantities are integral, and integer sums
+    // below 2^53 are exact in IEEE double REGARDLESS of addition order —
+    // the one regime where a double SUM is hash-safe.
+    QueryDef(
+      "q18_large_volume",
+      "TPC-H Q18 shape: customers whose orders exceed 300 total quantity — fact-side HAVING aggregate joined back to orders/customer, top-10 by totalprice with unique tiebreak",
+      Some("""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, s.sum_qty
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING SUM(l_quantity) > 300) s
+          ON o.o_orderkey = s.l_orderkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 10
+      """)) { (spark, dir) =>
+      val heavy = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(spark, dir)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
     })
 }
