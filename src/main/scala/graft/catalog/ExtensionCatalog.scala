@@ -52,6 +52,7 @@ object ExtensionCatalog {
   private final val CmW = 8
   private val CmA = graft.functions.CountMinSketch.A
   private val CmB = graft.functions.CountMinSketch.B
+  private val CmP = graft.functions.CountMinSketch.P
 
   // Centrality vectors are deterministic corpus ARTIFACTS (the learnedMerges
   // posture): train once per (session, dir), hand back the checkpointed
@@ -1050,12 +1051,12 @@ object ExtensionCatalog {
         h(j, a, b) AS (VALUES ${CmA.indices.map(j =>
             s"(${j}, ${CmA(j)}, ${CmB(j)})").mkString(", ")}),
         cells AS (
-          SELECT ic.source, h.j, (h.a * ic.base + h.b) % $CmW AS bucket,
+          SELECT ic.source, h.j, ((h.a * ic.base + h.b) % $CmP) % $CmW AS bucket,
                  CAST(SUM(ic.exact_cnt) AS BIGINT) AS cell
           FROM ic, h GROUP BY 1, 2, 3),
         est AS (
           SELECT p.source, p.item, p.exact_cnt, MIN(c.cell) AS cm_est
-          FROM (SELECT ic.*, h.j, (h.a * ic.base + h.b) % $CmW AS bucket
+          FROM (SELECT ic.*, h.j, ((h.a * ic.base + h.b) % $CmP) % $CmW AS bucket
                 FROM ic, h) p
           JOIN cells c ON p.source = c.source AND p.j = c.j AND p.bucket = c.bucket
           GROUP BY 1, 2, 3)
@@ -1075,7 +1076,7 @@ object ExtensionCatalog {
       val base = conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long")
       val est = least(CmA.indices.map { j =>
         element_at(col("sk"),
-          (lit(j * CmW) + (lit(CmA(j)) * base + lit(CmB(j))) % CmW + 1).cast("int"))
+          (lit(j * CmW) + (lit(CmA(j)) * base + lit(CmB(j))) % CmP % CmW + 1).cast("int"))
       }: _*)
       exact.join(broadcast(sk), Seq("source"))
         .select(col("source"), col("item"), col("exact_cnt"), est.as("cm_est"),

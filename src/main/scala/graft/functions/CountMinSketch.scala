@@ -70,7 +70,7 @@ case class CountMinSketch(
       val h = CountMinSketch.base60(md5, v.asInstanceOf[UTF8String].getBytes)
       var j = 0
       while (j < depth) {
-        buf(j * width + ((CountMinSketch.A(j) * h + CountMinSketch.B(j)) % width).toInt) += 1L
+        buf(j * width + CountMinSketch.bucket(h, j, width)) += 1L
         j += 1
       }
     }
@@ -110,6 +110,20 @@ object CountMinSketch {
     * DataFrame probe arithmetic. a ≤ 7 bounds a·h < 2^63 for h < 2^60. */
   val A: Array[Long] = Array(2L, 3L, 5L, 7L)
   val B: Array[Long] = Array(12345L, 54321L, 98765L, 13579L)
+
+  /** The universal-hash modulus interposed before the width reduction.
+    * `(a·h + b) mod width` alone depends only on `h mod width` (for the
+    * power-of-two widths the sketch wants), so ALL rows would collide
+    * together and depth would buy nothing; reducing mod a large prime
+    * first mixes the high bits, making the rows behave independently —
+    * the same P as the minhash affine family. */
+  val P: Long = GraftExtensions.DefaultModulus
+
+  /** Row j's bucket for base hash h — the single definition the update
+    * path, the spec's reference estimator, and (textually) the SQL oracle
+    * all share: `((a_j·h + b_j) mod P) mod width`. */
+  def bucket(h: Long, j: Int, width: Int): Int =
+    (((A(j) * h + B(j)) % P) % width).toInt
 
   /** First 15 md5 hex chars as a positive long (< 2^60) — byte-identical to
     * Spark SQL `conv(substring(md5(x),1,15),16,10)` and DuckDB
