@@ -45,6 +45,7 @@ object ExtensionCatalog {
   private final val HitsIters = 4
   private final val KmK = 4
   private final val KmIters = 3
+  private final val LpaIters = 3
 
   // k5's Count-Min geometry, shared verbatim between the aggregator's update
   // path, the DataFrame probe arithmetic, and the unrolled SQL oracle
@@ -1427,6 +1428,25 @@ object ExtensionCatalog {
             x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
         graft.operators.KMeansQuantized.fit(pts, KmK, KmIters)
       })
+    },
+
+    // ---- G4: deterministic label propagation --------------------------------
+    // Community detection next to d8's connected components: CC merges on
+    // ANY path (one weak near-dup link chains two clusters), LPA merges on
+    // neighbor MAJORITY — the label a node's neighbors vote for, ties to
+    // the smallest label. Textbook LPA randomizes visit order; this is the
+    // synchronous integer-deterministic statement (previous round's labels
+    // only, exact counts, total tie order), which is what makes a k-round
+    // result a pure function of the edge set — oracle = the rounds
+    // unrolled, one vote-count + one argmax CTE per round, over the same
+    // symmetrized trade graph.
+    QueryDef(
+      "g4_label_propagation",
+      "Deterministic label propagation over the symmetrized trade graph, 3 synchronous rounds: neighbor-majority labels with smallest-label tiebreaks, exact integer counts; oracle = the rounds unrolled as vote/argmax CTE layers",
+      Some(lpaOracle(LpaIters))) { (spark, dir) =>
+      graphScores.getOrElseUpdate((spark, dir, "g4"),
+        graft.operators.LabelPropagation.propagate(
+          tradeGraphEdges(spark, dir), "src", "dst", LpaIters))
     })
 
 
@@ -1485,6 +1505,32 @@ object ExtensionCatalog {
       r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes),
       $layers
       SELECT node, s FROM r$k
+    """
+  }
+
+  /** g4's oracle: the synchronous LPA rounds unrolled. Layer i: per-node
+    * neighbor-label vote counts `c_i` over the symmetrized edge set, then
+    * the argmax pick `l_i` (count desc, label asc — the same total order
+    * as the operator's window). Every node appears as a `dst` in `sym`,
+    * so no left-join fallback layer is needed. */
+  private def lpaOracle(k: Int): String = {
+    val layers = (1 to k).map { i =>
+      s"""c$i AS MATERIALIZED (
+        SELECT s.dst AS node, l.lbl, COUNT(*) AS c
+        FROM sym s JOIN l${i - 1} l ON s.src = l.node
+        GROUP BY 1, 2),
+      l$i AS MATERIALIZED (
+        SELECT node, lbl FROM (
+          SELECT node, lbl,
+                 ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+          FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""$TradeGraphSql,
+      sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+      l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+      $layers
+      SELECT node, lbl AS label FROM l$k
     """
   }
 

@@ -497,6 +497,60 @@ object TextCatalog {
         graft.operators.BpeLearn.initialSymbols(wc), learnedMerges(spark, dir))
       words.select(explode(split(col("w"), " ")).as("token"), col("cnt"))
         .groupBy("token").agg(sum("cnt").as("freq"))
+    },
+
+    // ---- T10: per-document TF-IDF keywords ---------------------------------
+    // Keyword extraction — the per-doc summary signal next to t8's QUERY
+    // scoring: t8 ranks docs for fixed terms, t10 ranks terms for every
+    // doc. Full inverted-index shape: explode tokens once, tf per
+    // (doc, term) and df per term off that stream, score, one per-doc
+    // argmax window (rank ≤ 3 pushes map-side as WindowGroupLimit). The
+    // idf is t8's RATIONAL RSJ form ((N - df + 0.5)/(df + 0.5)) — no
+    // ln(), whose libm rounding may differ across engines; exact integer
+    // inputs → the identical pinned double expression both sides. The df
+    // table is vocab-sized (broadcast); at 100 TB the (doc, term) stream
+    // is the standard inverted-index shuffle, and nothing else grows.
+    QueryDef(
+      "t10_tfidf_keywords",
+      "Per-document top-3 TF-IDF keywords: inverted-index tf/df off one token explode, rational RSJ idf (no engine-specific ln), per-doc argmax window with (score desc, term asc) total order",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+               FROM tok GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS score
+          FROM tf JOIN df USING (term), n)
+        SELECT doc_id, kw_rank, term, tf, score FROM (
+          SELECT doc_id, term, tf, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS kw_rank
+          FROM scored)
+        WHERE kw_rank <= 3
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+      val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tok.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).cast("double").as("df"))
+      // N as a one-row reduction collected once (the t8 stats posture):
+      // a scalar, not per-row driver state
+      val n = t.agg(count(lit(1)).cast("double")).head.getDouble(0)
+      val score = col("tf") * ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val best = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfT), Seq("term"))
+        .withColumn("score", score)
+        .withColumn("kw_rank", row_number().over(best))
+        .filter(col("kw_rank") <= 3)
+        .select(col("doc_id"), col("kw_rank"), col("term"), col("tf"), col("score"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
