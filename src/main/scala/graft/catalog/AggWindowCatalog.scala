@@ -429,5 +429,53 @@ object AggWindowCatalog {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
             .cast("double").as("rolling_30d"))
+    },
+
+    // ---- W10: maximum drawdown (nested running aggregates) -----------------
+    // The window-COMPOSITION shape the catalog's single running sums (a5,
+    // w9) don't exercise: a running sum, a running max OF that sum, their
+    // difference, and a final per-key max — the financial max-drawdown /
+    // high-water-mark statistic. Signed series from order status (F = out-
+    // flow) so drawdowns are real, not structurally zero. Everything
+    // accumulates in DECIMAL: a double running sum would hash-diverge —
+    // engines disagree on windowed-aggregate ADDITION ORDER (sequential
+    // fold vs segment tree), which exact decimal is immune to. Both
+    // windows share one (o_custkey, date, key) partitioning+sort, so the
+    // plan pays ONE exchange and one sort; the final max is an ordinary
+    // partial-aggregated groupBy.
+    QueryDef(
+      "w10_max_drawdown",
+      "Per-customer maximum drawdown over the signed order series: running DECIMAL sum, running max of the sum, peak-minus-current, final per-key max — two stacked window frames over one partitioning+sort, exact decimal throughout",
+      Some("""
+        WITH seq AS (
+          SELECT o_custkey, o_orderdate, o_orderkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                     * CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS run_sum
+          FROM orders),
+        dd AS (
+          SELECT o_custkey,
+                 MAX(run_sum) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - run_sum AS drawdown
+          FROM seq)
+        SELECT o_custkey, CAST(MAX(drawdown) AS DOUBLE) AS max_drawdown
+        FROM dd GROUP BY 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val signed = col("o_totalprice").cast("decimal(18,2)")
+        .multiply(when(col("o_orderstatus") === "F", -1).otherwise(1))
+      val seq = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          sum(signed).over(order).as("run_sum"))
+      val runMax = max(col("run_sum")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      seq.select(col("o_custkey"), (runMax - col("run_sum")).as("drawdown"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("drawdown")).cast("double").as("max_drawdown"))
     })
 }

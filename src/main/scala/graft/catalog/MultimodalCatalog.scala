@@ -162,5 +162,60 @@ object MultimodalCatalog {
         .select(col("asset_id"),
           col("frame_no").cast("long").as("frame_no"),
           col("frame_payload_offset").cast("long").as("frame_payload_offset"))
+    },
+
+    // ---- MM4: image near-dup via signature bucketing ------------------------
+    // The d2 posture applied to PIXELS: perceptual-hash dedup of an image
+    // corpus. The real pipeline runs end to end — synth PNG bytes, real
+    // javax.imageio decode, real pooled-luminance grid (the aHash family),
+    // quantized 16-cell signature as the bucket key, bounded-bucket pair
+    // expansion (Dedup.boundedDocLists — O(assets), never O(assets²)).
+    // Constant-gray fixtures make the signature an INTEGER FUNCTION of
+    // doc_id (every cell pools to gray/255, quantization exact), so the
+    // oracle reproduces the pair set from doc_id arithmetic alone — while
+    // any decode fallback, pooling drift, or quantization error changes a
+    // signature and breaks the hash. Bucket cap mirrored in the oracle's
+    // HAVING, d2-style.
+    QueryDef(
+      "mm4_image_neardup",
+      "Multimodal image near-dup: real decode + pooled-luminance aHash signatures bucketed for pair expansion (bounded buckets, O(assets)); constant-gray synthesis makes the signature a doc_id formula, so the oracle reproduces the exact pair set arithmetically",
+      Some(s"""
+        WITH b AS (SELECT doc_id, doc_id % 256 AS lum_q
+                   FROM documents WHERE $AssetFilter),
+        keep AS (SELECT lum_q FROM b GROUP BY 1
+                 HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.DefaultMaxBucket})
+        SELECT a.doc_id AS asset1, c.doc_id AS asset2, CAST(a.lum_q AS BIGINT) AS lum_q
+        FROM b a JOIN keep USING (lum_q)
+        JOIN b c ON a.lum_q = c.lum_q AND a.doc_id < c.doc_id
+      """)) { (spark, dir) =>
+      val params = Tables.documents(spark, dir)
+        .filter(expr(AssetFilter))
+        .select(col("doc_id").as("asset_id"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("w"),
+          (lit(16) + (col("doc_id") * 7) % 48).cast("int").as("h"),
+          (col("doc_id") % 256).cast("int").as("gray"))
+      val assets = params.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), MediaSynth.constantPng(r.getInt(1), r.getInt(2), r.getInt(3)))
+        }
+      }(org.apache.spark.sql.Encoders.row(assetSchema)).persist()
+      // the full quantized grid is the dedup key — identical gray ⇒
+      // identical signature for constant images, but the OPERATOR keys on
+      // what the decoder actually produced, not on the synthesis params
+      val sig = Multimodal.featurize(assets, dim = 16)
+        .select(col("asset_id"),
+          array_join(transform(col("embedding"),
+            e => bround(e.cast("double") * 255d, 0).cast("long").cast("string")),
+            "|").as("sig"))
+      val buckets = graft.operators.Dedup.boundedDocLists(
+        sig, Seq("sig"), col("asset_id"), graft.operators.Dedup.DefaultMaxBucket)
+      buckets.select(
+          element_at(split(col("sig"), "\\|"), 1).cast("long").as("lum_q"),
+          explode(flatten(
+            transform(col("docs"), (x, i) =>
+              transform(slice(col("docs"), i + 2, size(col("docs"))),
+                y => struct(x.as("asset1"), y.as("asset2")))))).as("p"))
+        .select(col("p.asset1").as("asset1"), col("p.asset2").as("asset2"),
+          col("lum_q"))
     })
 }
