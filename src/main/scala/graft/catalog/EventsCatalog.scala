@@ -263,5 +263,43 @@ object EventsCatalog {
           row_number().over(first).as("rn"))
         .filter(col("rn") === 1)
         .drop("rn")
+    },
+
+    // ---- E10: event-transition matrix --------------------------------------
+    // First-order Markov behavior model: how often does event type A lead
+    // to event type B within a user's stream, and with what conditional
+    // probability. Two window shapes the catalog hadn't combined: lead()
+    // sequencing per user (one partitioning, deterministic (ts, event_id)
+    // order), then percent-of-total over an UNORDERED partition frame
+    // (the share-of-group window — every row sees its group's full sum,
+    // no ORDER BY). The matrix is |types|² rows whatever the event volume;
+    // probabilities are exact-int divisions, so the doubles can't drift.
+    QueryDef(
+      "e10_transition_matrix",
+      "First-order event-transition matrix: per-user lead() sequencing, (from, to) counts, conditional probability via a share-of-group window — 25 rows out at any event volume, exact-integer division",
+      Some("""
+        WITH seq AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS prob
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val share = Window.partitionBy(col("from_type"))
+      Tables.events(spark, dir)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(byUser).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(share)).as("prob"))
     })
 }

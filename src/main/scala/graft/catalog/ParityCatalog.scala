@@ -418,6 +418,42 @@ object ParityCatalog {
         .unionByName(heavy.except(light).withColumn("side", lit("heavy_only")))
     },
 
+    // ---- F7: FILTER-clause aggregates --------------------------------------
+    // The modern-SQL conditional-aggregation surface: several differently-
+    // filtered aggregates in ONE pass over the table — the report shape
+    // that otherwise becomes N self-joining subqueries. Spark has no
+    // FILTER clause on the DataFrame API; the translation is the
+    // when()-null calculus, and the null semantics must line up exactly:
+    // COUNT skips nulls (so count(when(cond,1)) ≡ COUNT FILTER), SUM of
+    // an all-null group is NULL on both engines (kept, not coalesced —
+    // pinning that equivalence is the point), count_distinct skips the
+    // nulls the when() injects. One hash aggregate, map-side partials.
+    QueryDef(
+      "f7_filtered_agg",
+      "FILTER-clause aggregates in one pass: plain/filtered counts, a filtered DECIMAL sum (NULL when the filter matches nothing — pinned, not coalesced), filtered count_distinct; the when()-null calculus as Spark's FILTER translation",
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_final,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                 AS big_spenders
+        FROM orders
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_final"),
+          sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(18,2)")))
+            .cast("double").as("total_final"),
+          count_distinct(when(col("o_totalprice") > 200000, col("o_custkey")))
+            .as("big_spenders"))
+    },
+
     // ---- Q6: forecasting revenue change (TPC-H Q6 shape) -------------------
     QueryDef(
       "q6_forecast_revenue",
