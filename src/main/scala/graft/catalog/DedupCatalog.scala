@@ -617,6 +617,50 @@ object DedupCatalog {
         .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
     },
 
+    // ---- B2: bloom runtime-filter join pruning -----------------------------
+    // b1's direction is anti-join (drop what the reference set contains);
+    // b2 is the SEMI direction — the runtime-filter pattern: a KB bloom
+    // over the dimension side's join keys prefilters the fact SCAN before
+    // the join, so rows that cannot match never enter the shuffle/probe.
+    // Semantically transparent by construction: a bloom "no" is definitive
+    // (those rows could never join) and false positives die in the real
+    // join — which is why the ORACLE is the PLAIN join, and the hash match
+    // proves the prefilter changed nothing. At 100 TB this is the
+    // difference between shuffling the fact table and dropping 90% of it
+    // at the scan; Spark's own runtime row-group filters cover simple
+    // equi-joins, but an explicit mergeable bloom composes with arbitrary
+    // downstream plans (and streams — see EventStreams.dropProbablySeen).
+    // The key hash is xxhash64: Spark-side only (the filter never reaches
+    // the output), so cross-engine md5 parity is not needed here.
+    QueryDef(
+      "b2_bloom_join_prune",
+      "Runtime-filter join pruning: KB bloom over the dim side's keys prefilters the fact scan before the join — false positives die in the join, so the oracle is the PLAIN join and the hash match proves transparency",
+      Some("""
+        SELECT s.s_nationkey,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_acctbal > 9000) s
+          ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val dim = Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") > 9000)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      // fixed-size filter collected once — KBs whatever the dim size
+      val bloom = dim
+        .agg(graft.functions.BloomBits.bloomBuild(
+          xxhash64(col("s_suppkey")), numBits = 1L << 17))
+        .head.getAs[Array[Byte]](0)
+      Tables.lineitem(spark, dir)
+        .filter(graft.functions.BloomBits.bloomMightContain(
+          lit(bloom), xxhash64(col("l_suppkey"))))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
     // ---- D6: canonical selection — keep the best doc per dup cluster ------
     // d1 answers "which docs are duplicates"; the pipeline's next question
     // is "which ONE do we keep". Rank each exact-dup cluster by the t2
