@@ -369,5 +369,91 @@ object SimilarityCatalog {
         .distinct()
       e.select(col("vec_id"), col("label"))
         .join(dropped, Seq("vec_id"), "left_anti")
+    },
+
+    // ---- S8: product-quantization encode + ADC search ----------------------
+    // The PQ CONTRACT oracle-gated (operators/PqIndex is the production
+    // mapPartitions path with KMeans codebooks; its float/RNG training
+    // can't hash-compare, so this entry states the machinery in the g3
+    // integer-exact posture): micro-unit coordinates, 4 subspaces × 16
+    // dims, SAMPLE codebooks (the 4 smallest vec_ids' subvectors — no
+    // training, codebook QUALITY is g3's concern), encode = per-subspace
+    // exact-integer argmin with (dist, cid) tiebreak, search = asymmetric
+    // distance: per-query KB tables of partial distances, a candidate
+    // costs 4 lookups + a sum over its CODES — the vectors are never
+    // touched at query time. One `dists` frame serves both encode and the
+    // query tables (queries are corpus vectors). Integer bounds: |q| ≤
+    // 1e6+ → diff² ≤ ~4e12, ×16 dims ×4 subs ≈ 2.6e14 « 2^63.
+    QueryDef(
+      "s8_pq_adc",
+      "Product quantization + ADC search, integer-exact: sample codebooks (4 smallest vec_ids), per-subspace argmin encode with deterministic tiebreaks, per-query partial-distance tables, top-5 by code lookups alone — the 32x-compression search path next to s2's IVF, oracle = the identical arithmetic unrolled",
+      Some("""
+        WITH qv AS (
+          SELECT vec_id,
+                 CAST((t.j - 1) // 16 AS INTEGER) AS sub, t.j AS j,
+                 CAST(round_even(CAST(embedding[t.j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+          FROM embeddings, unnest(range(1, 65)) AS t(j)),
+        cb AS (SELECT vec_id AS cid, sub, j, v AS cv FROM qv WHERE vec_id < 4),
+        dists AS (
+          SELECT a.vec_id, a.sub, c.cid,
+                 CAST(SUM((a.v - c.cv) * (a.v - c.cv)) AS BIGINT) AS dist
+          FROM qv a JOIN cb c ON a.sub = c.sub AND a.j = c.j
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, sub, cid AS code FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM dists) WHERE rn = 1),
+        qtab AS (
+          SELECT vec_id AS query_id, sub, cid, dist AS qdist
+          FROM dists WHERE vec_id BETWEEN 4 AND 11),
+        adc AS (
+          SELECT t.query_id, c.vec_id, CAST(SUM(t.qdist) AS BIGINT) AS adc_dist
+          FROM codes c JOIN qtab t ON c.sub = t.sub AND c.code = t.cid
+          GROUP BY 1, 2)
+        SELECT query_id, nn_rank, vec_id, adc_dist FROM (
+          SELECT query_id, vec_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, vec_id) AS nn_rank
+          FROM adc) WHERE nn_rank <= 5
+      """)) { (spark, dir) =>
+      val nSub = 4; val subDim = 16
+      val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("qv"))
+      val cb = q.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      // per-(vector, codebook-entry, subspace) exact integer distance: one
+      // zip_with/aggregate per subspace inside a 4-row broadcast cross join
+      def subDist(s: Int): Column = aggregate(
+        zip_with(slice(col("qv"), s * subDim + 1, subDim),
+          slice(col("cv"), s * subDim + 1, subDim),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val dists = q.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("cid"),
+          explode(array((0 until nSub).map(s =>
+            struct(lit(s).as("sub"), subDist(s).as("dist"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("cid"), col("e.dist").as("dist"))
+      // encode: min(struct(dist, cid)) is the (dist asc, cid asc) argmin —
+      // deterministic under ties, one aggregate instead of a ranked window
+      val codes = dists.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+      val qtab = dists.filter(col("vec_id").between(4, 11))
+        .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
+          col("cid"), col("dist").as("qdist"))
+      // ADC: 4 table lookups + a sum per (query, candidate) — over CODES,
+      // never vectors; qtab is 8 queries × 4 subs × 4 entries, broadcast
+      val adc = codes.join(broadcast(qtab),
+          col("sub") === col("qsub") && col("code") === col("cid"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qdist")).as("adc_dist"))
+      val best = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      adc.withColumn("nn_rank", row_number().over(best))
+        .filter(col("nn_rank") <= 5)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc_dist"))
     })
 }
