@@ -477,5 +477,42 @@ object AggWindowCatalog {
       seq.select(col("o_custkey"), (runMax - col("run_sum")).as("drawdown"))
         .groupBy(col("o_custkey"))
         .agg(max(col("drawdown")).cast("double").as("max_drawdown"))
+    },
+
+    // ---- W11: exact rolling 7-day uniques ----------------------------------
+    // Rolling WAU — distinct users over each trailing 7-day window. A
+    // windowed COUNT(DISTINCT) doesn't exist (neither engine supports it
+    // over frames, and per-frame distinct state is the scale trap anyway);
+    // the distributed statement is dedup-then-BOUNDED-fanout: reduce to
+    // distinct (day, user) pairs first (events → at most days×users rows),
+    // fan each pair to the ≤7 target days it can serve, and count distinct
+    // per target day. Fanout is a constant 7× of the DEDUPED stream, never
+    // of the event volume — at 100 TB the heavy dedup happens at full
+    // parallelism before any window-shaped work exists. Target days
+    // restricted to OBSERVED days so the tail doesn't invent empty dates.
+    QueryDef(
+      "w11_rolling_uniques",
+      "Exact trailing-7-day distinct users per observed day (rolling WAU): dedup to (day, user) first, bounded 7-way fanout to target days, two-phase distinct count — no per-frame distinct state, fanout scales with the deduped stream",
+      Some("""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        fan AS (
+          SELECT CAST(du.day + TO_DAYS(CAST(o.o AS INTEGER)) AS DATE) AS target_day,
+                 du.user_id
+          FROM du, unnest(range(0, 7)) AS o(o)),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT f.target_day AS day, COUNT(DISTINCT f.user_id) AS uniques_7d
+        FROM fan f JOIN days d ON f.target_day = d.day
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val du = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val fan = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(date_add(col("day"), col("o")).as("target_day"), col("user_id"))
+      val days = du.select(col("day")).distinct()
+      fan.join(broadcast(days), col("target_day") === col("day"))
+        .groupBy(col("target_day").as("day"))
+        .agg(count_distinct(col("user_id")).as("uniques_7d"))
     })
 }
