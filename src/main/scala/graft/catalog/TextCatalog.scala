@@ -551,6 +551,67 @@ object TextCatalog {
         .withColumn("kw_rank", row_number().over(best))
         .filter(col("kw_rank") <= 3)
         .select(col("doc_id"), col("kw_rank"), col("term"), col("tf"), col("score"))
+    },
+
+    // ---- T11: PMI co-occurrence statistics ----------------------------------
+    // The word2vec/GloVe-style corpus statistic: how much more often do two
+    // words appear within a ±2 window than independence predicts. Pair
+    // extraction is MAP-ONLY (pairs built inside the token array like
+    // shingling — no positional self-join), then one pair-keyed count, two
+    // broadcast unigram joins, and the PMI RATIO in pinned double order —
+    // rational like t8/t10's idf (no ln: the ratio orders identically and
+    // libm can't drift it). pair_n >= 5 bounds the output to the signal;
+    // at corpus scale this is the standard inverted co-occurrence shuffle,
+    // keyed on word pairs, with unigram tables broadcast (vocab-sized).
+    QueryDef(
+      "t11_pmi_cooccurrence",
+      "PMI co-occurrence (word2vec-style corpus stats): ordered word pairs within a +1/+2 window, map-only pair extraction, pair counts >= 5 with the independence ratio (pair_n*N)/(cnt_l*cnt_r) in pinned double order — rational PMI, no ln",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) AS total FROM t),
+        uni AS (
+          SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        pairs AS (
+          SELECT toks[i] AS left_tok, toks[i + o] AS right_tok, COUNT(*) AS pair_n
+          FROM t,
+               unnest(range(1, greatest(len(toks), 1))) AS u(i),
+               unnest(range(1, 3)) AS v(o)
+          WHERE i + o <= len(toks)
+          GROUP BY 1, 2)
+        SELECT p.left_tok, p.right_tok, p.pair_n,
+               (p.pair_n * 1.0 * n.total) / (l.cnt * 1.0 * r.cnt) AS pmi_ratio
+        FROM pairs p
+        JOIN uni l ON p.left_tok = l.tok
+        JOIN uni r ON p.right_tok = r.tok
+        CROSS JOIN n
+        WHERE p.pair_n >= 5
+      """)) { (spark, dir) =>
+      val t = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+      // pairs built INSIDE the array (flatten of per-position 1/2-offset
+      // slices) — map-only, no positional self-join, explode() emits
+      // nothing for docs shorter than the window
+      val pairs = t.select(explode(flatten(
+          transform(col("toks"), (x, i) =>
+            transform(slice(col("toks"), i + 2, lit(2)),
+              y => struct(x.as("left_tok"), y.as("right_tok")))))).as("p"))
+        .groupBy(col("p.left_tok").as("left_tok"), col("p.right_tok").as("right_tok"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= 5)
+      val uni = t.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = t.agg(sum(size(col("toks"))).cast("double")).head.getDouble(0)
+      pairs
+        .join(broadcast(uni.select(col("tok").as("left_tok"), col("cnt").as("lcnt"))),
+          Seq("left_tok"))
+        .join(broadcast(uni.select(col("tok").as("right_tok"), col("cnt").as("rcnt"))),
+          Seq("right_tok"))
+        .select(col("left_tok"), col("right_tok"), col("pair_n"),
+          ((col("pair_n") * lit(1.0) * lit(total))
+            / (col("lcnt") * lit(1.0) * col("rcnt"))).as("pmi_ratio"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
