@@ -21,11 +21,13 @@ class PlanLintSpec extends SparkSpec {
     * p2 (ILIKE exclusion anti-join against a broadcast pattern list),
     * s1 (query fan-out against a broadcast query set), x2 (broadcast band
     * join), x8 (ONE broadcast guard row carrying the in-engine invariant
-    * assertion onto the output). Everything else must be
-    * hash/sort-merge/broadcast-HASH only. */
+    * assertion onto the output), s8 (every candidate scores against the
+    * broadcast 4-entry PQ codebook — the fan-out IS the operator, and the
+    * broadcast side is fixed-size whatever the corpus). Everything else
+    * must be hash/sort-merge/broadcast-HASH only. */
   private val bnljByDesign = Set(
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
-    "x8_sequence_pack")
+    "x8_sequence_pack", "s8_pq_adc")
 
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
     val failures = Catalog.defs.flatMap { d =>
