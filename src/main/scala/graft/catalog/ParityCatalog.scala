@@ -770,6 +770,43 @@ object ParityCatalog {
           "lang", Seq("en", "es", "de", "fr"))))
     },
 
+    // ---- DQ2: day-over-day volume anomaly monitor ---------------------------
+    // The freshness/volume half of warehouse monitoring next to dq1's
+    // constraint battery (dbt source freshness / elementary-style volume
+    // tests): per-(type, day) ingest counts, the day-over-day ratio, and
+    // an anomaly flag when volume halves or doubles. The FLAG compares
+    // integers (n*2 < prev, n > prev*2) so no double threshold can flap;
+    // the ratio column is one double division from exact ints. One
+    // aggregate + one lag window over the aggregate's own day×type frame —
+    // monitoring cost is calendar-sized, never event-volume-sized.
+    QueryDef(
+      "dq2_volume_anomaly",
+      "Day-over-day ingest-volume monitor: per-(event_type, day) counts, lag ratio, halve/double anomaly flag via integer comparisons (flap-proof), calendar-sized output at any event volume",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, day, n,
+                 LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+          FROM daily)
+        SELECT event_type, day, n, prev_n,
+               CAST(n AS DOUBLE) / prev_n AS dod_ratio,
+               (n * 2 < prev_n OR n > prev_n * 2) AS anomaly
+        FROM seq WHERE prev_n IS NOT NULL
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(byType))
+        .filter(col("prev_n").isNotNull)
+        .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+          (col("n").cast("double") / col("prev_n")).as("dod_ratio"),
+          (col("n") * 2 < col("prev_n") || col("n") > col("prev_n") * 2).as("anomaly"))
+    },
+
     QueryDef(
       "i4_fieldwise_merge",
       "I4 (transaction_service.py:78-126 categorize_transaction, batched): get-or-create merge where master/source are assigned unconditionally, notes/validated/exclude update only when provided, created rows take defaults, touched rows get updated_at stamped — one full-outer join, the MERGE shape at scale",
