@@ -612,6 +612,79 @@ object TextCatalog {
         .select(col("left_tok"), col("right_tok"), col("pair_n"),
           ((col("pair_n") * lit(1.0) * lit(total))
             / (col("lcnt") * lit(1.0) * col("rcnt"))).as("pmi_ratio"))
+    },
+
+    // ---- T12: bigram-LM quality score (the CCNet/KenLM filter shape) -------
+    // Model-based quality filtering: train a bigram language model ON the
+    // corpus, score every document by how typical its token transitions are,
+    // gate on the score — the shape CCNet uses with a KenLM 5-gram model.
+    // Engine-exact posture (g1/g3): each transition probability
+    // p(b|a) = c(a,b)/c(a·) is quantized to integer MICRO-PROB units via
+    // truncating division (`div` ≡ DuckDB `//` on non-negatives), and the
+    // per-doc score is a SUM OF INTEGERS — commutative, so no double
+    // summation order and no ln() (libm's last ulp differs across engines;
+    // a mean quantized probability orders documents the same way mean log
+    // prob does for gating purposes). Scale shape: bigram extraction is
+    // map-only inside the token array (t11's trick — no positional
+    // self-join); the model is two pair/unigram-keyed aggregates; scoring
+    // re-keys the instance stream on the pair — at web scale that is the
+    // standard inverted co-occurrence shuffle, and the model join is
+    // shuffle-hash on (a,b) since a 5-gram table outgrows a broadcast.
+    // Docs with <2 tokens can't be scored: kept with n_bigrams=0, NULL
+    // mean, keep=false — accounted for, never silently dropped.
+    QueryDef(
+      "t12_bigram_lm_score",
+      "Bigram-LM quality filter (CCNet/KenLM shape): corpus-trained transition model, per-doc mean transition probability in integer micro-prob units (truncating division, commutative integer sums — no ln, no double order), keep gate at 34500",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        bi AS (
+          SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+          FROM t, unnest(range(1, len(toks))) AS u(i)),
+        pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+        uc AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+        q AS (SELECT pc.a, pc.b, (pc.c_ab * 1000000) // uc.c_a AS q
+              FROM pc JOIN uc USING (a)),
+        d AS (
+          SELECT bi.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q.q) AS BIGINT) AS score_sum
+          FROM bi JOIN q ON bi.a = q.a AND bi.b = q.b
+          GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(d.score_sum, 0) AS BIGINT) AS score_sum,
+               CASE WHEN d.n_bigrams > 0 THEN d.score_sum // d.n_bigrams END AS mean_micro,
+               COALESCE(d.score_sum // d.n_bigrams >= 34500, FALSE) AS keep
+        FROM t LEFT JOIN d USING (doc_id)
+      """)) { (spark, dir) =>
+      val t = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+      // bigram instances built INSIDE the array (map-only): position i pairs
+      // with i+1 via a 1-slice, like t11's windowed pairs at offset 1 only
+      val bi = t.select(col("doc_id"), explode(flatten(
+          transform(col("toks"), (x, i) =>
+            transform(slice(col("toks"), i + 2, lit(1)),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val pc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val uc = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      // `div` = Spark's truncating integral division ≡ DuckDB `//` on
+      // non-negative longs (the g3 idiom) — only reachable via SQL expr
+      val q = pc.join(uc, Seq("a"))
+        .select(col("a"), col("b"),
+          expr("(c_ab * CAST(1000000 AS BIGINT)) div c_a").as("q"))
+      val d = bi.join(q, Seq("a", "b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("score_sum"))
+      t.select(col("doc_id"))
+        .join(d, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+          when(col("n_bigrams") > 0,
+            expr("score_sum div n_bigrams")).as("mean_micro"),
+          coalesce(expr("score_sum div n_bigrams") >= 34500,
+            lit(false)).as("keep"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
