@@ -967,6 +967,67 @@ object ExtensionCatalog {
             .cast("double").as("total"))
     },
 
+    // ---- I8: full ANSI MERGE matrix ----------------------------------------
+    // The nightly warehouse statement (Delta/Iceberg MERGE INTO incl. the
+    // SQL:2023 NOT MATCHED BY SOURCE arm) as one operator
+    // (operators/MergeInto): matched+cancel → DELETE, matched → UPDATE,
+    // source-only → INSERT, target-only+stale → DELETE, target-only → keep
+    // byte-unchanged. Completes the incremental family: i2 is the matrix
+    // with update+insert only, i4 fixes the update rule per-field, i6 is
+    // tombstone-driven deletes; here all five arms carry caller conditions.
+    // Target/source are deterministic slices of orders so every arm is
+    // populated (mod-4 existing state, mod-3 change batch, mod-5 cancels,
+    // mod-7 stale evictions). The oracle states the matrix as the full-outer
+    // CASE calculus — the portable form — so the hash match proves the
+    // operator IS that calculus. One key exchange end-to-end; bucketed
+    // tables make it exchange-free (the i5 posture).
+    QueryDef(
+      "i8_merge_matrix",
+      "Full ANSI MERGE action matrix in one full-outer pass: matched-and-condition DELETE, matched UPDATE, not-matched INSERT, not-matched-by-source-and-condition DELETE, else keep — oracle is the equivalent CASE calculus",
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, o_orderstatus AS status,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'C' ELSE 'U' END AS status,
+                 CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(50.00 AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                      THEN s.status
+                    WHEN t.o_orderkey IS NULL THEN s.status
+                    ELSE t.status END AS status,
+               CAST(CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                           THEN s.price
+                         WHEN t.o_orderkey IS NULL THEN s.price
+                         ELSE t.price END AS DOUBLE) AS price
+        FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                 AND s.status <> 'C')
+           OR t.o_orderkey IS NULL
+           OR (s.o_orderkey IS NULL AND t.o_orderkey % 7 <> 0)
+      """)) { (spark, dir) =>
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(D).as("price"))
+      val target = base.filter(col("o_orderkey") % 4 =!= 0)
+      val source = base.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "C").otherwise("U").as("status"),
+          (col("price") + lit(BigDecimal("50.00")).cast(D)).cast(D).as("price"))
+      graft.operators.MergeInto(
+        target, source, keys = Seq("o_orderkey"),
+        matchedDelete = col("s_status") === "C",
+        matchedUpdate = Map(
+          "status" -> col("s_status"),
+          "price" -> col("s_price")),
+        staleDelete = col("o_orderkey") % 7 === 0)
+        .withColumn("price", col("price").cast("double"))
+    },
+
     // ---- K3: mergeable HLL sketches --------------------------------------
     // Hash-gated via the k1 technique (round-5 verdict #4): sketch BYTES and
     // estimates are engine-specific, so the output carries the exact merged
