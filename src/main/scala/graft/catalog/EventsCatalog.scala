@@ -301,5 +301,43 @@ object EventsCatalog {
         .agg(count(lit(1)).as("n"))
         .select(col("from_type"), col("to_type"), col("n"),
           (col("n").cast("double") / sum(col("n")).over(share)).as("prob"))
+    },
+
+    // ---- E11: batch twin of the LEFT-OUTER stream-stream interval join -----
+    // e4's inner join answers "which purchases preceded this click"; the
+    // left-outer form answers the attribution question warehouses actually
+    // ask — "which clicks CONVERTED, and which did not" — unmatched clicks
+    // survive with null purchase columns. In the streaming twin
+    // (EventStreams.clickPurchaseLeftOuter, EventStreamsSpec) the null row
+    // can only be emitted once the click-side watermark proves no matching
+    // purchase can still arrive — the outer-join-needs-watermark rule —
+    // making this the canonical "late data vs completeness" operator. Batch
+    // shape: the identical range condition, one user-keyed exchange; the
+    // null fraction is the unconverted-click rate at any scale.
+    QueryDef(
+      "e11_interval_left_outer",
+      "Left-outer stream-stream interval join, batch twin: every click kept, same-user purchases within the preceding day attached, unconverted clicks emit null purchase columns (the watermark-gated null emission of the streaming form)",
+      Some("""
+        SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts,
+               p.value AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts <= c.ts
+         AND p.ts >= c.ts - INTERVAL 24 HOURS
+      """)) { (spark, dir) =>
+      val events = Tables.events(spark, dir)
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("value").as("purchase_value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id")
+            && col("p_ts") <= col("c_ts")
+            && col("p_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS"),
+          "left_outer")
+        .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
+          col("purchase_value"))
     })
 }

@@ -266,4 +266,34 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
         col("purchase_value"))
   }
+
+  /** LEFT-OUTER stream-stream interval join: every click is emitted —
+    * matched clicks immediately with their purchase columns, unmatched
+    * clicks with NULLs, but only once the watermark proves no matching
+    * purchase can still arrive (a click at t can match purchases up to t,
+    * so its null row is releasable when the purchase-side watermark passes
+    * t). This is why Structured Streaming REQUIRES the watermark + event
+    * time range condition for outer joins: without the bound, "no match"
+    * is never final. State stays O(lag window) exactly as in the inner
+    * form; the null rows are the unconverted-click stream that attribution
+    * pipelines aggregate. Batch twin: `e11_interval_left_outer`. */
+  def clickPurchaseLeftOuter(
+      events: DataFrame,
+      maxLagSeconds: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("p_ts") <= col("c_ts")
+        && col("p_ts") >= col("c_ts") - expr(s"INTERVAL $maxLagSeconds SECONDS"),
+      "left_outer")
+      .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
+        col("purchase_value"))
+  }
 }

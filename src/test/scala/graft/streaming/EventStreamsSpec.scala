@@ -97,6 +97,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits the null row only after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.clickPurchaseLeftOuter(events, maxLagSeconds = 3600)
+      .writeStream.format("memory").queryName("ssleftjoin")
+      .outputMode("append").start()
+    def emitted() = spark.table("ssleftjoin")
+      .select("event_id", "user_id", "purchase_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 09:30:00"), 1L, "purchase", 10.0),
+        (5L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),    // converted
+        (6L, ts("2024-01-01 10:00:00"), 3L, "click", 0.0))    // never converts
+      q.processAllAvailable()
+      // the matched row streams out immediately; the unmatched click CANNOT
+      // — "no purchase arrived" is not final until the watermark says so
+      assert(emitted() == Set((5L, 1L, Some(10.0))))
+      // advance BOTH sides' event time to 14:00 → watermark 12:00 > click
+      // time, so click 6's no-match verdict becomes final
+      input.addData(
+        (7L, ts("2024-01-01 14:00:00"), 9L, "purchase", 99.0),
+        (8L, ts("2024-01-01 14:00:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+      // null emission happens in a batch AFTER the watermark advance commits
+      input.addData((9L, ts("2024-01-01 14:05:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+      // clicks 8/9 sit above the watermark and stay buffered in state —
+      // completeness is only ever claimed BEHIND the watermark
+      assert(emitted() == Set((5L, 1L, Some(10.0)), (6L, 3L, None)))
+    } finally q.stop()
+  }
+
   test("slidingCounts places each event in its 4 overlapping hour windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
