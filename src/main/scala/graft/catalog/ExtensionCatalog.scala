@@ -1543,6 +1543,84 @@ object ExtensionCatalog {
       graphScores.getOrElseUpdate((spark, dir, "g4"),
         graft.operators.LabelPropagation.propagate(
           tradeGraphEdges(spark, dir), "src", "dst", LpaIters))
+    },
+
+    // ---- G5: cluster-quality evaluation -------------------------------------
+    // The eval metric that closes the clustering loop ("did g3's clusters
+    // actually separate?") — a Davies-Bouldin-style cohesion/separation
+    // report in the SAME integer-exact posture: a fresh assignment of every
+    // point against g3's FINAL centroids (one broadcast join + argmin, k·|pts|
+    // distance rows), then per-cluster exact sums of d2-to-own and
+    // min-d2-to-other. Per-point d2_other >= d2_own by construction (argmin),
+    // so the SIGNAL is the ratio: sep_ratio_micro = (Σ other · 1e6) div
+    // Σ own, in DECIMAL(38)/HUGEINT wide-integer arithmetic — the micro-unit
+    // squared sums cross 2^63 at ~50 k points/cluster, so a raw BIGINT sum
+    // is exactly the overflow class the sf0.5/sf2.0 gates exist to catch.
+    // Shares the memoized g3 fit — evaluation costs one pass, not a refit.
+    QueryDef(
+      "g5_cluster_eval",
+      "Cluster-quality evaluation of g3's k-means: fresh final-centroid assignment, per-cluster exact integer cohesion (sum d2 to own centroid) vs separation (sum min d2 to other centroids) and their micro-unit ratio — wide-integer arithmetic, oracle extends the unrolled Lloyd rounds with the eval layers",
+      Some(kmeansOracle(KmK, KmIters, finalSelect = Some(s""",
+      dists AS MATERIALIZED (
+        SELECT p.vec_id, c.cid, SUM((p.v - c.cval) * (p.v - c.cval)) AS d2
+        FROM pq p JOIN c$KmIters c ON p.pos = c.pos
+        GROUP BY 1, 2),
+      own AS (
+        SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      other AS (
+        SELECT d.vec_id, MIN(d.d2) AS d2o
+        FROM dists d JOIN own o ON d.vec_id = o.vec_id AND d.cid <> o.cid
+        GROUP BY 1)
+      SELECT o.cid AS cluster_id,
+             COUNT(*) AS n_points,
+             CAST(SUM(o.d2) // COUNT(*) AS BIGINT) AS mean_own_d2,
+             CAST(SUM(t.d2o) // COUNT(*) AS BIGINT) AS mean_other_d2,
+             CAST(SUM(t.d2o) * 1000000 // NULLIF(SUM(o.d2), 0) AS BIGINT)
+               AS sep_ratio_micro
+      FROM own o JOIN other t ON o.vec_id = t.vec_id
+      GROUP BY 1"""))))  { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = graphScores.getOrElseUpdate((spark, dir, "g3"), {
+        val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
+        graft.operators.KMeansQuantized.fit(pts, KmK, KmIters)
+      })
+      val pe = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            x => bround(x.cast("double") * lit(1e6), 0).cast("long")))
+            .as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
+      val dists = pe.join(
+          broadcast(cents.select(col("cluster_id").as("cid"), col("pos"),
+            col("centroid_q").as("cval"))), "pos")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
+      val own = dists
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+      val other = dists.join(
+          own.select(col("vec_id"), col("cid").as("own_cid")), "vec_id")
+        .filter(col("cid") =!= col("own_cid"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2o"))
+      val D38 = "decimal(38,0)"
+      own.join(other, "vec_id")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("d2").cast(D38)).as("sown"),
+          sum(col("d2o").cast(D38)).as("soth"))
+        .select(col("cid").as("cluster_id"), col("n_points"),
+          expr("CAST(sown div n_points AS BIGINT)").as("mean_own_d2"),
+          expr("CAST(soth div n_points AS BIGINT)").as("mean_other_d2"),
+          expr("CAST((soth * CAST(1000000 AS DECIMAL(38,0))) div nullif(sown, CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("sep_ratio_micro"))
     })
 
 
@@ -1673,7 +1751,8 @@ object ExtensionCatalog {
     * LEFT JOIN + COALESCE so empty clusters keep coordinates. `//` and
     * Spark's `div` both truncate toward zero, so negative coordinate
     * means agree. MATERIALIZED per the g1/g2 inlining lesson. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int,
+      finalSelect: Option[String] = None): String = {
     val layers = (1 to iters).map { i =>
       s"""a$i AS MATERIALIZED (
         SELECT vec_id, cid FROM (
@@ -1705,9 +1784,10 @@ object ExtensionCatalog {
         SELECT i.cid, p.pos, p.v AS cval FROM pq p JOIN init_ids i USING (vec_id)),
       $layers,
       sizes AS (SELECT cid, COUNT(*) AS n_points FROM a$iters GROUP BY 1)
+      ${finalSelect.getOrElse(s"""
       SELECT c.cid AS cluster_id, c.pos, c.cval AS centroid_q,
              CAST(COALESCE(z.n_points, 0) AS BIGINT) AS n_points
-      FROM c$iters c LEFT JOIN sizes z ON c.cid = z.cid
+      FROM c$iters c LEFT JOIN sizes z ON c.cid = z.cid""")}
     """
   }
 }
