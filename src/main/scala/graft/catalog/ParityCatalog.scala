@@ -18,6 +18,20 @@ object ParityCatalog {
   private val predCol = "CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 THEN event_type END"
   private val confCol = "CAST(json_extract_string(props, '$.k') AS INTEGER) / 100.0"
 
+  /** dq3's profiled columns — one list drives BOTH the Spark call and the
+    * generated oracle UNION ALL. Declared before `all` (object init order). */
+  private final val Dq3Cols =
+    Seq("event_id", "user_id", "event_type", "value_c", "props")
+
+  private def dq3ColSql(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT($c) AS n_nulls,
+               ((COUNT(*) - COUNT($c)) * 1000000) // COUNT(*) AS null_frac_micro,
+               COUNT(DISTINCT $c) AS n_distinct,
+               MIN(CAST($c AS VARCHAR)) AS min_str,
+               MAX(CAST($c AS VARCHAR)) AS max_str
+        FROM src"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- P3: coalesce fallback chain --------------------------------------
@@ -805,6 +819,35 @@ object ParityCatalog {
         .select(col("event_type"), col("day"), col("n"), col("prev_n"),
           (col("n").cast("double") / col("prev_n")).as("dod_ratio"),
           (col("n") * 2 < col("prev_n") || col("n") > col("prev_n") * 2).as("anomaly"))
+    },
+
+    // ---- DQ3: one-pass column profiler --------------------------------------
+    // The third leg of the data-quality family (operators/Profiler): dq1
+    // answers "do declared constraints hold", dq2 "did volume move", dq3
+    // "what IS this feed" — the Deequ/ANALYZE-style per-column statistics
+    // battery (rows, nulls, micro-unit null fraction, exact distincts,
+    // lexicographic min/max) computed for ALL columns in ONE aggregate over
+    // ONE scan; the multi-distinct is Spark's standard one-Expand plan and
+    // the output is columns-sized. The double `value` column is profiled
+    // through cent quantization (floor(v*100+.5) — the a14 probe idiom) so
+    // every rendered cell is engine-stable; min/max compare STRING
+    // renderings, identical lexicographic order on both engines. The oracle
+    // is the portable per-column UNION ALL — generated from the same column
+    // list, so the two sides can't drift.
+    QueryDef(
+      "dq3_column_profile",
+      "One-pass column profiler (Deequ/ANALYZE shape): per-column rows/nulls/null-fraction-micro/exact-distincts/lexicographic min-max for five events columns in one aggregate pass, doubles cent-quantized for render stability",
+      Some(s"""
+        WITH src AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
+          FROM events)
+        ${Dq3Cols.map(dq3ColSql).mkString("\n        UNION ALL\n        ")}
+      """)) { (spark, dir) =>
+      val src = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
+      graft.operators.Profiler.profile(src, Dq3Cols)
     },
 
     QueryDef(

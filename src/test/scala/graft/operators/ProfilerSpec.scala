@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), None),
+      (3L, None, Some(10L)),
+      (4L, Some("a"), Some(30L))).toDF("id", "s", "v")
+  }
+
+  test("exact profile: counts, null fraction, distincts, lexicographic min/max") {
+    val out = Profiler.profile(sample, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "s", "v"))
+    val s = out("s")
+    assert(s.getLong(1) == 4L)            // n_rows
+    assert(s.getLong(2) == 1L)            // n_nulls
+    assert(s.getLong(3) == 250000L)       // 1/4 in micro units
+    assert(s.getLong(4) == 2L)            // distinct non-null {a, b}
+    assert(s.getString(5) == "a" && s.getString(6) == "b")
+    val v = out("v")
+    assert(v.getLong(4) == 2L)            // {10, 30}
+    assert(v.getString(5) == "10" && v.getString(6) == "30")
+    assert(out("id").getLong(2) == 0L && out("id").getLong(3) == 0L)
+  }
+
+  test("approx twin matches the exact shape and lands near exact distincts") {
+    val exact = Profiler.profile(sample, Seq("id", "s"))
+    val approx = Profiler.profileApprox(sample, Seq("id", "s"))
+    assert(approx.columns.sameElements(exact.columns))
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // default HLL rsd is 5%; on 4-row cardinalities the estimate is exact
+    assert(e == a)
+  }
+
+  test("unknown and empty column lists are rejected") {
+    intercept[IllegalArgumentException] { Profiler.profile(sample, Seq("nope")) }
+    intercept[IllegalArgumentException] { Profiler.profile(sample, Seq.empty) }
+  }
+}
