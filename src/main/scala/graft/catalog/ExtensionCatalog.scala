@@ -1583,29 +1583,8 @@ object ExtensionCatalog {
                AS sep_ratio_micro
       FROM own o JOIN other t ON o.vec_id = t.vec_id
       GROUP BY 1"""))))  { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val cents = graphScores.getOrElseUpdate((spark, dir, "g3"), {
-        val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
-          transform(col("embedding"),
-            x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
-        graft.operators.KMeansQuantized.fit(pts, KmK, KmIters)
-      })
-      val pe = Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          posexplode(transform(col("embedding"),
-            x => bround(x.cast("double") * lit(1e6), 0).cast("long")))
-            .as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
-      val dists = pe.join(
-          broadcast(cents.select(col("cluster_id").as("cid"), col("pos"),
-            col("centroid_q").as("cval"))), "pos")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
-      val own = dists
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"))
+      val dists = kmDists(spark, dir)
+      val own = kmOwn(spark, dir)
       val other = dists.join(
           own.select(col("vec_id"), col("cid").as("own_cid")), "vec_id")
         .filter(col("cid") =!= col("own_cid"))
@@ -1621,6 +1600,73 @@ object ExtensionCatalog {
           expr("CAST(soth div n_points AS BIGINT)").as("mean_other_d2"),
           expr("CAST((soth * CAST(1000000 AS DECIMAL(38,0))) div nullif(sown, CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
             .as("sep_ratio_micro"))
+    },
+
+    // ---- S9: cell-blocked k-NN join -----------------------------------------
+    // The SET-TO-SET form of similarity search (the kNN-join operator of the
+    // ANN literature — every s1–s8 entry answers one query vector; training
+    // pipelines ask "for EACH of these vectors, its k neighbors": semantic
+    // dedup seeds, hard-negative mining, label propagation over embeddings).
+    // Statement, in the s8 contract style: queries = every 20th vec_id;
+    // candidates = vectors sharing the query's k-means cell (g3's FINAL
+    // centroids, integer-exact assignment via kmOwn); within the cell,
+    // exact integer L2² over micro-unit coords (one zip_with/aggregate HOF
+    // per pair — map-side after the cell join), top-3 per query with
+    // vec_id tiebreaks, self excluded. Scale shape: the pair fan-out is
+    // blocked BY CELL — Σ|queries∩cell|·|cell| pairs, never |Q|·|N| — and
+    // the join is one exchange keyed on cell id; finer cells (larger k)
+    // trade recall for fan-out exactly like IVF nProbe. The oracle extends
+    // the unrolled Lloyd rounds with the same assignment + pair layers, so
+    // the entire approximate-search CONTRACT is hash-matched.
+    QueryDef(
+      "s9_knn_join",
+      "Cell-blocked k-NN join over the embeddings: every 20th vector joined to its k-means cell (integer-exact final-centroid assignment), exact micro-unit L2² per in-cell pair, top-3 neighbors per query with deterministic tiebreaks; oracle extends the unrolled Lloyd rounds",
+      Some(kmeansOracle(KmK, KmIters, finalSelect = Some(s""",
+      dists AS MATERIALIZED (
+        SELECT p.vec_id, c.cid, SUM((p.v - c.cval) * (p.v - c.cval)) AS d2
+        FROM pq p JOIN c$KmIters c ON p.pos = c.pos
+        GROUP BY 1, 2),
+      own AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS nn_vec_id,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM own q
+        JOIN own c ON q.cid = c.cid AND c.vec_id <> q.vec_id
+        JOIN pq a ON a.vec_id = q.vec_id
+        JOIN pq b ON b.vec_id = c.vec_id AND b.pos = a.pos
+        WHERE q.vec_id % 20 = 0
+        GROUP BY 1, 2)
+      SELECT q_vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_vec_id,
+             CAST(d2 AS BIGINT) AS d2
+      FROM (SELECT q_vec_id, nn_vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                      ORDER BY d2, nn_vec_id) AS nn_rank
+            FROM pairs)
+      WHERE nn_rank <= 3"""))))  { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val assign = kmOwn(spark, dir).select(col("vec_id"), col("cid"))
+      val vecs = kmQuantized(spark, dir)
+      val queries = assign.filter(col("vec_id") % 20 === 0)
+        .join(vecs, "vec_id")
+        .select(col("vec_id").as("q_vec_id"), col("cid"), col("q").as("qv"))
+      val cands = assign.join(vecs, "vec_id")
+        .select(col("vec_id").as("nn_vec_id"), col("cid"), col("q").as("cv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z)
+      queries.join(cands, "cid")
+        .filter(col("q_vec_id") =!= col("nn_vec_id"))
+        .select(col("q_vec_id"), col("nn_vec_id"), d2.as("d2"))
+        .withColumn("nn_rank", row_number().over(
+          Window.partitionBy(col("q_vec_id")).orderBy(col("d2"), col("nn_vec_id")))
+          .cast("long"))
+        .filter(col("nn_rank") <= 3)
+        .select(col("q_vec_id"), col("nn_rank"), col("nn_vec_id"), col("d2"))
     })
 
 
@@ -1751,6 +1797,39 @@ object ExtensionCatalog {
     * LEFT JOIN + COALESCE so empty clusters keep coordinates. `//` and
     * Spark's `div` both truncate toward zero, so negative coordinate
     * means agree. MATERIALIZED per the g1/g2 inlining lesson. */
+  /** The g3/g5/s9 shared layers: micro-unit quantized embeddings, the
+    * memoized k-means fit, per-(point, centroid) exact distances against
+    * the FINAL centroids, and the argmin assignment. All plans (cheap to
+    * rebuild); only the fit itself — the iterative part — is memoized. */
+  private def kmQuantized(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
+
+  private def kmCentroids(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graphScores.getOrElseUpdate((spark, dir, "g3"),
+      graft.operators.KMeansQuantized.fit(kmQuantized(spark, dir), KmK, KmIters))
+
+  private def kmDists(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pe = kmQuantized(spark, dir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
+    pe.join(
+        broadcast(kmCentroids(spark, dir).select(col("cluster_id").as("cid"),
+          col("pos"), col("centroid_q").as("cval"))), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
+  }
+
+  private def kmOwn(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    kmDists(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+  }
+
   private def kmeansOracle(k: Int, iters: Int,
       finalSelect: Option[String] = None): String = {
     val layers = (1 to iters).map { i =>
