@@ -667,7 +667,11 @@ object TextCatalog {
               y => struct(x.as("a"), y.as("b")))))).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       val pc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-      val uc = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      // c(a·) = Σ_b c(a,b): roll the PAIR table up instead of re-scanning
+      // the instance stream — the second aggregate runs over vocab²-sized
+      // counts, not token-volume-sized instances (and Catalyst reuses pc's
+      // exchange: a is a prefix of (a, b))
+      val uc = pc.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
       // `div` = Spark's truncating integral division ≡ DuckDB `//` on
       // non-negative longs (the g3 idiom) — only reachable via SQL expr
       val q = pc.join(uc, Seq("a"))
