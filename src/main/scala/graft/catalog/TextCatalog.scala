@@ -53,13 +53,27 @@ object TextCatalog {
       graft.operators.BpeLearn.learn(wc, BpeMerges)
     })
 
-  val all: Seq[QueryDef] = Seq(
+  /** t1's scorer, shared with t13's evaluation: per-doc stopword hits per
+    * language + the deterministic argmax chain. Map-only projection. */
+  private def langPredicted(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    t.select(col("doc_id"),
+        hits(col("toks"), "en").as("en_hits"),
+        hits(col("toks"), "es").as("es_hits"),
+        hits(col("toks"), "de").as("de_hits"),
+        hits(col("toks"), "fr").as("fr_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+          && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+  }
 
-    // ---- T1: language identification --------------------------------------
-    QueryDef(
-      "t1_language_id",
-      "North-star text analysis: stopword-hit language scoring with deterministic argmax chain",
-      Some(s"""
+  /** t1's oracle subquery (scored + argmax), shared with t13's oracle. */
+  private def langPredictedSql: String = s"""
         SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
                CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
                     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
@@ -70,21 +84,15 @@ object TextCatalog {
                      ${hitsSql("es")} AS es_hits,
                      ${hitsSql("de")} AS de_hits,
                      ${hitsSql("fr")} AS fr_hits
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
-      """)) { (spark, dir) =>
-      val t = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("toks"))
-      val scored = t.select(col("doc_id"),
-        hits(col("toks"), "en").as("en_hits"),
-        hits(col("toks"), "es").as("es_hits"),
-        hits(col("toks"), "de").as("de_hits"),
-        hits(col("toks"), "fr").as("fr_hits"))
-      scored.withColumn("predicted_lang",
-        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
-          && col("en_hits") >= col("fr_hits"), "en")
-          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
-          .when(col("de_hits") >= col("fr_hits"), "de")
-          .otherwise("fr"))
-    },
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- T1: language identification --------------------------------------
+    QueryDef(
+      "t1_language_id",
+      "North-star text analysis: stopword-hit language scoring with deterministic argmax chain",
+      Some(langPredictedSql)) { (spark, dir) => langPredicted(spark, dir) },
 
     // ---- T2: quality scoring ----------------------------------------------
     QueryDef(
@@ -689,6 +697,45 @@ object TextCatalog {
             expr("score_sum div n_bigrams")).as("mean_micro"),
           coalesce(expr("score_sum div n_bigrams") >= 34500,
             lit(false)).as("keep"))
+    },
+
+    // ---- T13: language-ID confusion matrix ----------------------------------
+    // The classifier-eval counterpart to g5's clustering eval: score t1's
+    // language predictions against the fixture's `lang` ground truth as a
+    // full confusion matrix — (true, predicted) counts plus an integer
+    // micro-unit share of each true class (the per-class recall on the
+    // diagonal), via the e10 share-of-group window in exact arithmetic.
+    // This is how eval runs AT corpus scale: the heavy part is t1's
+    // map-only scoring scan; the matrix itself is one |langs|²-bounded
+    // aggregate, so "evaluate the classifier on 100 TB" costs one pass.
+    // Shares t1's scorer verbatim (one helper drives both entries and both
+    // oracles — the two sides cannot drift).
+    QueryDef(
+      "t13_langid_confusion",
+      "Language-ID evaluation: t1's predictions vs the lang ground-truth column as a confusion matrix — (true, predicted, n) plus integer micro-unit share-of-true-class (diagonal = per-class recall); |langs|^2-bounded output at any corpus size",
+      Some(s"""
+        WITH pred AS ($langPredictedSql),
+        cm AS (
+          SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*) AS n
+          FROM documents d JOIN pred p USING (doc_id)
+          GROUP BY 1, 2)
+        SELECT true_lang, predicted_lang, n,
+               CAST((n * 1000000) // SUM(n) OVER (PARTITION BY true_lang) AS BIGINT)
+                 AS share_micro
+        FROM cm
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val truth = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val cm = truth
+        .join(langPredicted(spark, dir).select(col("doc_id"), col("predicted_lang")),
+          "doc_id")
+        .groupBy(col("true_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+      cm.withColumn("total",
+          sum(col("n")).over(Window.partitionBy(col("true_lang"))))
+        .select(col("true_lang"), col("predicted_lang"), col("n"),
+          expr("(n * CAST(1000000 AS BIGINT)) div total").as("share_micro"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
