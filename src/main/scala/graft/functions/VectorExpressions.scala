@@ -71,9 +71,80 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native exact integer squared L2 distance over two `array<long>` — the
+  * hot pair loop of the quantized similarity operators (s9's cell-blocked
+  * k-NN join). Same motivation as [[FloatVectorDot]]: the composable
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)` runs as
+  * interpreted lambdas and allocates a 64-element array PER PAIR — at
+  * millions of in-cell pairs that is the whole query cost (observed 50 s →
+  * 6 s at sf1.0). Exact long arithmetic, identical to the HOF fold and to
+  * DuckDB's per-position `SUM((a.v-b.v)*(a.v-b.v))`, so hash parity is
+  * untouched. Overflow envelope: same as the operators' micro-unit
+  * contract — d·(2·max|q|)² must fit a long.
+  */
+case class LongVectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def prettyName: String = "long_vector_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatVectorDot]]. */
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[LongVectorSqDist]]. */
+  def sqDistL(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVectorSqDist(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

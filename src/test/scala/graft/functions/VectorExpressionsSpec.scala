@@ -23,6 +23,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("sqDistL equals the integer HOF fold exactly, incl. negatives and nulls") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i, Array.fill(64)(rng.nextInt(2000001).toLong - 1000000L),
+        Array.fill(64)(rng.nextInt(2000001).toLong - 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val cmp = df.select(
+      VectorExpressions.sqDistL(col("a"), col("b")).as("native"), hof.as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+    val withNull = Seq(
+      (Some(Array(1L, 2L)), Some(Array(4L, 0L))),
+      (None, Some(Array(1L)))).toDF("a", "b")
+      .select(VectorExpressions.sqDistL(col("a"), col("b")).as("d"))
+      .collect()
+    assert(withNull(0).getLong(0) == 13L) // 3² + 2²
+    assert(withNull(1).isNullAt(0))
+    intercept[Exception] {
+      Seq((Array(1.0), Array(2.0))).toDF("a", "b")
+        .select(VectorExpressions.sqDistL(col("a"), col("b"))).collect()
+    }
+  }
+
   test("null propagation and type checking") {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
