@@ -514,5 +514,49 @@ object AggWindowCatalog {
       fan.join(broadcast(days), col("target_day") === col("day"))
         .groupBy(col("target_day").as("day"))
         .agg(count_distinct(col("user_id")).as("uniques_7d"))
+    },
+
+    // ---- W12: recency-decayed engagement score ------------------------------
+    // The feature-engineering staple no plain window expresses: a per-user
+    // engagement score where yesterday counts half of today — recommender /
+    // churn features, exponential-decay counters. A true running EWMA is
+    // sequential per key (each step divides the previous), which neither
+    // engine can hash-compare in doubles; the ENGINE-EXACT statement is the
+    // closed form: each event contributes value_cents div 2^days_ago —
+    // per-element truncating integer halving, so every contribution is an
+    // independent pure function of the row and the integer SUM is
+    // commutative (no order, no doubles). The anchor day is one fixed-size
+    // reduction embedded as a literal (the t8 stats posture); 2^d is exact
+    // in double to 2^53, days capped at 40 where contributions are long
+    // since zero. Map-only per event + one user-keyed aggregate.
+    QueryDef(
+      "w12_decayed_engagement",
+      "Recency-decayed per-user engagement: each event contributes floor(cents / 2^days_before_anchor) — exact integer halving per day of age, commutative sums, anchor = max event day embedded as a literal; map-only + one keyed aggregate",
+      Some("""
+        WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+        c AS (
+          SELECT user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   // CAST(power(2, LEAST(datediff('day', CAST(ts AS DATE), anchor.d0), 40)) AS BIGINT)
+                   AS contrib,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events CROSS JOIN anchor)
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(contrib) AS BIGINT) AS decayed_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM c GROUP BY 1
+      """)) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val d0 = e.agg(max(to_date(col("ts")))).head.getDate(0)
+      val days = least(datediff(lit(d0), to_date(col("ts"))), lit(40))
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      e.select(col("user_id"), cents.as("cents"),
+          pow(lit(2.0), days).cast("long").as("pow2"))
+        .select(col("user_id"), col("cents"),
+          expr("cents div pow2").as("contrib"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("contrib")).as("decayed_cents"),
+          sum(col("cents")).as("total_cents"))
     })
 }

@@ -1680,6 +1680,47 @@ object ExtensionCatalog {
           .cast("long"))
         .filter(col("nn_rank") <= 3)
         .select(col("q_vec_id"), col("nn_rank"), col("nn_vec_id"), col("d2"))
+    },
+
+    // ---- X13: rendezvous-hash shard assignment ------------------------------
+    // The ELASTIC counterpart to x7's fixed md5-mod sharding: rendezvous /
+    // highest-random-weight hashing (Thaler & Ravishankar '96, the scheme
+    // behind consistent cache/shard routing) — each key goes to the shard
+    // with the highest md5(key#shard) weight. The property that matters at
+    // 100 TB: removing a shard moves ONLY the keys that shard owned (~1/n
+    // of data), where mod-hashing reshuffles nearly everything. Stated
+    // verifiably: assignment under 8 shards and under 7, plus the moved
+    // flag — every moved row's shard8 is the removed shard, visible in the
+    // hash-matched output. Map-only: the per-key argmax runs INSIDE one
+    // array expression (bounded 8-struct array, struct max = weight then
+    // shard id), no unnest shuffle on the Spark side at any key volume.
+    QueryDef(
+      "x13_rendezvous_shard",
+      "Rendezvous (highest-random-weight) sharding: per-key argmax of md5(key#shard) under 8 shards and under 7, moved flag — removing a shard relocates only its ~1/8 of keys (mod-hash reshuffles all); map-only bounded-array argmax",
+      Some("""
+        WITH sc AS (
+          SELECT o_orderkey AS k, u.s,
+                 md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(u.s AS VARCHAR)) AS h
+          FROM orders, unnest(range(0, 8)) AS u(s)),
+        a8 AS (SELECT k, arg_max(s, h) AS shard8 FROM sc GROUP BY k),
+        a7 AS (SELECT k, arg_max(s, h) AS shard7 FROM sc WHERE s < 7 GROUP BY k)
+        SELECT a8.k AS o_orderkey,
+               CAST(a8.shard8 AS BIGINT) AS shard8,
+               CAST(a7.shard7 AS BIGINT) AS shard7,
+               a8.shard8 <> a7.shard7 AS moved
+        FROM a8 JOIN a7 ON a8.k = a7.k
+      """)) { (spark, dir) =>
+      def assignTo(n: Int) = array_max(
+        transform(sequence(lit(0), lit(n - 1)),
+          s => struct(
+            md5(concat(col("o_orderkey").cast("string"), lit("#"),
+              s.cast("string"))).as("h"),
+            s.cast("long").as("s"))))
+        .getField("s")
+      Tables.orders(spark, dir).select(
+          col("o_orderkey"),
+          assignTo(8).as("shard8"), assignTo(7).as("shard7"))
+        .withColumn("moved", col("shard8") =!= col("shard7"))
     })
 
 

@@ -850,6 +850,43 @@ object ParityCatalog {
       graft.operators.Profiler.profile(src, Dq3Cols)
     },
 
+    // ---- DQ4: Benford leading-digit audit -----------------------------------
+    // The forensic-accounting screen (Benford's law: organically-generated
+    // amounts lead with 1 ~30% of the time; fabricated or truncated feeds
+    // don't) as the fourth data-quality leg: leading digit of each positive
+    // order amount in cents, counts, and integer micro-unit shares. The
+    // digit comes from the BIGINT's string rendering — identical plain-digit
+    // text on both engines (the dq3 min/max argument) — so no log10/power
+    // arithmetic is anywhere near the hash. One map-only projection + one
+    // 9-row aggregate; the observed-vs-expected judgment stays with the
+    // analyst (the expected curve needs ln, which engines render
+    // differently — the OBSERVED distribution is the exact artifact).
+    QueryDef(
+      "dq4_benford_digits",
+      "Benford leading-digit audit over order amounts: first digit of the cent-quantized value via its string rendering, per-digit counts and integer micro-unit shares — map-only + one 9-row aggregate at any scale",
+      Some("""
+        WITH c AS (
+          SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS lead_digit
+          FROM orders WHERE o_totalprice > 0),
+        n AS (SELECT COUNT(*) AS total FROM c)
+        SELECT lead_digit, COUNT(*) AS n,
+               CAST((COUNT(*) * 1000000) // n.total AS BIGINT) AS share_micro
+        FROM c CROSS JOIN n
+        GROUP BY lead_digit, n.total
+      """)) { (spark, dir) =>
+      val c = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+          1, 1).as("lead_digit"))
+      val total = c.count()
+      c.groupBy(col("lead_digit"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lead_digit"), col("n"),
+          expr(s"(n * CAST(1000000 AS BIGINT)) div ${total}L").as("share_micro"))
+    },
+
     QueryDef(
       "i4_fieldwise_merge",
       "I4 (transaction_service.py:78-126 categorize_transaction, batched): get-or-create merge where master/source are assigned unconditionally, notes/validated/exclude update only when provided, created rows take defaults, touched rows get updated_at stamped — one full-outer join, the MERGE shape at scale",
