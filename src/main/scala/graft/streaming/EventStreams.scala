@@ -296,4 +296,69 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
         col("purchase_value"))
   }
+
+  /** Per-user lifetime running stats via Spark 4's `transformWithState` —
+    * the successor API to `mapGroupsWithState` (SPARK-46815, "arbitrary
+    * stateful processing v2") and the modern statement of the custom-state
+    * operator family: typed composable state handles (value/list/map) with
+    * per-state TTL, timers, and schema evolution, instead of one opaque
+    * GroupState blob. Here: a `ValueState[UserStats]` accumulates each
+    * user's event count / value total / last-seen micros across
+    * micro-batches and emits the updated row per key per batch — the
+    * online feature-store shape (w12's decayed score is the batch twin of
+    * exactly this accumulator). State is one fixed-size row per user,
+    * RocksDB-backed (transformWithState REQUIRES the RocksDB provider —
+    * [[rocksDbStateStoreConfigs]]), so memory is off-heap and checkpoint
+    * uploads are changelog-sized. */
+  def userLifetimeStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val outEnc: Encoder[UserStatsRow] = Encoders.product[UserStatsRow]
+    implicit val inEnc: Encoder[UserEventIn] = Encoders.product[UserEventIn]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val typed: Dataset[UserEventIn] = events
+      .select(col("user_id"), col("value"),
+        // NTZ fixtures pass through the session-UTC timestamp cast; a long
+        // can't be cast from NTZ directly
+        col("ts").cast("timestamp").cast("long").as("ts_s"))
+      .as[UserEventIn]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new UserLifetimeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+}
+
+final case class UserEventIn(user_id: Long, value: Double, ts_s: Long)
+final case class UserStats(n: Long, total: Double, lastSeenS: Long)
+final case class UserStatsRow(user_id: Long, n_events: Long, total_value: Double,
+    last_seen_s: Long)
+
+/** The stateful core of [[EventStreams.userLifetimeStats]]: one
+  * `ValueState` handle per user holding the running accumulator. TTL is
+  * `NONE` (lifetime stats; with `TimeMode.ProcessingTime` the same handle
+  * takes a `TTLConfig(Duration)` and idle users age out — the state-eviction
+  * knob `mapGroupsWithState` never had per-state). */
+class UserLifetimeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEventIn, UserStatsRow] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[UserStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStats](
+      "userStats", Encoders.product[UserStats], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[UserEventIn],
+      timerValues: TimerValues): Iterator[UserStatsRow] = {
+    var acc = Option(state.get()).getOrElse(UserStats(0L, 0.0, Long.MinValue))
+    rows.foreach { r =>
+      acc = UserStats(acc.n + 1, acc.total + r.value, math.max(acc.lastSeenS, r.ts_s))
+    }
+    state.update(acc)
+    Iterator.single(UserStatsRow(key, acc.n, acc.total, acc.lastSeenS))
+  }
 }

@@ -259,6 +259,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState accumulates per-user lifetime stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState REQUIRES the RocksDB provider — same posture swap
+    val previous = EventStreams.rocksDbStateStoreConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val events = input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreams.userLifetimeStats(events)
+        .writeStream.format("memory").queryName("tws_stats")
+        .outputMode("update").start()
+      def latest() = spark.table("tws_stats")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).maxBy(_._1)).toMap // latest batch = max n
+      try {
+        input.addData(
+          (1L, ts("2024-01-01 10:00:00"), 1L, "click", 2.0),
+          (2L, ts("2024-01-01 11:00:00"), 1L, "purchase", 3.0),
+          (3L, ts("2024-01-01 10:30:00"), 2L, "click", 5.0))
+        q.processAllAvailable()
+        assert(latest()(1L) == ((2L, 5.0, ts("2024-01-01 11:00:00").getTime / 1000)))
+        // second micro-batch: state carries over, count/total accumulate,
+        // last-seen is the max even when the new event is older
+        input.addData((4L, ts("2024-01-01 10:45:00"), 1L, "click", 10.0))
+        q.processAllAvailable()
+        assert(latest()(1L) == ((3L, 15.0, ts("2024-01-01 11:00:00").getTime / 1000)))
+        assert(latest()(2L) == ((1L, 5.0, ts("2024-01-01 10:30:00").getTime / 1000)))
+      } finally q.stop()
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dropProbablySeen filters a stream against a static corpus bloom, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
