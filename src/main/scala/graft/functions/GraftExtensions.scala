@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   * }}}
   *
-  * Registered: `float_vector_dot(a, b)`, `word_shingles(text, n)`,
+  * Registered: `float_vector_dot(a, b)`, `long_vector_sqdist(a, b)`,
+  * `word_shingles(text, n)`,
   * `minhash_signature(shingles)` (the default 9-seed banding config of
   * `graft.catalog.DedupCatalog`), `simhash_signature(tokens)`,
   * `hashed_word_shingles(text, n)`, `pair_candidates(docs[, num, den])`.
@@ -24,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatVectorDot)
+    ext.injectFunction(GraftExtensions.longVectorSqDist)
     ext.injectFunction(GraftExtensions.wordShingles)
     ext.injectFunction(GraftExtensions.minhashSignature)
     ext.injectFunction(GraftExtensions.simhashSignature)
@@ -57,6 +59,14 @@ object GraftExtensions {
     {
       case Seq(a, b) => FloatVectorDot(a, b)
       case _ => badArity("float_vector_dot", "2")
+    })
+
+  val longVectorSqDist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("long_vector_sqdist"),
+    info("long_vector_sqdist", "_FUNC_(a, b) - exact integer squared L2 distance of two bigint vectors"),
+    {
+      case Seq(a, b) => LongVectorSqDist(a, b)
+      case _ => badArity("long_vector_sqdist", "2")
     })
 
   val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -19,6 +19,11 @@ class GraftExtensionsSpec extends SparkSpec {
         "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head.getDouble(0)
     assert(dot == 11.0)
 
+    val sq = spark.sql(
+      "SELECT long_vector_sqdist(array(CAST(1 AS BIGINT), CAST(5 AS BIGINT)), " +
+        "array(CAST(4 AS BIGINT), CAST(3 AS BIGINT))) AS d").head.getLong(0)
+    assert(sq == 13L) // 3² + 2²
+
     val sh = spark.sql("SELECT word_shingles('a b c d') AS s").head.getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
 
