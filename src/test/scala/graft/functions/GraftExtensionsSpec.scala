@@ -5,7 +5,8 @@ import graft.SparkSpec
 class GraftExtensionsSpec extends SparkSpec {
 
   private def register(): Unit =
-    Seq(GraftExtensions.floatVectorDot, GraftExtensions.wordShingles,
+    Seq(GraftExtensions.floatVectorDot, GraftExtensions.longVectorSqDist,
+        GraftExtensions.wordShingles,
         GraftExtensions.minhashSignature, GraftExtensions.simhashSignature,
         GraftExtensions.hashedWordShingles, GraftExtensions.pairCandidates)
       .foreach { case (id, info, builder) =>
