@@ -183,10 +183,16 @@ object Bench {
     val failures = results.valuesIterator.count(_ < 0)
     val walls = runs.map(_._1).mkString("[", ",", "]")
     val loads = runs.map(_._2).mkString("[", ",", "]")
+    // A run with ANY failed query has no comparable wall: erroring queries
+    // cost ~0 s, so the total reads as a phantom speedup (round-7 lesson —
+    // 26 failures made a broken round look 1.8× faster). Emit value:null
+    // so a consumer reading only metric/value is FORCED to handle the
+    // invalid-run case; the failure count and per-query data still ship.
+    val headline = if (failures > 0) "null" else wall.toString
     val summary =
-      s"""{"metric":"total","value":$wall,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
     val full =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
     // full-suite record with an n=1 artifact (and a typo'd filter would
     // silently persist n=0): targeted runs only write when the caller
