@@ -46,6 +46,20 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.relationships(child, "c", "fk", parent, "pk")) == 1)
   }
 
+  test("observed() rides the main action: counters without a second scan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, None, 30L), (3L, Some("c"), 20L))
+      .toDF("id", "s", "v")
+    val (instrumented, obs) = DataQuality.observed(df, Seq("s"), rangeCol = Some("v"))
+    // the caller's OWN action — the metrics ride along, no extra job
+    assert(instrumented.filter($"v" >= 20).count() == 2)
+    val m = obs.get
+    assert(m("n_rows") == 3L)        // observed on the FULL pass, pre-filter
+    assert(m("nulls_s") == 1L)
+    assert(m("min_v") == 10L && m("max_v") == 30L)
+  }
+
   test("report unions checks; passes() gates on zero total") {
     val clean = Seq(1, 2, 3).toDF("k")
     val dirty = Seq(1, 1).toDF("k")
