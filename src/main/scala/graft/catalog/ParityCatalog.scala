@@ -519,6 +519,48 @@ object ParityCatalog {
         (col("c_mktsegment") <=> nullif(col("c_mktsegment"), lit("BUILDING"))).as("nullsafe_self"))
     },
 
+    // ---- F8: error-safe arithmetic (the try_* surface) ----------------------
+    // The ANSI-safety contract a 10-hour 100 TB job lives by: a malformed
+    // record must become a NULL, never a task failure that kills the stage
+    // after the 4th retry. Spark's `try_cast`/`try_divide`/`try_add` are
+    // the engine statement; the oracle states the IDENTICAL results
+    // portably (TRY_CAST + NULLIF-guarded division + a pre-checked
+    // overflow add), so the hash match pins the semantics: unparseable
+    // string → NULL, x/0 → NULL (not Inf, not error), long-overflow add →
+    // NULL (not wraparound). Inputs are deterministic malformations of
+    // events: event_type is never numeric, every 5th k is a zero
+    // denominator, and near-Long.MAX addends overflow on every 3rd row.
+    QueryDef(
+      "f8_try_semantics",
+      "Error-safe arithmetic surface: try_cast of non-numeric strings, try_divide with zero denominators, try_add at Long.MAX overflow — all NULL not error/Inf/wraparound, hash-pinned against the portable guarded form",
+      Some("""
+        WITH src AS (
+          SELECT event_id, event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+        SELECT event_id,
+               TRY_CAST(event_type AS BIGINT) AS parsed,
+               TRY_CAST('42' AS BIGINT) AS parsed_ok,
+               CAST(k AS DOUBLE) / NULLIF(k % 5, 0) AS ratio,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    WHEN event_id % 3 = 1 THEN 9223372036854775807
+                    ELSE 9223372036854775806 END AS near_max_sum
+        FROM src
+      """)) { (spark, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(spark, dir)
+        .withColumn("k", k)
+        .select(col("event_id"),
+          expr("try_cast(event_type AS BIGINT)").as("parsed"),
+          expr("try_cast('42' AS BIGINT)").as("parsed_ok"),
+          expr("try_divide(CAST(k AS DOUBLE), k % 5)").as("ratio"),
+          // overflows (→ NULL) exactly on event_id % 3 == 0: (MAX-1) + 2;
+          // the other branches land at MAX and MAX-1 — stated as literals
+          // in the oracle, so wraparound or Inf would hash-mismatch
+          expr("try_add(9223372036854775806L, 2L - (event_id % 3))")
+            .as("near_max_sum"))
+    },
+
     // ---- M9: calibration-curve binning ------------------------------------
     QueryDef(
       "m9_calibration_bins",
