@@ -197,6 +197,51 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val previous = EventStreams.rocksDbStateStoreConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val latest = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+    def start() = EventStreams.userLifetimeStats(events)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("user_id", "n_events", "total_value").collect().foreach { r =>
+          latest.put(r.getLong(0), (r.getLong(1), r.getDouble(2)))
+        }
+      }
+      .start()
+    try {
+      val q1 = start()
+      try {
+        input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "click", 2.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(latest.get(1L) == ((1L, 2.0)))
+
+      // restart on the SAME checkpoint: the ValueState row must be
+      // recovered from RocksDB, so the accumulator continues at n=2
+      val q2 = start()
+      try {
+        input.addData((2L, ts("2024-01-01 11:00:00"), 1L, "click", 3.0))
+        q2.processAllAvailable()
+        assert(latest.get(1L) == ((2L, 5.0)), s"state not recovered: $latest")
+      } finally q2.stop()
+    } finally {
+      graft.finance.ops.FileTrees.delete(java.nio.file.Paths.get(ckpt))
+      previous.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("enrichWithCustomers broadcasts the static dim into each micro-batch, left-outer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
