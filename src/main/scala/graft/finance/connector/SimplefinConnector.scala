@@ -134,50 +134,11 @@ object SimplefinConnector {
           "Payment required (402). The SimpleFIN service may require payment.")
         if (status >= 400) throw HttpError(status, s"HTTP $status")
 
-        val json = JsonMethods.parse(body)
-        json \ "errors" match {
-          case JArray(errs) =>
-            errs.collect { case JString(m) => errors += sanitizeError(m) }
-          case _ =>
-        }
-        for {
-          JArray(accounts) <- Seq(json \ "accounts")
-          account <- accounts
-        } {
-          val org = account \ "org"
-          val institution = str(org \ "name").getOrElse("Unknown")
-          val txns = account \ "transactions" match {
-            case JArray(ts) => ts
-            case _ => Nil
-          }
-          var added = 0
-          txns.foreach { t =>
-            val id = str(t \ "id").orNull
-            if (id != null && !seen.contains(id)) {
-              seen += id
-              val posted = long(t \ "posted")
-              val transactedAt = long(t \ "transacted_at")
-              rows += Row(
-                id,
-                str(account \ "id").orNull,
-                str(account \ "name").orNull,
-                str(org \ "domain").orNull,
-                institution,
-                str(t \ "amount").map(new java.math.BigDecimal(_)).orNull,
-                posted.map(java.lang.Long.valueOf).orNull,
-                posted.map(epochDate).orNull,
-                transactedAt.map(java.lang.Long.valueOf).orNull,
-                transactedAt.map(epochDate).orNull,
-                str(t \ "description").orNull,
-                java.lang.Boolean.valueOf(bool(t \ "pending").getOrElse(false)),
-                jsonText(t \ "extra"),
-                importTimestamp,
-                importDate)
-              added += 1
-            }
-          }
-          if (added > 0) okInstitutions += institution
-        }
+        val (chunkRows, chunkErrs, chunkInstitutions) =
+          parseChunk(body, seen, importTimestamp, importDate)
+        rows ++= chunkRows
+        errors ++= chunkErrs
+        okInstitutions ++= chunkInstitutions
       } catch {
         case HttpError(st, m) if st == 402 || st == 403 => throw HttpError(st, m) // surface immediately
         case e: Exception =>
@@ -186,6 +147,67 @@ object SimplefinConnector {
       }
     }
     FetchResult(rows.toSeq, errors.toSeq, okInstitutions.toSet, failedChunks)
+  }
+
+  /** One chunk body → (raw rows, sanitized API errors, institutions that
+    * contributed rows). `seen` dedups transaction ids — fetchAll passes one
+    * set across chunks (the reference's in-flight dedup); the DSv2 source
+    * (`graft.sources.SimplefinTableProvider`) passes a per-chunk set and
+    * leaves cross-chunk dedup to the warehouse's W1 latest-dedup, which a
+    * parallel reader can't share state for. */
+  def parseChunk(
+      body: String,
+      seen: mutable.Set[String],
+      importTimestamp: String,
+      importDate: String): (Seq[Row], Seq[String], Set[String]) = {
+    val rows = mutable.ArrayBuffer[Row]()
+    val errors = mutable.ArrayBuffer[String]()
+    val okInstitutions = mutable.Set[String]()
+    val json = JsonMethods.parse(body)
+    json \ "errors" match {
+      case JArray(errs) =>
+        errs.collect { case JString(m) => errors += sanitizeError(m) }
+      case _ =>
+    }
+    for {
+      JArray(accounts) <- Seq(json \ "accounts")
+      account <- accounts
+    } {
+      val org = account \ "org"
+      val institution = str(org \ "name").getOrElse("Unknown")
+      val txns = account \ "transactions" match {
+        case JArray(ts) => ts
+        case _ => Nil
+      }
+      var added = 0
+      txns.foreach { t =>
+        val id = str(t \ "id").orNull
+        if (id != null && !seen.contains(id)) {
+          seen += id
+          val posted = long(t \ "posted")
+          val transactedAt = long(t \ "transacted_at")
+          rows += Row(
+            id,
+            str(account \ "id").orNull,
+            str(account \ "name").orNull,
+            str(org \ "domain").orNull,
+            institution,
+            str(t \ "amount").map(new java.math.BigDecimal(_)).orNull,
+            posted.map(java.lang.Long.valueOf).orNull,
+            posted.map(epochDate).orNull,
+            transactedAt.map(java.lang.Long.valueOf).orNull,
+            transactedAt.map(epochDate).orNull,
+            str(t \ "description").orNull,
+            java.lang.Boolean.valueOf(bool(t \ "pending").getOrElse(false)),
+            jsonText(t \ "extra"),
+            importTimestamp,
+            importDate)
+          added += 1
+        }
+      }
+      if (added > 0) okInstitutions += institution
+    }
+    (rows.toSeq, errors.toSeq, okInstitutions.toSet)
   }
 
   /** S3: the flattened rows as a raw-schema DataFrame ready for append. */
