@@ -339,5 +339,47 @@ object EventsCatalog {
           "left_outer")
         .select(col("event_id"), col("user_id"), col("c_ts"), col("p_ts"),
           col("purchase_value"))
+    },
+
+    // ---- E12: native session_window ----------------------------------------
+    // e3 states 30-min-gap sessions portably (lag + running sum of session
+    // starts — two window passes); this is the ENGINE-NATIVE statement:
+    // Spark's `session_window(ts, gap)` computes dynamic-width sessions in
+    // ONE aggregate (MergingSessionsExec — sessions merge as rows arrive,
+    // no windowed prepass), and it is the exact operator the streaming
+    // sessionizer uses with a watermark. The oracle IS the portable
+    // islands formulation, so the hash match proves the native operator's
+    // semantics: a session spans [first event, last event + gap), two
+    // events share a session iff chained by gaps < 30 min. One shuffle on
+    // user_id either way — but the native form aggregates in a single
+    // pass, which at 100 TB replaces two full window sorts.
+    QueryDef(
+      "e12_session_window_native",
+      "Native session_window sessions (one-pass MergingSessions aggregate) hash-proven equal to the portable lag/cumsum islands form: per (user, session) start, end = last event + 30 min gap, event count",
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        <= INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        islands AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, sid
+      """)) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
     })
 }
