@@ -141,6 +141,48 @@ object JoinCatalog {
         .select(o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_mktsegment"))
     },
 
+    // ---- J6: THE serving read join, through Serving.servingJoin ----------
+    // j4 gates the join SHAPE; this entry gates the actual serving-layer
+    // function (`transaction_service.py:14-17`): predictions view LEFT
+    // JOIN live user_categories overrides, overrides renamed uc_* so the
+    // view-mode predicates can tell live validation from modeled columns.
+    // Orders plays fct_trxns_with_predictions; the sparse override side is
+    // the k%7=3 slice (most transactions have no user row — exactly the
+    // reference's cardinality regime).
+    QueryDef(
+      "j6_serving_read_join",
+      "SURVEY §2.3 J6 serving read join via Serving.servingJoin (transaction_service.py:14-17): predictions LEFT JOIN sparse user_categories overrides, uc_* renames",
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey AS transaction_id,
+                 o_totalprice AS amount,
+                 o_orderstatus AS predicted_master_category
+          FROM orders),
+        uc AS (
+          SELECT o_orderkey AS transaction_id,
+                 o_orderstatus = 'F' AS validated,
+                 o_orderpriority AS master_category,
+                 CAST(o_custkey AS VARCHAR) AS notes
+          FROM orders WHERE o_orderkey % 7 = 3)
+        SELECT t.transaction_id, t.amount, t.predicted_master_category,
+               uc.validated AS uc_validated,
+               uc.master_category AS uc_master_category,
+               uc.notes AS uc_notes
+        FROM t LEFT OUTER JOIN uc USING (transaction_id)
+      """)) { (spark, dir) =>
+      val orders = Tables.orders(spark, dir)
+      val withPredictions = orders.select(
+        col("o_orderkey").as("transaction_id"),
+        col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("predicted_master_category"))
+      val userCategories = orders.filter(col("o_orderkey") % 7 === 3).select(
+        col("o_orderkey").as("transaction_id"),
+        (col("o_orderstatus") === "F").as("validated"),
+        col("o_orderpriority").as("master_category"),
+        col("o_custkey").cast("string").as("notes"))
+      graft.finance.Serving.servingJoin(withPredictions, userCategories)
+    },
+
     // ---- J7: latest-import self-join via window max ----------------------
     QueryDef(
       "j7_latest_import_rows",

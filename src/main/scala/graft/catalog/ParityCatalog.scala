@@ -32,6 +32,20 @@ object ParityCatalog {
                MAX(CAST($c AS VARCHAR)) AS max_str
         FROM src"""
 
+  /** dq5's per-column oracle arm: dq3's exact battery plus the literal
+    * TRUE the in-row HLL error-bound boolean must evaluate to (k1
+    * posture — the estimate is engine-specific, its accuracy contract
+    * is not). */
+  private def dq5ColSql(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT($c) AS n_nulls,
+               ((COUNT(*) - COUNT($c)) * 1000000) // COUNT(*) AS null_frac_micro,
+               COUNT(DISTINCT $c) AS n_distinct,
+               TRUE AS nd_in_bounds,
+               MIN(CAST($c AS VARCHAR)) AS min_str,
+               MAX(CAST($c AS VARCHAR)) AS max_str
+        FROM src"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- P3: coalesce fallback chain --------------------------------------
@@ -618,6 +632,63 @@ object ParityCatalog {
         .na.fill(0L, Seq("n_train", "n_test"))
     },
 
+    // ---- M10: threshold → UNCERTAIN scoring, as pure oracle arithmetic ----
+    // The predict path's decision calculus (classifier_predict.py:126-135)
+    // stated over a synthetic 3-class probability table derived from the
+    // events JSON k (0..99): probs = [k/100, (100-k)/200, (100-k)/200]
+    // (sums to 1). Exercises all three arms — confident class-1 (k>=40
+    // with argmax 1), confident class-2 (k<=33: positions 2,3 tie and
+    // BOTH engines take the FIRST max), and the UNCERTAIN band
+    // (34<=k<=39: max 0.34..0.39 < 0.40). Runs the REAL
+    // CategoryClassifier.thresholdLabel/confidenceOf columns, the exact
+    // expressions score() puts over the model's probability vector.
+    QueryDef(
+      "m10_threshold_scoring",
+      "SURVEY §2.10 M10 (classifier_predict.py:126-135): max class probability below the 0.40 threshold → literal UNCERTAIN, else label at the first argmax; confidence as DECIMAL(6,4) of the max probability",
+      Some("""
+        WITH p AS (
+          SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        pr AS (
+          SELECT event_id,
+                 [CAST(k AS DOUBLE) / 100.0,
+                  CAST(100 - k AS DOUBLE) / 200.0,
+                  CAST(100 - k AS DOUBLE) / 200.0] AS probs
+          FROM p)
+        SELECT event_id,
+               CASE WHEN list_max(probs) < 0.40 THEN 'UNCERTAIN'
+                    ELSE ['CAT_A','CAT_B','CAT_C'][list_position(probs, list_max(probs))]
+               END AS predicted_master_category,
+               CAST(CAST(list_max(probs) AS DECIMAL(6,4)) AS DOUBLE)
+                 AS prediction_confidence
+        FROM pr
+      """)) { (spark, dir) =>
+      import graft.finance.ml.CategoryClassifier
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val probs = array(
+        k.cast("double") / lit(100.0),
+        (lit(100) - k).cast("double") / lit(200.0),
+        (lit(100) - k).cast("double") / lit(200.0))
+      // first-occurrence argmax on both engines (array_position /
+      // list_position), so the 2-3 tie resolves identically
+      val labelExpr = element_at(
+        array(lit("CAT_A"), lit("CAT_B"), lit("CAT_C")),
+        array_position(probs, array_max(probs)).cast("int"))
+      Tables.events(spark, dir)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(
+          col("event_id"),
+          CategoryClassifier.thresholdLabel(probs, labelExpr, 0.40)
+            .as("predicted_master_category"),
+          // the DECIMAL(6,4) quantization is the gated arithmetic; the final
+          // double cast is only the catalog's render convention (decimal vs
+          // float dtypes never strict-compare across engines)
+          CategoryClassifier.confidenceOf(probs).cast("double")
+            .as("prediction_confidence"))
+    },
+
     // ---- K1/K2: sketch aggregates (north-star; SURVEY §2.4 note) ----------
     // No oracle: HLL++ and quantile-sketch internals differ across engines,
     // so the driver records the rows-only check. Exactness is bounded by
@@ -890,6 +961,31 @@ object ParityCatalog {
         col("event_id"), col("user_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
       graft.operators.Profiler.profile(src, Dq3Cols)
+    },
+
+    // ---- DQ5: the profiler's SKETCH path, oracle-gated ----------------------
+    // dq3 gates the exact Expand form; this entry gates the form you'd run
+    // at 100 TB — HLL distincts instead of the N-way Expand
+    // (Profiler.profileApprox). HLL internals differ across engines, so the
+    // gateable shape (round-5 verdict #4, the k1 technique) computes BOTH in
+    // one aggregate and emits exact columns value-strict plus an in-row
+    // boolean that the estimate lands within 3·rsd of exact; the pure
+    // no-Expand plan is profileApprox itself, spec-gated (ProfilerSpec) and
+    // timed next to the exact form in BENCH.md.
+    QueryDef(
+      "dq5_profile_approx_gated",
+      "One-pass profiler, sketch path (Profiler.profileApproxGated): exact counts/nulls/min-max hash-strict plus an in-row |HLL-exact| <= 3*rsd*exact bound boolean over the same five events columns",
+      Some(s"""
+        WITH src AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
+          FROM events)
+        ${Dq3Cols.map(dq5ColSql).mkString("\n        UNION ALL\n        ")}
+      """)) { (spark, dir) =>
+      val src = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
+      graft.operators.Profiler.profileApproxGated(src, Dq3Cols)
     },
 
     // ---- DQ4: Benford leading-digit audit -----------------------------------

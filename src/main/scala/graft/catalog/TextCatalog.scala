@@ -554,7 +554,11 @@ object TextCatalog {
       val score = col("tf") * ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val best = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(dfT), Seq("term"))
+      // No broadcast hint on the df table: it is vocabulary-sized, fine to
+      // broadcast at fixture scale (AQE picks that itself) but billions of
+      // rows at web-corpus vocabulary — a forced hint there is an OOM where
+      // the un-hinted plan degrades gracefully to a shuffle join.
+      tf.join(dfT, Seq("term"))
         .withColumn("score", score)
         .withColumn("kw_rank", row_number().over(best))
         .filter(col("kw_rank") <= 3)
@@ -570,7 +574,8 @@ object TextCatalog {
     // rational like t8/t10's idf (no ln: the ratio orders identically and
     // libm can't drift it). pair_n >= 5 bounds the output to the signal;
     // at corpus scale this is the standard inverted co-occurrence shuffle,
-    // keyed on word pairs, with unigram tables broadcast (vocab-sized).
+    // keyed on word pairs; the vocab-sized unigram joins are left un-hinted
+    // so AQE broadcasts them only while they actually fit.
     QueryDef(
       "t11_pmi_cooccurrence",
       "PMI co-occurrence (word2vec-style corpus stats): ordered word pairs within a +1/+2 window, map-only pair extraction, pair counts >= 5 with the independence ratio (pair_n*N)/(cnt_l*cnt_r) in pinned double order — rational PMI, no ln",
@@ -612,10 +617,14 @@ object TextCatalog {
       val uni = t.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = t.agg(sum(size(col("toks"))).cast("double")).head.getDouble(0)
+      // Unigram joins un-hinted for the same reason as t10's df table: the
+      // unigram count table is vocabulary-sized — AQE broadcasts it at any
+      // TPC-H sf, but a web corpus' distinct-token table must be allowed to
+      // fall back to a shuffle join.
       pairs
-        .join(broadcast(uni.select(col("tok").as("left_tok"), col("cnt").as("lcnt"))),
+        .join(uni.select(col("tok").as("left_tok"), col("cnt").as("lcnt")),
           Seq("left_tok"))
-        .join(broadcast(uni.select(col("tok").as("right_tok"), col("cnt").as("rcnt"))),
+        .join(uni.select(col("tok").as("right_tok"), col("cnt").as("rcnt")),
           Seq("right_tok"))
         .select(col("left_tok"), col("right_tok"), col("pair_n"),
           ((col("pair_n") * lit(1.0) * lit(total))

@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature._
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,21 @@ object CategoryClassifier {
       "recall_macro" -> row.getDouble(2))
   }
 
+  /** The pure M10 decision arithmetic (`classifier_predict.py:126-135`),
+    * factored out of [[score]] so the oracle gate (m10_threshold_scoring)
+    * can state it over a synthetic probability table: max class
+    * probability below the threshold → literal 'UNCERTAIN', otherwise the
+    * label the caller's `labelExpr` selects. */
+  def thresholdLabel(
+      probs: Column, labelExpr: Column, confidenceThreshold: Double): Column =
+    when(array_max(probs) < confidenceThreshold, lit("UNCERTAIN"))
+      .otherwise(labelExpr)
+
+  /** M10's confidence column: the max class probability in DECIMAL(6,4)
+    * (the reference's NUMERIC(5,4)-shaped rendering). */
+  def confidenceOf(probs: Column): Column =
+    array_max(probs).cast("decimal(6,4)")
+
   /** M10: score with confidence threshold — max class probability below the
     * threshold → literal 'UNCERTAIN' (`classifier_predict.py:109-146`). */
   def score(
@@ -203,9 +218,9 @@ object CategoryClassifier {
       array(labels.map(lit): _*), col("_prediction").cast("int") + 1)
     scored.select(
       col("transaction_id"),
-      when(array_max(probs) < confidenceThreshold, lit("UNCERTAIN"))
-        .otherwise(labelExpr).as("predicted_master_category"),
-      array_max(probs).cast("decimal(6,4)").as("prediction_confidence"),
+      thresholdLabel(probs, labelExpr, confidenceThreshold)
+        .as("predicted_master_category"),
+      confidenceOf(probs).as("prediction_confidence"),
       lit(modelVersion).as("model_version"),
       current_timestamp().as("prediction_timestamp"))
   }

@@ -18,11 +18,21 @@ import org.apache.spark.sql.types._
   * double accumulation of `(double)a(i) * (double)b(i)` — bit-identical to
   * both the HOF fold and DuckDB's `list_sum(list_transform(...))`, which is
   * what keeps cosine scores hash-comparable against the oracle.
+  *
+  * Mismatch/null semantics also mirror the HOF fold exactly: `zip_with`
+  * pads the shorter array with nulls and a null element poisons the
+  * aggregate sum, so a length mismatch or any null element yields NULL —
+  * this expression does the same (it does NOT silently truncate to the
+  * shorter length or read nulls as 0).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // a well-typed non-null input pair can still produce NULL (length
+  // mismatch / null element)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -41,10 +51,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,12 +69,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -81,11 +98,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * DuckDB's per-position `SUM((a.v-b.v)*(a.v-b.v))`, so hash parity is
   * untouched. Overflow envelope: same as the operators' micro-unit
   * contract — d·(2·max|q|)² must fit a long.
+  *
+  * Mismatch/null semantics mirror the HOF fold exactly (same contract as
+  * [[FloatVectorDot]]): a length mismatch or any null element yields
+  * NULL, never a silent truncation or a null-read-as-0.
   */
 case class LongVectorSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // a well-typed non-null input pair can still produce NULL (length
+  // mismatch / null element)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -104,10 +129,12 @@ case class LongVectorSqDist(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -122,13 +149,18 @@ case class LongVectorSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

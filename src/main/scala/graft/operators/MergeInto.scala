@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   * (io/Bucketing, the i5 posture) — then a codegen'd filter + projection.
   * No second pass, no driver state: the decision for every row is local to
   * its key's partition.
+  *
+  * Cardinality contract: ANSI/Delta/Iceberg MERGE raises when more than
+  * one source row matches the same target key (otherwise "update the
+  * matched row" is ambiguous). With `failOnMultipleSourceMatches = true`
+  * (the default) this does the same — a per-key source count (a window
+  * over the SAME key partitioning the join needs, so no extra exchange
+  * beyond its sort) feeds an `assert_true` that fails the job the moment
+  * a duplicate-matched key is seen. Callers that have pre-deduplicated
+  * the source can pass `false` to skip the window.
   */
 object MergeInto {
 
@@ -39,7 +48,8 @@ object MergeInto {
       keys: Seq[String],
       matchedDelete: Column = lit(false),
       matchedUpdate: Map[String, Column] = Map.empty,
-      staleDelete: Column = lit(false)): DataFrame = {
+      staleDelete: Column = lit(false),
+      failOnMultipleSourceMatches: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "MergeInto: at least one key column")
     require(target.columns.sameElements(source.columns),
       s"MergeInto: target/source schemas differ: " +
@@ -49,9 +59,15 @@ object MergeInto {
 
     val valueCols = target.columns.filterNot(keys.contains).toSeq
     val t = target.withColumn("_t_present", lit(true))
-    val s = source
+    val sBase = source
       .select(keys.map(col) ++
         valueCols.map(c => col(c).as(s"s_$c")) :+ lit(true).as("_s_present"): _*)
+    val s =
+      if (failOnMultipleSourceMatches) {
+        import org.apache.spark.sql.expressions.Window
+        sBase.withColumn("_s_n",
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      } else sBase.withColumn("_s_n", lit(1L))
     // using-columns full outer join: Spark coalesces the key columns itself,
     // so key output needs no CASE
     val joined = t.join(s, keys, "full_outer")
@@ -71,6 +87,16 @@ object MergeInto {
         .otherwise(col(c))
         .as(c)
     }
-    joined.filter(keep).select(outCols: _*)
+    // assert_true returns NULL while the invariant holds and throws on the
+    // first duplicate-matched key, so riding it in the filter adds no rows
+    // and no second pass
+    val cardinalityOk = assert_true(
+      // null-safe: unmatched rows leave `matched`/`_s_n` NULL, which must
+      // read as "no violation", not as assert_true's not-true → throw
+      !truly(matched && col("_s_n") > 1),
+      lit("MergeInto: multiple source rows match one target key " +
+        "(ANSI MERGE cardinality violation); dedup the source or pass " +
+        "failOnMultipleSourceMatches = false"))
+    joined.filter(cardinalityOk.isNull && keep).select(outCols: _*)
   }
 }

@@ -29,6 +29,56 @@ class PlanLintSpec extends SparkSpec {
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
     "x8_sequence_pack", "s8_pq_adc")
 
+  /** Queries allowed to carry a forced `broadcast()` hint on a side that
+    * reads table data (round-8 verdict #7's lint). A hint whose subtree is
+    * only LocalRelation/OneRowRelation/Range leaves (literal mapping/seed/
+    * pattern/guard frames) is automatically fine — it cannot grow with the
+    * data. A hint over scanned data is only sound when the side is a
+    * REDUCTION to bounded size, and each such side is audited here. */
+  private val boundedBroadcastByDesign: Map[String, String] = Map(
+    "q10_returned_revenue" -> "nation dim: 25 rows at every TPC-H sf",
+    "q16_supplier_count" -> "negative-acctbal supplier keys: a thin filtered slice of the smallest dim",
+    "j8_nullsafe_join" -> "aggregate by o_orderpriority: 5ish groups at any sf",
+    "w11_rolling_uniques" -> "distinct event DAYS: grows with the calendar, not the data volume",
+    "k2_approx_quantiles" -> "per-(returnflag,bucket) offsets: bounded group grid (3 x bucket count)",
+    "a14_outlier_fence" -> "per-priority counts and fence stats: 5 rows each",
+    "k5_countmin_frequency" -> "the fixed-width CM sketch row joined back for the bound check",
+    "x11_global_shuffle_rank" -> "per-range-bucket counts: bucket count is a constant of the operator",
+    "x8_sequence_pack" -> "ONE guard row carrying the packing invariant assertion",
+    "g5_cluster_eval" -> "per-cluster aggregates: k rows by construction",
+    "s9_knn_join" -> "per-cell query lists: cells of the 8-query probe set only",
+    "d7_decontamination" -> "eval-set (doc_id<25) shingle hashes: eval corpus is fixed-size",
+    "b1_bloom_decontamination" -> "eval shingles + bloom-confirmed suspects: both eval-bounded",
+    "b2_bloom_join_prune" -> "the filtered dim side the bloom was built from (runtime-filter pattern)",
+    "e5_stream_static_enrich" -> "static category dim enriching the stream: dimension-sized",
+    "s1_topk_cosine_bruteforce" -> "query set vec_id<8: 8 rows whatever the corpus",
+    "s2_topk_cosine_ivf" -> "query set vec_id<8: 8 rows whatever the corpus",
+    "s5_topk_cosine_srp" -> "8 queries x band keys: query-set-sized",
+    "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants")
+
+  test("forced broadcast hints only on literal or audited bounded sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, ResolvedHint}
+    def scanBacked(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists {
+        case _: LocalRelation | _: OneRowRelation | _: LRange => false
+        case _ => true
+      }
+    val failures = Catalog.defs.flatMap { d =>
+      val hints = d.fn(spark, sfDir).queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")) => h
+      }
+      val scanHints = hints.count(h => scanBacked(h.child))
+      if (scanHints > 0 && !boundedBroadcastByDesign.contains(d.name))
+        Seq(s"${d.name}: $scanHints forced broadcast(s) over scanned data " +
+          "without a bounded-side audit entry")
+      else Nil
+    }
+    assert(failures.isEmpty,
+      s"unaudited forced broadcasts (vocab-sized-side risk, the t10/t11 " +
+        s"class):\n${failures.mkString("\n")}")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
     val failures = Catalog.defs.flatMap { d =>
       val plan =

@@ -62,6 +62,33 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("length mismatch and null elements yield NULL, exactly like the HOF fold") {
+    // zip_with pads the short side with nulls and a null poisons the
+    // aggregate sum → the HOF yields NULL; the native expressions must
+    // match (no silent truncation, no null-read-as-0)
+    val fRows = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 1f)),              // length mismatch
+      (Array(1f, 2f), Array(1f, 1f))).toDF("a", "b")   // control
+    val f = fRows.select(
+      VectorExpressions.dotF(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    assert(f(0).isNullAt(0) && f(0).isNullAt(1))
+    assert(f(1).getDouble(0) == 3.0 && f(1).getDouble(1) == 3.0)
+
+    val lRows = Seq(
+      (Array[java.lang.Long](1L, null), Array[java.lang.Long](1L, 1L)), // null element
+      (Array[java.lang.Long](1L, 2L), Array[java.lang.Long](1L, 1L)))
+      .toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val l = lRows.select(
+      VectorExpressions.sqDistL(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    assert(l(0).isNullAt(0) && l(0).isNullAt(1))
+    assert(l(1).getLong(0) == 1L && l(1).getLong(1) == 1L)
+  }
+
   test("survives whole-stage codegen in a realistic pair-join plan") {
     val rng = new scala.util.Random(7)
     val e = (0 until 50).map(i => (i.toLong, Array.fill(16)(rng.nextFloat()))).toDF("id", "v")

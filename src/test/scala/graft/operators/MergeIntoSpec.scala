@@ -55,6 +55,24 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("duplicate source matches raise the ANSI cardinality violation") {
+    import spark.implicits._
+    val dupSource = Seq((1L, "upd", 11.0), (1L, "upd2", 12.0), (5L, "new", 50.0))
+      .toDF("k", "status", "v")
+    val e = intercept[Exception] {
+      MergeInto(target, dupSource, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.contains("cardinality")))
+    // duplicates on an UNMATCHED source key are also a violation per ANSI?
+    // No — they match no target row, both insert; only matched dups raise.
+    val unmatchedDup = Seq((5L, "a", 1.0), (5L, "b", 2.0)).toDF("k", "status", "v")
+    assert(MergeInto(target, unmatchedDup, Seq("k")).count() == 6L)
+    // opting out restores the documented join fan-out for pre-deduped callers
+    assert(MergeInto(target, dupSource, Seq("k"),
+      failOnMultipleSourceMatches = false).count() == 6L)
+  }
+
   test("update expressions may mix both sides of the joined schema") {
     val out = MergeInto(target, source, Seq("k"),
       matchedUpdate = Map("v" -> (col("v") + col("s_v"))))

@@ -39,6 +39,26 @@ class ProfilerSpec extends SparkSpec {
     assert(e == a)
   }
 
+  test("a zero-row feed profiles as zeros with a NULL null-fraction, not a crash") {
+    // ANSI mode makes `div 0` throw; the profiler must report the empty
+    // feed, not die on it
+    val out = Profiler.profile(sample.limit(0), Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "s"))
+    assert(out("s").getLong(1) == 0L && out("s").getLong(2) == 0L)
+    assert(out("s").isNullAt(3)) // null_frac_micro undefined on 0 rows
+    assert(out("s").getLong(4) == 0L && out("s").isNullAt(5) && out("s").isNullAt(6))
+  }
+
+  test("gated twin: exact columns plus an in-bounds boolean for the HLL estimate") {
+    val out = Profiler.profileApproxGated(sample, Seq("id", "s", "v"))
+    assert(out.columns.toSeq == Seq("col_name", "n_rows", "n_nulls",
+      "null_frac_micro", "n_distinct", "nd_in_bounds", "min_str", "max_str"))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.values.forall(_.getBoolean(5)))
+    assert(rows("v").getLong(4) == 2L)
+  }
+
   test("unknown and empty column lists are rejected") {
     intercept[IllegalArgumentException] { Profiler.profile(sample, Seq("nope")) }
     intercept[IllegalArgumentException] { Profiler.profile(sample, Seq.empty) }

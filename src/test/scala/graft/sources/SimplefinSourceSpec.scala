@@ -79,6 +79,53 @@ class SimplefinSourceSpec extends SparkSpec {
     assert(!e.getMessage.contains("secretpass"))
   }
 
+  test("a fleet of access URLs fans out URLs x chunks partitions") {
+    // 3 fleet members, distinguished by host (the part of the request URL a
+    // transport sees after credential stripping)
+    val fleet = (0 until 3).map(i => s"https://u$i:pw$i@h$i.example.org/simplefin")
+    SimplefinTransports.register("spec-fleet", new SimplefinConnector.Transport {
+      def get(url: String, auth: String, t: Int): (Int, String) = {
+        val host = "https://(h[0-9])".r.findFirstMatchIn(url).get.group(1)
+        val (s, _) = rangeOf(url)
+        (200, payload(Seq((s"$host-$s", "-2.25", s))))
+      }
+    })
+    val df = spark.read.format("graft-simplefin")
+      .option("accessUrls", fleet.mkString(","))
+      .option("nowEpoch", now.toString)
+      .option("transport", "spec-fleet")
+      .load()
+    val chunks = SimplefinConnector.chunkRanges(now)
+    assert(df.rdd.getNumPartitions == 3 * chunks.size) // URLs x chunks tasks
+    val ids = df.collect().map(_.getString(0)).toSet
+    val expected = (for { h <- 0 until 3; (s, _) <- chunks } yield s"h$h-$s").toSet
+    assert(ids == expected) // every (url, chunk) cell fetched exactly once
+  }
+
+  test("fleet failures stay isolated per URL and never leak a credential") {
+    val fleet = (0 until 3).map(i => s"https://u$i:fleetsecret$i@h$i.example.org/simplefin")
+    SimplefinTransports.register("spec-fleet-broken", new SimplefinConnector.Transport {
+      def get(url: String, auth: String, t: Int): (Int, String) =
+        if (url.contains("h1.example.org")) (500, "member down")
+        else (200, payload(Seq((s"ok-${rangeOf(url)._1}", "-1.00", now - 1000))))
+    })
+    val df = spark.read.format("graft-simplefin")
+      .option("accessUrls", fleet.mkString(","))
+      .option("nowEpoch", now.toString)
+      .option("transport", "spec-fleet-broken")
+      .option("retryTotal", "0")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    val full = e.getMessage + String.valueOf(e.getCause)
+    // the failure names the fleet member by ORDINAL — which URL, never what
+    // its credentials were
+    assert(full.contains("url #1"))
+    assert(!full.contains("fleetsecret"))
+    // and the partition/config toString path is redacted too
+    val cfgStr = SimplefinScanConfig(fleet, now, 200, 45, "spec-fleet-broken", 0).toString
+    assert(!cfgStr.contains("fleetsecret") && cfgStr.contains("redacted"))
+  }
+
   test("missing options and unknown transports are rejected up front") {
     intercept[Exception] {
       spark.read.format("graft-simplefin").option("accessUrl", accessUrl).load().collect()
