@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -1023,6 +1024,56 @@ object ParityCatalog {
         .agg(count(lit(1)).as("n"))
         .select(col("lead_digit"), col("n"),
           expr(s"(n * CAST(1000000 AS BIGINT)) div ${total}L").as("share_micro"))
+    },
+
+    // ---- DQ6: referential-integrity audit ------------------------------------
+    // The fifth data-quality leg: orphan-rate per FK edge of the star
+    // (orders.o_custkey → customer, lineitem.l_orderkey → orders) — the
+    // check every warehouse load runs before trusting a join, and the one
+    // dq1's single-table constraints can't express. Each edge is ONE
+    // left-anti join keyed on the FK (sort-merge at fact scale; the parent
+    // side is only its key column after pruning) feeding a count — no
+    // row-level output, so the result is edges-sized. Micro-unit orphan
+    // rate via nullif (the round-9 Profiler posture: a zero-row child
+    // reports NULL, not DIVIDE_BY_ZERO).
+    QueryDef(
+      "dq6_referential_integrity",
+      "Referential-integrity audit: per FK edge, child rows / orphans / micro orphan-rate via one anti-join per edge (orders->customer, lineitem->orders)",
+      Some("""
+        SELECT 'orders.o_custkey->customer' AS fk_edge,
+               (SELECT COUNT(*) FROM orders) AS n_child,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans,
+               ((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) * 1000000)
+                 // nullif((SELECT COUNT(*) FROM orders), 0) AS orphan_micro
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               ((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) * 1000000)
+                 // nullif((SELECT COUNT(*) FROM lineitem), 0)
+      """)) { (spark, dir) =>
+      // one LEFT OUTER pass per edge: n_child and n_orphans from the same
+      // join (parent keys are primary keys, so the join never fans out) —
+      // no second scan, no cross join of the two counts
+      def edge(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(fk))
+          .join(parent.select(col(pk)), col(fk) === col(pk), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+            expr("(n_orphans * CAST(1000000 AS BIGINT)) div nullif(n_child, CAST(0 AS BIGINT))")
+              .as("orphan_micro"))
+      edge("orders.o_custkey->customer",
+          Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey")
+        .unionByName(edge("lineitem.l_orderkey->orders",
+          Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey"))
     },
 
     QueryDef(

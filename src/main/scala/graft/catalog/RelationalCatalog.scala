@@ -395,5 +395,148 @@ object RelationalCatalog {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share -------------------------------
+    // The conditional-share report: one fact⋈dim join, both the CASE'd and
+    // the total revenue accumulated in the SAME aggregate pass (never two
+    // scans), DECIMAL-exact sums, the final ratio ONE double divide at the
+    // boundary. The p_type filter rides the dim side of a join AQE
+    // broadcasts while the dim fits.
+    QueryDef(
+      "q14_promo_share",
+      "TPC-H Q14 shape: percentage of a month's revenue from PROMO parts — one join, conditional + total DECIMAL sums in one aggregate, double ratio at the boundary",
+      Some("""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS DOUBLE) AS promo_share_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+      """)) { (spark, dir) =>
+      val rev = col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(D)))
+            .cast("double").as("promo"),
+          sum(rev).cast("double").as("total"))
+        .select((lit(100.0) * col("promo") / col("total")).as("promo_share_pct"))
+    },
+
+    // ---- TPC-H Q15 shape: top supplier by revenue ---------------------------
+    // The subquery-max selection: revenue per supplier (one fact aggregate),
+    // then keep the row(s) equal to the global max. Stated as a rank-1
+    // window over an EMPTY partition? No — a scalar-max semi-join: the
+    // 1-row max frame joins back against the aggregate, so no single-task
+    // global window ever materializes (the o3 lesson at fact scale).
+    // Revenue compares as exact DECIMAL — "equals the max" is only
+    // well-defined because no double rounding happened before the compare.
+    QueryDef(
+      "q15_top_supplier",
+      "TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue — per-supplier DECIMAL aggregate, 1-row max joined back (no global window), double cast at the boundary only",
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      """)) { (spark, dir) =>
+      val rev = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(D)
+          * (lit(1).cast(D) - col("l_discount").cast(D))).as("rev_d"))
+      val top = rev.agg(max(col("rev_d")).as("rev_d"))
+      rev.join(top, Seq("rev_d")) // 1-row max side: AQE broadcasts it
+        .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_rev"))
+    },
+
+    // ---- TPC-H Q17 shape: small-quantity-order revenue ----------------------
+    // The correlated-average filter: lines whose quantity is below 20% of
+    // their part's average quantity. The correlation is a per-partkey
+    // aggregate joined back onto the SAME scan's rows — one shuffle on
+    // l_partkey serves both the average and the re-join under AQE.
+    // Quantities are integral doubles, so SUM/COUNT (and hence AVG) are
+    // exact below 2^53 regardless of order — the q18 regime — and the
+    // 0.2·avg threshold is the same IEEE product on both engines.
+    QueryDef(
+      "q17_small_quantity",
+      "TPC-H Q17 shape: weekly-lost revenue from small-quantity orders of one brand — per-part average joined back as the filter threshold, DECIMAL revenue / 7 at the boundary",
+      Some("""
+        WITH pa AS (
+          SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS DOUBLE) AS avg_weekly_loss
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * pa.avg_qty
+      """)) { (spark, dir) =>
+      val l = Tables.lineitem(spark, dir)
+      val pa = l.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+          col("l_partkey") === col("pa_partkey"))
+        .join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#3"),
+          col("p_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0))
+          .as("avg_weekly_loss"))
+    },
+
+    // ---- TPC-H Q19 shape: bracketed OR-of-ANDs predicates -------------------
+    // The disjunctive-predicate scan: three (brand, size-range,
+    // quantity-range) brackets OR'd together after one join. The join key
+    // predicate stays conjunctive so the equi-join plans normally; the
+    // brackets collapse into one codegen'd filter — and the parts of the
+    // disjunction that touch only part columns prune the dim scan
+    // (p_size <= 15 is implied by all three brackets and pushes down).
+    QueryDef(
+      "q19_bracket_revenue",
+      "TPC-H Q19 shape: revenue under three OR'd (brand, size, quantity) brackets — single join, disjunctive filter, common bound pushed to the dim scan",
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+      """)) { (spark, dir) =>
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30))
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .filter(bracket)
+        .agg(
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
     })
 }

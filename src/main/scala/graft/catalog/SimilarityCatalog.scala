@@ -164,6 +164,90 @@ object SimilarityCatalog {
         .filter(col("cos_sim") >= 0.45)
     },
 
+    // ---- G6: triangle count over the semantic near-dup graph ---------------
+    // Clustering-coefficient material for the similarity graph s3 defines
+    // (edge = same-cell pair with cosine >= 0.45): how CLUMPED is the
+    // corpus's near-duplicate structure — many triangles means duplicate
+    // CLUSTERS (one canonical survivor per clique is cheap), few means
+    // chains (d8's connected components does real work). Algorithm is the
+    // standard degree-ordered orientation (Cohen 2009 / Suri-Vassilvitskii
+    // WWW'11 "Counting triangles and the curse of the last reducer"): each
+    // undirected edge orients from its lower-(degree, id) endpoint, so
+    // every wedge is enumerated at its triangle's SMALLEST vertex exactly
+    // once and per-vertex fan-out is bounded by O(sqrt(m)) — the skew cap
+    // that makes triangle counting feasible on power-law graphs at scale.
+    // Joins stay keyed on (label, vertex): one shuffle family, no
+    // all-pairs anything beyond s3's already-audited cell pruning.
+    QueryDef(
+      "g6_triangle_count",
+      "Triangle count per label cell over the cosine>=0.45 near-dup graph via degree-ordered orientation (the last-reducer-safe plan): edges + triangles per cell",
+      Some(s"""
+        WITH pairs AS (
+          SELECT a.label, a.vec_id AS v1, b.vec_id AS v2
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.45),
+        und AS (SELECT label, v1 AS v, v2 AS w FROM pairs
+                UNION ALL SELECT label, v2, v1 FROM pairs),
+        deg AS (SELECT label, v, COUNT(*) AS d FROM und GROUP BY 1, 2),
+        ori AS (
+          SELECT p.label,
+                 CASE WHEN (d1.d, p.v1) < (d2.d, p.v2) THEN p.v1 ELSE p.v2 END AS src,
+                 CASE WHEN (d1.d, p.v1) < (d2.d, p.v2) THEN p.v2 ELSE p.v1 END AS dst
+          FROM pairs p
+          JOIN deg d1 ON d1.label = p.label AND d1.v = p.v1
+          JOIN deg d2 ON d2.label = p.label AND d2.v = p.v2),
+        tri AS (
+          SELECT w.label, COUNT(*) AS n_triangles
+          FROM (SELECT e1.label, e1.dst AS b, e2.dst AS c
+                FROM ori e1
+                JOIN ori e2 ON e1.label = e2.label AND e1.src = e2.src
+                           AND e1.dst < e2.dst) w
+          JOIN und u ON u.label = w.label AND u.v = w.b AND u.w = w.c
+          GROUP BY 1),
+        edges AS (SELECT label, COUNT(*) AS n_edges FROM pairs GROUP BY 1)
+        SELECT e.label, e.n_edges, COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+        FROM edges e LEFT JOIN tri t ON e.label = t.label
+      """)) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val a = e.select(col("vec_id").as("v1"), col("label"),
+        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
+      val b = e.select(col("vec_id").as("v2"), col("label"),
+        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("v1") < col("v2"))
+        .filter(dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))
+          >= 0.45)
+        .select(col("label"), col("v1"), col("v2"))
+        // both the degree pass and the two orientation joins re-read the
+        // edge list; one checkpointed materialization beats three cosine
+        // re-computations of the s3 pair scan
+        .localCheckpoint(false)
+      val und = pairs.select(col("label"), col("v1").as("v"), col("v2").as("w"))
+        .unionByName(pairs.select(col("label"), col("v2").as("v"), col("v1").as("w")))
+      val deg = und.groupBy(col("label"), col("v")).agg(count(lit(1)).as("d"))
+      val lower = struct(col("d1"), col("v1")) < struct(col("d2"), col("v2"))
+      val ori = pairs
+        .join(deg.select(col("label"), col("v").as("v1"), col("d").as("d1")),
+          Seq("label", "v1"))
+        .join(deg.select(col("label"), col("v").as("v2"), col("d").as("d2")),
+          Seq("label", "v2"))
+        .select(col("label"),
+          when(lower, col("v1")).otherwise(col("v2")).as("src"),
+          when(lower, col("v2")).otherwise(col("v1")).as("dst"))
+      val wedges = ori.select(col("label"), col("src"), col("dst").as("b"))
+        .join(ori.select(col("label"), col("src"), col("dst").as("c")),
+          Seq("label", "src"))
+        .filter(col("b") < col("c"))
+      val tri = wedges
+        .join(und.select(col("label"), col("v").as("b"), col("w").as("c")),
+          Seq("label", "b", "c"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n_triangles"))
+      pairs.groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+        .join(tri, Seq("label"), "left_outer")
+        .na.fill(0L, Seq("n_triangles"))
+    },
+
     // ---- S4: int8 scalar quantization of embeddings ------------------------
     // The storage-side half of similarity search at 100 TB: affine per-vector
     // int8 quantization (the FAISS SQ8 scheme) shrinks a float corpus 4×.

@@ -745,6 +745,83 @@ object TextCatalog {
           sum(col("n")).over(Window.partitionBy(col("true_lang"))))
         .select(col("true_lang"), col("predicted_lang"), col("n"),
           expr("(n * CAST(1000000 AS BIGINT)) div total").as("share_micro"))
+    },
+
+    // ---- T14: repetition filters (the Gopher/MassiveText signals) ----------
+    // The repetition leg of quality filtering (Rae et al. 2021 §A1.1, the
+    // C4/Gopher "repetitious documents are machine-generated" class): per
+    // document, (a) the fraction of word-bigram instances taken by the
+    // SINGLE most frequent bigram (top_bigram_micro — boilerplate/spam
+    // pages repeat one phrase) and (b) the duplicate-sentence fraction
+    // (dup_sent_micro — split on '. ', count instances beyond each
+    // sentence's first). Everything is per-doc map-or-local: bigrams are
+    // built inside the token array (t11's trick), both statistics are one
+    // (doc, key)-keyed count + one doc-keyed aggregate — the standard
+    // inverted shuffle, nothing global, micro-unit integer fractions (the
+    // t13 rendering posture). The gate booleans pin Gopher's published
+    // thresholds (top 2-gram > 0.18, dup sentence > 0.30).
+    QueryDef(
+      "t14_repetition_filters",
+      "Gopher-style repetition quality filters: per-doc top-bigram instance share and duplicate-sentence share in micro units, with the published 0.18/0.30 gate booleans",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, lower(text) AS lt
+                   FROM documents WHERE text IS NOT NULL),
+        bg AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+          FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+          WHERE i + 1 <= len(toks)),
+        bgc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        bstat AS (SELECT doc_id, MAX(n) AS top_n, CAST(SUM(n) AS BIGINT) AS tot_n
+                  FROM bgc GROUP BY 1),
+        sent AS (
+          SELECT doc_id, s AS sentence
+          FROM (SELECT doc_id, unnest(string_split(lt, '. ')) AS s FROM t)
+          WHERE s <> ''),
+        sc AS (SELECT doc_id, sentence, COUNT(*) AS n FROM sent GROUP BY 1, 2),
+        sstat AS (SELECT doc_id,
+                         CAST(SUM(n) AS BIGINT) AS n_sent,
+                         CAST(SUM(n - 1) AS BIGINT) AS n_dup
+                  FROM sc GROUP BY 1)
+        SELECT b.doc_id,
+               b.top_n, b.tot_n,
+               (b.top_n * 1000000) // b.tot_n AS top_bigram_micro,
+               s.n_sent, s.n_dup,
+               (s.n_dup * 1000000) // s.n_sent AS dup_sent_micro,
+               (b.top_n * 1000000) // b.tot_n > 180000 AS flag_top_bigram,
+               (s.n_dup * 1000000) // s.n_sent > 300000 AS flag_dup_sent
+        FROM bstat b JOIN sstat s ON b.doc_id = s.doc_id
+      """)) { (spark, dir) =>
+      val t = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("toks"),
+          lower(col("text")).as("lt"))
+      // bigrams inside the array: map-only, docs shorter than 2 emit none
+      val bg = t.select(col("doc_id"), explode(
+          zip_with(col("toks"),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        // zip_with pads the final position with null — not a bigram
+        .filter(col("bigram").isNotNull)
+      val bstat = bg.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_n"), sum(col("n")).as("tot_n"))
+      val sent = t.select(col("doc_id"),
+          explode(split(col("lt"), "\\. ")).as("sentence"))
+        .filter(col("sentence") =!= "")
+      val sstat = sent.groupBy(col("doc_id"), col("sentence"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_sent"), sum(col("n") - 1).as("n_dup"))
+      val topMicro = expr("(top_n * CAST(1000000 AS BIGINT)) div tot_n")
+      val dupMicro = expr("(n_dup * CAST(1000000 AS BIGINT)) div n_sent")
+      bstat.join(sstat, Seq("doc_id"))
+        .select(col("doc_id"), col("top_n"), col("tot_n"),
+          topMicro.as("top_bigram_micro"),
+          col("n_sent"), col("n_dup"),
+          dupMicro.as("dup_sent_micro"),
+          (topMicro > 180000L).as("flag_top_bigram"),
+          (dupMicro > 300000L).as("flag_dup_sent"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
