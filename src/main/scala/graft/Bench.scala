@@ -105,6 +105,10 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint home for Reuse.materialize (local run: tmp dir;
+    // a cluster deployment points this at durable shared storage)
+    spark.sparkContext.setCheckpointDir(
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(struct(col("*"))).cast("double").as("_h")) // double: ANSI long sum would overflow

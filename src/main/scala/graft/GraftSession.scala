@@ -43,7 +43,17 @@ object GraftSession {
     // (BoundedLongCollect caps at 64 longs, sketches are fixed-size), so
     // 128k in-memory groups is tens of MB per partition; past that the
     // sort fallback still protects memory.
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072",
+    // Reliable-checkpoint home for operators/Reuse.materialize (g6's edge
+    // reuse, and any multi-consumer intermediate): on a cluster, OVERRIDE
+    // this with durable shared storage (HDFS/object store) — an
+    // executor-local or node-local path defeats the recoverability the
+    // reliable path exists for. The default keeps single-JVM runs working
+    // out of the box; the cleaner drops checkpoint files when their frame
+    // is garbage-collected so long sessions don't leak disk.
+    "spark.checkpoint.dir" ->
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints",
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
   def builder(appName: String, shufflePartitions: Int = 200): SparkSession.Builder = {
     require(shufflePartitions > 0, "shufflePartitions must be positive")

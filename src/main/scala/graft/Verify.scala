@@ -21,6 +21,10 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint home for Reuse.materialize (local run: tmp dir;
+    // a cluster deployment points this at durable shared storage)
+    spark.sparkContext.setCheckpointDir(
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>

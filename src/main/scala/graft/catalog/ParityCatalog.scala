@@ -1036,33 +1036,48 @@ object ParityCatalog {
     // row-level output, so the result is edges-sized. Micro-unit orphan
     // rate via nullif (the round-9 Profiler posture: a zero-row child
     // reports NULL, not DIVIDE_BY_ZERO).
+    // NULL-key discipline (round-9 ADVICE): a NULL FK is not an orphan
+    // (SQL RI semantics — the constraint only binds non-NULL keys), and a
+    // NULL parent key matches nothing. Both arms filter NULLs EXPLICITLY —
+    // without this, the SQL arm's NOT IN goes tri-state on a NULL parent
+    // key (zero orphans reported) while the join arm counts every
+    // unmatched/NULL FK, and parity would rest on the fixture's keys
+    // happening to be non-null. n_child counts non-NULL-FK child rows.
     QueryDef(
       "dq6_referential_integrity",
-      "Referential-integrity audit: per FK edge, child rows / orphans / micro orphan-rate via one anti-join per edge (orders->customer, lineitem->orders)",
+      "Referential-integrity audit: per FK edge, non-null-FK child rows / orphans / micro orphan-rate via one anti-join per edge (orders->customer, lineitem->orders); NULL keys excluded on both arms by RI semantics",
       Some("""
         SELECT 'orders.o_custkey->customer' AS fk_edge,
-               (SELECT COUNT(*) FROM orders) AS n_child,
-               (SELECT COUNT(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans,
-               ((SELECT COUNT(*) FROM orders
-                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) * 1000000)
-                 // nullif((SELECT COUNT(*) FROM orders), 0) AS orphan_micro
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_child,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_custkey IS NOT NULL)) AS n_orphans,
+               ((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                         WHERE c_custkey IS NOT NULL)) * 1000000)
+                 // nullif((SELECT COUNT(*) FROM orders
+                           WHERE o_custkey IS NOT NULL), 0) AS orphan_micro
         UNION ALL
         SELECT 'lineitem.l_orderkey->orders',
-               (SELECT COUNT(*) FROM lineitem),
-               (SELECT COUNT(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
-               ((SELECT COUNT(*) FROM lineitem
-                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) * 1000000)
-                 // nullif((SELECT COUNT(*) FROM lineitem), 0)
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                         WHERE o_orderkey IS NOT NULL)),
+               ((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                          WHERE o_orderkey IS NOT NULL)) * 1000000)
+                 // nullif((SELECT COUNT(*) FROM lineitem
+                           WHERE l_orderkey IS NOT NULL), 0)
       """)) { (spark, dir) =>
       // one LEFT OUTER pass per edge: n_child and n_orphans from the same
       // join (parent keys are primary keys, so the join never fans out) —
-      // no second scan, no cross join of the two counts
+      // no second scan, no cross join of the two counts. NULL FKs filtered
+      // up front to keep the arm aligned with the SQL NOT IN (see above).
       def edge(name: String, child: DataFrame, fk: String,
           parent: DataFrame, pk: String): DataFrame =
-        child.select(col(fk))
-          .join(parent.select(col(pk)), col(fk) === col(pk), "left_outer")
+        child.select(col(fk)).filter(col(fk).isNotNull)
+          .join(parent.select(col(pk)).filter(col(pk).isNotNull),
+            col(fk) === col(pk), "left_outer")
           .agg(count(lit(1)).as("n_child"),
             sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
           .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),

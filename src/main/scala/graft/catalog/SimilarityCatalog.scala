@@ -57,17 +57,19 @@ object SimilarityCatalog {
     srpPlaneMatrix(i).map(s => if (s > 0) "1.0" else "-1.0")
       .mkString("list_value(", ", ", ")")
 
-  /** Per-vector band rows `(vec_id, emb, nrm, b, band_key)` — one row per
-    * band, band key = 4 signature bits packed. The signature bit is the
-    * sign of the same left-to-right double dot product as the oracle. */
+  /** Per-vector band rows `(vec_id, label, emb, nrm, b, band_key)` — one
+    * row per band, band key = 4 signature bits packed. The signature bit is
+    * the sign of the same left-to-right double dot product as the oracle.
+    * Unused columns (s5 ignores `label`; the near-dup candidate path
+    * ignores `emb`/`nrm`) are pruned by Catalyst, not computed. */
   private[catalog] def srpBands(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val bits: Column = array((0 until SrpPlanes).map { i =>
       when(dot(col("embedding"), typedlit(srpPlaneMatrix(i).toSeq)) > 0, 1).otherwise(0)
     }: _*)
-    e.select(col("vec_id"), col("embedding").as("emb"),
+    e.select(col("vec_id"), col("label"), col("embedding").as("emb"),
         norm(col("embedding")).as("nrm"), bits.as("bits"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
         posexplode(array((0 until SrpBands).map { b =>
           (element_at(col("bits"), b * 4 + 1)
             + element_at(col("bits"), b * 4 + 2) * 2
@@ -75,6 +77,110 @@ object SimilarityCatalog {
             + element_at(col("bits"), b * 4 + 4) * 8)
         }: _*)))
       .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+  }
+
+  // ---- Near-dup candidate machinery (shared by s3, s7, g6) -----------------
+  //
+  // Round-9 verdict #1: the old `embeddings ⋈ embeddings ON label` pair
+  // generation was Θ(n²/|labels|) on a FIXED-cardinality key (the fixture's
+  // label has 10 distinct values) — the one all-pairs scale-killer left in
+  // the tree. Candidates now go through the same SRP bands s5 uses
+  // (deterministic md5-parity hyperplanes, literal-identical in both
+  // engines) with the Dedup posture applied verbatim: pair generation is
+  // keyed on (label, band, band_key), each bucket capped at
+  // [[NearDupMaxBucket]] members (first by vec_id — the d2
+  // `Dedup.DefaultMaxBucket` hot-bucket discipline), survivors
+  // exact-cosine verified. Semantics are therefore "band-colliding
+  // near-dup pairs", the standard LSH near-dup contract (recall < 1 by
+  // construction, measured in SrpLshSpec: all qualifying pairs survive at
+  // sf0.01, ~40 % at sf0.1 where every survivor sits barely above the
+  // 0.45 threshold — this fixture has no high-cosine planted dups, so
+  // boundary pairs collide at the theoretical 1-(1-p^4)^4 rate). At
+  // 100 TB the knobs are the standard LSH ones: band-key width grows with
+  // log n (wider keys → smaller buckets → fewer candidates) and the cap
+  // bounds worst-case skew with the drop count observable per bucket
+  // (rows with rn > cap). Work is Σ min(|bucket|, cap)² per bucket —
+  // never all-pairs — and the verify join touches only candidate ids.
+
+  /** Per-bucket participant cap for banded pair generation — the
+    * `Dedup.DefaultMaxBucket` discipline applied to SRP buckets. */
+  val NearDupMaxBucket = 64
+
+  /** Cosine threshold shared by s3 (pair listing), s7 (SemDeDup prune) and
+    * g6 (near-dup graph edges). */
+  val NearDupThreshold = 0.45
+
+  /** DuckDB CTE prefix (no `WITH`) computing `neardup_pairs(label, v1, v2,
+    * cos_sim)` — the exact oracle twin of [[nearDupPairs]]. */
+  private[catalog] def bandedPairsSql: String = {
+    val bitsSql = (0 until SrpPlanes).map { i =>
+      s"CASE WHEN ${dotSql.format("embedding", srpPlaneSql(i))} > 0 THEN 1 ELSE 0 END"
+    }.mkString("[", ",\n                 ", "]")
+    s"""
+        sig AS (
+          SELECT vec_id, label,
+                 $bitsSql AS bits
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, label, b,
+                 bits[b*4+1] + 2*bits[b*4+2] + 4*bits[b*4+3] + 8*bits[b*4+4] AS band_key
+          FROM sig, unnest(range(0, $SrpBands)) AS t(b)),
+        capped AS (
+          SELECT label, b, band_key, vec_id FROM (
+            SELECT label, b, band_key, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY label, b, band_key
+                                      ORDER BY vec_id) AS rn
+            FROM bands)
+          WHERE rn <= $NearDupMaxBucket),
+        cand AS (
+          SELECT DISTINCT ca.label, ca.vec_id AS v1, cb.vec_id AS v2
+          FROM capped ca
+          JOIN capped cb ON ca.label = cb.label AND ca.b = cb.b
+                        AND ca.band_key = cb.band_key AND ca.vec_id < cb.vec_id),
+        neardup_pairs AS (
+          SELECT c.label, c.v1, c.v2,
+                 ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
+          FROM cand c
+          JOIN embeddings x ON x.vec_id = c.v1
+          JOIN embeddings y ON y.vec_id = c.v2
+          WHERE ${cosineSql("x.embedding", "y.embedding")} >= $NearDupThreshold)"""
+  }
+
+  /** Distinct candidate pairs `(label, v1, v2)`: same (label, band,
+    * band_key) bucket, both endpoints within the bucket's first
+    * [[NearDupMaxBucket]] members by vec_id. One shuffle keyed on the
+    * bucket, per-bucket work capped at cap² — never all-pairs. */
+  private[catalog] def bandedCandidatePairs(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val capW = Window.partitionBy(col("label"), col("b"), col("band_key"))
+      .orderBy(col("vec_id"))
+    val capped = srpBands(e)
+      .select(col("label"), col("b"), col("band_key"), col("vec_id"))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= NearDupMaxBucket)
+      .select(col("label"), col("b"), col("band_key"), col("vec_id"))
+    capped.join(
+        capped.select(col("label"), col("b"), col("band_key"),
+          col("vec_id").as("v2")),
+        Seq("label", "b", "band_key"))
+      .filter(col("vec_id") < col("v2"))
+      .select(col("label"), col("vec_id").as("v1"), col("v2"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs `(label, v1, v2, cos_sim)`: banded candidates
+    * re-joined to the corpus by id (candidates are small — only ids travel
+    * through the distinct), exact cosine, threshold filter. */
+  private[catalog] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val x = e.select(col("vec_id").as("v1"), col("embedding").as("emb1"),
+      norm(col("embedding")).as("norm1"))
+    val y = e.select(col("vec_id").as("v2"), col("embedding").as("emb2"),
+      norm(col("embedding")).as("norm2"))
+    bandedCandidatePairs(e)
+      .join(x, "v1").join(y, "v2")
+      .select(col("label"), col("v1"), col("v2"),
+        (dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))).as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupThreshold)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -141,32 +247,25 @@ object SimilarityCatalog {
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     },
 
-    // ---- S3: cosine-threshold near-duplicate pairs (cell-pruned) -----------
+    // ---- S3: cosine-threshold near-duplicate pairs (band-blocked) ----------
+    // The embedding twin of d3's Jaccard verify, in d2's LSH posture: SRP
+    // band-bucket candidates (capped per bucket), exact-cosine verify of
+    // survivors — see the shared-machinery comment above nearDupPairs for
+    // the scale analysis and the recall contract.
     QueryDef(
       "s3_cosine_neardup_pairs",
-      "North-star dedup: embedding-cosine near-dup pairs >= 0.45 within a cell — the embedding twin of d3's Jaccard verify",
+      "North-star dedup: SRP-band-blocked embedding near-dup pairs — bucketed candidates (cap 64/bucket), exact cosine >= 0.45 verify; the d2 LSH discipline applied to vectors",
       Some(s"""
-        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-               ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.45
+        WITH $bandedPairsSql
+        SELECT v1 AS vec1, v2 AS vec2, cos_sim FROM neardup_pairs
       """)) { (spark, dir) =>
-      val e = Tables.embeddings(spark, dir)
-      val a = e.select(col("vec_id").as("vec1"), col("label"),
-        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
-      val b = e.select(col("vec_id").as("vec2"), col("label"),
-        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
-      a.join(b, Seq("label"))
-        .filter(col("vec1") < col("vec2"))
-        .select(col("vec1"), col("vec2"),
-          (dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.45)
+      nearDupPairs(spark, dir)
+        .select(col("v1").as("vec1"), col("v2").as("vec2"), col("cos_sim"))
     },
 
     // ---- G6: triangle count over the semantic near-dup graph ---------------
     // Clustering-coefficient material for the similarity graph s3 defines
-    // (edge = same-cell pair with cosine >= 0.45): how CLUMPED is the
+    // (edge = band-colliding pair with cosine >= 0.45): how CLUMPED is the
     // corpus's near-duplicate structure — many triangles means duplicate
     // CLUSTERS (one canonical survivor per clique is cheap), few means
     // chains (d8's connected components does real work). Algorithm is the
@@ -176,17 +275,15 @@ object SimilarityCatalog {
     // every wedge is enumerated at its triangle's SMALLEST vertex exactly
     // once and per-vertex fan-out is bounded by O(sqrt(m)) — the skew cap
     // that makes triangle counting feasible on power-law graphs at scale.
-    // Joins stay keyed on (label, vertex): one shuffle family, no
-    // all-pairs anything beyond s3's already-audited cell pruning.
+    // Edge generation is s3's banded candidate path (round-9 verdict #1:
+    // the old within-label all-pairs was the quadratic input this
+    // algorithm didn't deserve); joins stay keyed on (label, vertex).
     QueryDef(
       "g6_triangle_count",
-      "Triangle count per label cell over the cosine>=0.45 near-dup graph via degree-ordered orientation (the last-reducer-safe plan): edges + triangles per cell",
+      "Triangle count per label cell over the SRP-banded cosine>=0.45 near-dup graph via degree-ordered orientation (the last-reducer-safe plan): edges + triangles per cell",
       Some(s"""
-        WITH pairs AS (
-          SELECT a.label, a.vec_id AS v1, b.vec_id AS v2
-          FROM embeddings a
-          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.45),
+        WITH $bandedPairsSql,
+        pairs AS (SELECT label, v1, v2 FROM neardup_pairs),
         und AS (SELECT label, v1 AS v, v2 AS w FROM pairs
                 UNION ALL SELECT label, v2, v1 FROM pairs),
         deg AS (SELECT label, v, COUNT(*) AS d FROM und GROUP BY 1, 2),
@@ -209,20 +306,14 @@ object SimilarityCatalog {
         SELECT e.label, e.n_edges, COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
         FROM edges e LEFT JOIN tri t ON e.label = t.label
       """)) { (spark, dir) =>
-      val e = Tables.embeddings(spark, dir)
-      val a = e.select(col("vec_id").as("v1"), col("label"),
-        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
-      val b = e.select(col("vec_id").as("v2"), col("label"),
-        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("v1") < col("v2"))
-        .filter(dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2"))
-          >= 0.45)
-        .select(col("label"), col("v1"), col("v2"))
-        // both the degree pass and the two orientation joins re-read the
-        // edge list; one checkpointed materialization beats three cosine
-        // re-computations of the s3 pair scan
-        .localCheckpoint(false)
+      // both the degree pass and the two orientation joins re-read the
+      // edge list; one materialization beats three re-computations of the
+      // banded pair generation. Reuse.materialize takes the RELIABLE
+      // checkpoint path when the session has a checkpoint dir (round-9
+      // verdict #4: executor-local blocks are unrecoverable on a real
+      // cluster), local checkpoint only as the dev fallback.
+      val pairs = graft.operators.Reuse.materialize(
+        nearDupPairs(spark, dir).select(col("label"), col("v1"), col("v2")))
       val und = pairs.select(col("label"), col("v1").as("v"), col("v2").as("w"))
         .unionByName(pairs.select(col("label"), col("v2").as("v"), col("v1").as("w")))
       val deg = und.groupBy(col("label"), col("v")).agg(count(lit(1)).as("d"))
@@ -424,34 +515,25 @@ object SimilarityCatalog {
     // its own even-earlier representative — the canonical chain ends at a
     // kept vector).
     //
-    // Scale shape: pairs are cell-bucketed (the s2/s3 posture — label stands
-    // in for an IVF cell from operators/AnnIndex at 100 TB, where the pair
-    // join prunes at the parquet-partition scan), never all-pairs; the
-    // drop list shuffles bare ids, and the final anti-join is the only
-    // corpus-wide exchange.
+    // Scale shape: candidate pairs go through s3's banded machinery (the
+    // SemDeDup paper's "compare within a cluster" IS the LSH-bucket
+    // restriction — round-9 verdict #1 retired the within-label all-pairs
+    // form here too); the drop list shuffles bare ids, and the final
+    // anti-join is the only corpus-wide exchange.
     QueryDef(
       "s7_semantic_prune",
-      "SemDeDup-style semantic dedup: within a cell, drop any vector with an earlier-id neighbor at cosine >= 0.45; deterministic drop-list anti-join, cell-bucketed pairs — the corpus-shrinking embedding dedup next to the pair-listing s3",
+      "SemDeDup-style semantic dedup: drop any vector with an earlier-id band-colliding neighbor at cosine >= 0.45; deterministic drop-list anti-join over the banded pair machinery — the corpus-shrinking embedding dedup next to the pair-listing s3",
       Some(s"""
+        WITH $bandedPairsSql
         SELECT e.vec_id, e.label
         FROM embeddings e
-        WHERE NOT EXISTS (
-          SELECT 1 FROM embeddings a
-          WHERE a.label = e.label AND a.vec_id < e.vec_id
-            AND ${cosineSql("a.embedding", "e.embedding")} >= 0.45)
+        WHERE NOT EXISTS (SELECT 1 FROM neardup_pairs p WHERE p.v2 = e.vec_id)
       """)) { (spark, dir) =>
-      val e = Tables.embeddings(spark, dir)
-      val a = e.select(col("vec_id").as("vec1"), col("label"),
-        col("embedding").as("emb1"), norm(col("embedding")).as("norm1"))
-      val b = e.select(col("vec_id").as("vec2"), col("label"),
-        col("embedding").as("emb2"), norm(col("embedding")).as("norm2"))
-      val dropped = a.join(b, Seq("label"))
-        .filter(col("vec1") < col("vec2"))
-        .filter((dot(col("emb1"), col("emb2"))
-          / (col("norm1") * col("norm2"))) >= 0.45)
-        .select(col("vec2").as("vec_id"))
-        .distinct()
-      e.select(col("vec_id"), col("label"))
+      // neardup_pairs has v1 < v2, so "has an earlier similar neighbor"
+      // = "appears as some pair's v2"; the drop list is those ids
+      val dropped = nearDupPairs(spark, dir)
+        .select(col("v2").as("vec_id")).distinct()
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
         .join(dropped, Seq("vec_id"), "left_anti")
     },
 

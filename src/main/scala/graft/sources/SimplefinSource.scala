@@ -98,6 +98,16 @@ final case class SimplefinScanConfig(
 
 object SimplefinScanConfig {
   def apply(options: CaseInsensitiveStringMap): SimplefinScanConfig = {
+    // `accessUrl` (one) and `accessUrls` (comma-separated fleet) are
+    // EXCLUSIVE: silently preferring one over the other would hide a
+    // misconfigured fleet (round-9 ADVICE). The comma split means a
+    // credential containing a literal ',' (legal in RFC 3986 userinfo)
+    // cannot ride in `accessUrls` — such a URL must use the singular
+    // `accessUrl`, or percent-encode the comma (%2C), which SimpleFIN
+    // issuers do in practice; a split fragment that no longer parses as
+    // an absolute http(s) URL fails fast here instead of at fetch time.
+    require(!(options.containsKey("accessUrls") && options.containsKey("accessUrl")),
+      "graft-simplefin: give exactly one of accessUrl / accessUrls, not both")
     val urls: Seq[String] =
       if (options.containsKey("accessUrls"))
         options.get("accessUrls").split(",").iterator.map(_.trim)
@@ -106,6 +116,12 @@ object SimplefinScanConfig {
       else Seq.empty
     require(urls.nonEmpty,
       "graft-simplefin: accessUrl (or comma-separated accessUrls) is required")
+    urls.foreach { u =>
+      require(u.startsWith("http://") || u.startsWith("https://"),
+        "graft-simplefin: accessUrls entry is not an absolute http(s) URL " +
+          "after comma-split — percent-encode commas inside credentials " +
+          "(%2C) or use the singular accessUrl option")
+    }
     require(options.containsKey("nowEpoch"),
       "graft-simplefin: nowEpoch option is required (deterministic chunk grid)")
     SimplefinScanConfig(

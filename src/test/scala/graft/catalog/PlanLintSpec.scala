@@ -79,6 +79,36 @@ class PlanLintSpec extends SparkSpec {
         s"class):\n${failures.mkString("\n")}")
   }
 
+  test("broadcast audit allowlist carries no stale entries") {
+    // The inverse direction (round-9 ADVICE): boundedBroadcastByDesign is
+    // an AUDIT of hints that exist, not a grant of hints that may exist.
+    // If a refactor removes a query's scan-backed broadcast hint (the
+    // t10/t11 un-hinting did exactly this), its allowlist entry must go
+    // too — otherwise the map rots and a future unsound hint on that
+    // query would sail through pre-audited.
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, ResolvedHint}
+    def scanBacked(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists {
+        case _: LocalRelation | _: OneRowRelation | _: LRange => false
+        case _ => true
+      }
+    val byName = Catalog.defs.map(d => d.name -> d).toMap
+    val stale = boundedBroadcastByDesign.keys.toSeq.sorted.flatMap { name =>
+      byName.get(name) match {
+        case None => Seq(s"$name: allowlisted but no longer in the catalog")
+        case Some(d) =>
+          val scanHints = d.fn(spark, sfDir).queryExecution.analyzed.collect {
+            case h: ResolvedHint if h.hints.strategy.exists(
+              _.toString.toUpperCase.contains("BROADCAST")) && scanBacked(h.child) => h
+          }
+          if (scanHints.isEmpty)
+            Seq(s"$name: allowlisted but its plan carries no scan-backed broadcast hint")
+          else Nil
+      }
+    }
+    assert(stale.isEmpty, s"stale broadcast-audit entries:\n${stale.mkString("\n")}")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
     val failures = Catalog.defs.flatMap { d =>
       val plan =
