@@ -549,5 +549,237 @@ object RelationalCatalog {
             * (lit(1).cast(D) - col("l_discount").cast(D)))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q7 shape: bilateral nation trade volume ----------------------
+    // The first deep join-ORDERING shape (round-9 verdict #5): six relations,
+    // two of them the SAME dimension under different roles (supplier's
+    // nation n1, customer's nation n2). The plan that survives 100 TB:
+    // every dimension (supplier, customer, both nation sides — each
+    // pre-filtered to the two names, so the nation-pair predicate prunes
+    // at the dim scan) broadcasts; the only shuffle is lineitem ⋈ orders
+    // on the orderkey. Join order decides feasibility — a plan that joins
+    // customer×supplier early has no key and degenerates; Catalyst keeps
+    // the fact spine left-deep here, verified in PlanLintSpec (no
+    // cartesian, no BNLJ).
+    QueryDef(
+      "q7_nation_trade",
+      "TPC-H Q7 shape: bilateral shipping volume between two nations by year — six-relation join with one dimension in two roles, dims broadcast, single fact-spine shuffle",
+      Some("""
+        SELECT supp_nation, cust_nation, yr,
+               CAST(SUM(volume) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey
+            AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY 1, 2, 3
+      """)) { (spark, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q8 shape: national market share ------------------------------
+    // The deepest join tree in the catalog: EIGHT relations (part,
+    // lineitem, supplier, orders, customer, nation×2, region) feeding one
+    // ratio aggregate. The discriminating property at scale: the region
+    // restriction enters through the CUSTOMER side while the measured
+    // nation enters through the SUPPLIER side — a planner that conflates
+    // the two nation roles or joins region late scans ~5× the customers.
+    // All seven non-fact relations broadcast; lineitem ⋈ orders is again
+    // the single shuffle. Share = decimal-exact sums cast to double at
+    // the boundary, divided with the same IEEE op on both engines.
+    QueryDef(
+      "q8_market_share",
+      "TPC-H Q8 shape: one nation's share of regional order volume for a part type, by order year — eight-relation join, region via customer side, measured nation via supplier side, single fact shuffle, exact-decimal sums ratioed in double",
+      Some("""
+        SELECT yr,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                 n2.n_name AS supp_nation,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+          FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey
+            AND l_suppkey = s_suppkey
+            AND l_orderkey = o_orderkey
+            AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey
+            AND s_nationkey = n2.n_nationkey
+            AND r_name = 'ASIA'
+            AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        GROUP BY yr
+      """)) { (spark, dir) =>
+      val custNation = Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(custNation, col("c_nationkey") === col("cn_key"), "left_semi")
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("supp_nation"),
+          (col("l_extendedprice").cast(D)
+            * (lit(1).cast(D) - col("l_discount").cast(D))).as("volume"))
+      vol.groupBy(col("yr"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0).cast(D))).cast("double")
+            / sum(col("volume")).cast("double")).cast("double").as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q9 shape: product-line profit by nation and year -------------
+    // Q9's join graph without its partsupp leg (this corpus has no
+    // partsupp table, so the ps_supplycost term drops from the profit
+    // expression — the five-relation join shape and the LIKE-filtered
+    // part restriction are what's being exercised): part % filter →
+    // lineitem → supplier → orders → nation, grouped by nation × order
+    // year. The part filter is a substring LIKE — not sargable, but it
+    // prunes at the DIM scan (200k parts at sf100, not 600M lineitems),
+    // which is the property that matters; the fact joins orders on
+    // orderkey (shuffle) and everything else broadcasts.
+    QueryDef(
+      "q9_product_profit",
+      "TPC-H Q9 shape (no partsupp in this corpus): profit on LIKE-matched parts by supplier nation and order year — five-relation join, dim-side substring filter, single fact shuffle",
+      Some("""
+        SELECT nation, yr,
+               CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey
+            AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey
+            AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%')
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter(col("p_name").like("%widget%")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q21 shape: suppliers who solely delayed an order -------------
+    // The anti/semi-join STACK under an aggregate (round-9 verdict #5's
+    // last shape): for each late lineitem of a finalized order, there must
+    // EXIST another supplier on the same order (semi) and NOT EXIST
+    // another LATE supplier on it (anti). This corpus has no
+    // l_commitdate/l_receiptdate, so "late" is shipped >90 days after the
+    // order date — the predicate is a stand-in; the exists/not-exists
+    // self-join stack is the exercised shape. Scale posture: all three
+    // fact-side frames (late lines, other-supplier probe, other-late
+    // probe) key on l_orderkey — ONE exchange family, the semi and anti
+    // joins ride the same partitioning as the late join itself, and the
+    // probe sides are distinct (orderkey, suppkey) pairs, never row-level
+    // fan-out. No fact×fact join off the orderkey spine.
+    QueryDef(
+      "q21_waiting_supplier",
+      "TPC-H Q21 shape: per-supplier count of late lines on finalized multi-supplier orders where no OTHER supplier was late — exists/not-exists self-join stack on one orderkey exchange family",
+      Some("""
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+      """)) { (spark, dir) =>
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val otherSupp = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        .distinct()
+      val otherLate = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        .distinct()
+      late
+        .join(otherSupp,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(otherLate,
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     })
 }
