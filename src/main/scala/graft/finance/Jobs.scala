@@ -169,6 +169,40 @@ final class Jobs(spark: SparkSession, store: TableStore) {
       store.overwrite("raw_simplefin", store.read("raw_simplefin").unionByName(batch))
     else store.overwrite("raw_simplefin", batch)
 
+  /** `2_ingest_and_predict` head, at-scale form (round-9 verdict #7): pull
+    * the whole access-URL fleet through the `graft-simplefin` DSv2 source —
+    * one task per url×chunk, fetch + retry on EXECUTOR threads — and
+    * append the batch to the raw table. The driver-side
+    * `SimplefinConnector.fetchAll` stays as the one-URL parity path (it
+    * keeps the reference's swallow-a-bad-chunk semantics,
+    * `simplefin_service.py`); this is the path a many-executor deployment
+    * runs, and a bad chunk fails the job loudly instead. `nowEpoch` is
+    * explicit because the chunk grid must be deterministic per batch.
+    * Returns the ingested batch's row count. */
+  def ingestFleet(
+      accessUrls: Seq[String],
+      nowEpoch: Long,
+      lookbackDays: Int = 200,
+      maxDaysPerRequest: Int = 45,
+      transportKey: String = graft.sources.SimplefinTransports.DefaultKey,
+      retryTotal: Int = 5): Long = {
+    require(accessUrls.nonEmpty, "ingestFleet: at least one access URL")
+    val batch = spark.read.format("graft-simplefin")
+      .option("accessUrls", accessUrls.mkString(","))
+      .option("nowEpoch", nowEpoch.toString)
+      .option("lookbackDays", lookbackDays.toString)
+      .option("maxDaysPerRequest", maxDaysPerRequest.toString)
+      .option("transport", transportKey)
+      .option("retryTotal", retryTotal.toString)
+      .load()
+    // count via the store, not batch.count(): counting the source frame
+    // would fetch the whole fleet a second time when the write runs
+    val before =
+      if (store.exists("raw_simplefin")) store.read("raw_simplefin").count() else 0L
+    loadRawBatch(batch)
+    store.read("raw_simplefin").count() - before
+  }
+
   private def registryRow(
       version: String, status: String, metrics: Map[String, Double],
       nTrain: Long, nTest: Long, nClasses: Int, reason: String): DataFrame = {

@@ -12,7 +12,7 @@ import graft.finance.ml.CategoryClassifier
   * | job | composition |
   * |---|---|
   * | 1_dagster_init                          | models → train → predict → models |
-  * | 2_ingest_and_predict                    | models → predict (ingest is the connector, driver-side) |
+  * | 2_ingest_and_predict                    | [fleet ingest via DSv2 when GRAFT_SIMPLEFIN_ACCESS_URLS is set] → models → predict |
   * | 3_run_all_dbt_models                    | models |
   * | 4_refresh_validated_retrain_repredict   | models (incremental) → train → predict → models |
   * | z_a_rebuild_historic_data               | full-refresh models → train → predict → models |
@@ -68,6 +68,17 @@ object JobsMain {
       case "1_dagster_init" | "4_refresh_validated_retrain_repredict" =>
         jobs.runAllModels(); trainAndPredict()
       case "2_ingest_and_predict" =>
+        // fleet ingest head: when the deployment provides access URLs,
+        // pull them through the `graft-simplefin` DSv2 source (one task
+        // per url×chunk, executor-side fetch — Jobs.ingestFleet); with no
+        // URLs configured the raw table is whatever the driver-side
+        // connector last appended, the reference's one-URL posture
+        sys.env.get("GRAFT_SIMPLEFIN_ACCESS_URLS").filter(_.nonEmpty).foreach { u =>
+          val now = sys.env.get("GRAFT_NOW_EPOCH").map(_.toLong)
+            .getOrElse(java.time.Instant.now().getEpochSecond)
+          val n = jobs.ingestFleet(u.split(",").map(_.trim).filter(_.nonEmpty).toSeq, now)
+          System.err.println(s"[ingest] fleet batch: $n rows")
+        }
         // per the composition table: models → predict, NO retrain — the
         // ingest poll must not churn the model on every run
         jobs.runAllModels()

@@ -93,4 +93,45 @@ class JobsSpec extends SparkSpec {
     val dining = cat2.find(_.getAs[String]("name") == "Dining").get
     assert(!dining.getAs[Boolean]("is_active"))   // deactivation preserved
   }
+
+  test("ingestFleet pulls a multi-URL fleet through the DSv2 source into the raw table") {
+    import graft.finance.connector.SimplefinConnector
+    val store = new TableStore(spark, Files.createTempDirectory("graft-wh-fleet").toString)
+    val jobs = new Jobs(spark, store)
+    val now = 1700000000L
+
+    // fake fleet: two credentialed bridges, each serving one txn per date
+    // chunk, id derived from (bridge, chunk start) so provenance is
+    // visible in the landed rows
+    graft.sources.SimplefinTransports.register("jobs-fleet-fake",
+      new SimplefinConnector.Transport {
+        def get(url: String, auth: String, t: Int): (Int, String) = {
+          val bridge = "bridge([0-9])".r.findFirstMatchIn(url).get.group(1)
+          val s = "start-date=([0-9]+)".r.findFirstMatchIn(url).get.group(1)
+          (200,
+            s"""{"errors":[],"accounts":[{"id":"acc$bridge","name":"Checking $bridge",
+                "org":{"name":"Bank","domain":"bank.example"},"transactions":[
+                {"id":"b$bridge-t$s","amount":"-2.50","posted":$s,
+                 "transacted_at":$s,"description":"fleet txn","pending":false}]}]}""")
+        }
+      })
+
+    val urls = Seq(
+      "https://u1:p1@bridge1.example.org/simplefin",
+      "https://u2:p2@bridge2.example.org/simplefin")
+    val n = jobs.ingestFleet(urls, now, transportKey = "jobs-fleet-fake")
+
+    val chunks = SimplefinConnector.chunkRanges(now)
+    assert(n == 2L * chunks.size)
+    val raw = store.read("raw_simplefin")
+    assert(raw.count() == 2L * chunks.size)
+    val ids = raw.select("transaction_id").collect().map(_.getString(0)).toSet
+    assert(ids == chunks.flatMap { case (s, _) =>
+      Seq(s"b1-t$s", s"b2-t$s") }.toSet)
+
+    // a second batch APPENDS (the 2_ingest head contract): same fleet,
+    // nowEpoch one chunk later, only genuinely new ids add rows
+    val n2 = jobs.ingestFleet(urls, now + 86400L * 45, transportKey = "jobs-fleet-fake")
+    assert(n2 > 0 && store.read("raw_simplefin").count() == n + n2)
+  }
 }
