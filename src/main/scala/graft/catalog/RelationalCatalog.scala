@@ -781,5 +781,88 @@ object RelationalCatalog {
         .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
+    },
+
+    // ---- TPC-H Q13 shape: customer order-count distribution -----------------
+    // Outer-join-under-double-aggregate: how many customers placed 0, 1,
+    // 2, ... qualifying orders. The dim-preserving LEFT OUTER is the
+    // defining subtlety (customers with zero orders must appear in the 0
+    // bucket, so the order filter lives in the JOIN condition, not WHERE).
+    // Scale posture: the per-customer count is computed on the ORDERS side
+    // FIRST (partial aggregate below the join — the fact table collapses
+    // to one row per custkey before any join), then the outer join fills
+    // zeros; the oracle keeps TPC-H's textbook join-then-aggregate form
+    // and must produce the identical distribution. The second aggregate
+    // (distribution over counts) is bounded by max orders/customer —
+    // trivially small at any corpus size.
+    QueryDef(
+      "q13_customer_distribution",
+      "TPC-H Q13 shape: distribution of per-customer qualifying-order counts — orders pre-aggregated per custkey BELOW the zero-preserving left outer join, then the count-of-counts",
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+      """)) { (spark, dir) =>
+      val perCust = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(spark, dir).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- TPC-H Q22 shape: global scalar threshold + anti-join ---------------
+    // The last TPC-H query expressible on this corpus (q11/q20 need
+    // partsupp, q12 l_shipmode — neither exists here): customers whose
+    // balance beats the global positive-balance average AND who never
+    // placed an urgent order (phone-prefix filter stood in by the urgent
+    // anti-join — the fixture has no c_phone; every customer here has
+    // SOME order, so plain NOT EXISTS would be degenerate). The average
+    // is compared by CROSS-MULTIPLICATION (bal·n > Σbal) so the filter
+    // boundary is exact DECIMAL·BIGINT arithmetic on both engines — an
+    // avg-as-double comparison could flap a boundary row. Through SQL on
+    // both sides (the j13 posture): the two uncorrelated scalar
+    // subqueries execute once each (never per-row), and NOT EXISTS plans
+    // as a null-safe-free anti-join on custkey; orders is touched only
+    // as its (custkey, priority) projection.
+    QueryDef(
+      "q22_global_sales_opportunity",
+      "TPC-H Q22 shape: per-segment count + balance sum of above-global-average customers with no urgent order — uncorrelated scalar subqueries (exact cross-multiplied threshold) + NOT EXISTS anti-join, through SQL on both sides",
+      Some("""
+        SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) >
+              (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+               FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+      """)) { (spark, dir) =>
+      val cu = s"parquet.`$dir/customer.parquet`"
+      val or = s"parquet.`$dir/orders.parquet`"
+      spark.sql(s"""
+        SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM $cu c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM $cu WHERE c_acctbal > 0) >
+              (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+               FROM $cu WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM $or o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+      """)
     })
 }
