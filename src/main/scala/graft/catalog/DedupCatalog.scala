@@ -56,11 +56,13 @@ object DedupCatalog {
   private def ccLabelsDF(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     ccLabelCache.getOrElseUpdate((spark, dir), {
-      val labels = graft.operators.ConnectedComponents
-        .label(simhashPairsDF(spark, dir), "doc1", "doc2")
-        .localCheckpoint(false)
-      labels.count() // materialize: consumers read blocks, not the contraction
-      labels
+      // Reuse.materialize: RELIABLE checkpoint under a configured dir
+      // (cluster-survivable), localCheckpoint only as the bare-session
+      // fallback — the round-10 g6 posture applied to every one-shot
+      // multi-consumer reuse site.
+      graft.operators.Reuse.materialize(
+        graft.operators.ConnectedComponents
+          .label(simhashPairsDF(spark, dir), "doc1", "doc2"))
     })
 
   /** Doc ids that ride the d3/d5 packed-long encodings must fit 31 bits: a

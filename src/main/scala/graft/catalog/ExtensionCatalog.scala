@@ -1653,10 +1653,10 @@ object ExtensionCatalog {
       // tower (distances + argmin window) feeds BOTH join branches and
       // every repeat — one 20k-row table, computed once per (session, dir)
       val assign = graphScores.getOrElseUpdate((spark, dir, "s9assign"), {
-        val df = kmOwn(spark, dir).select(col("vec_id"), col("cid"))
-          .localCheckpoint(false)
-        df.count() // materialize so both branches read blocks, not the plan
-        df
+        // Reuse.materialize: reliable checkpoint when a dir is configured
+        // (cluster-survivable), localCheckpoint fallback (g6 posture)
+        graft.operators.Reuse.materialize(
+          kmOwn(spark, dir).select(col("vec_id"), col("cid")))
       })
       val vecs = kmQuantized(spark, dir)
       val queries = assign.filter(col("vec_id") % 20 === 0)
@@ -1732,9 +1732,9 @@ object ExtensionCatalog {
     * (the operators' prepGraph then canonicalizes from the cached blocks). */
   private def tradeGraphEdges(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graphScores.getOrElseUpdate((spark, dir, "edges"), {
-      val df = tradeGraphEdgesUncached(spark, dir).localCheckpoint(false)
-      df.count() // materialize so both consumers read blocks, not the join
-      df
+      // Reuse.materialize: reliable checkpoint when a dir is configured
+      // (cluster-survivable), localCheckpoint fallback (g6 posture)
+      graft.operators.Reuse.materialize(tradeGraphEdgesUncached(spark, dir))
     })
 
   private def tradeGraphEdgesUncached(spark: org.apache.spark.sql.SparkSession, dir: String) = {
