@@ -822,6 +822,59 @@ object TextCatalog {
           dupMicro.as("dup_sent_micro"),
           (topMicro > 180000L).as("flag_top_bigram"),
           (dupMicro > 300000L).as("flag_dup_sent"))
+    },
+
+    // ---- T15: domain-level quality roll-up ----------------------------------
+    // The curation level between per-doc filters (t2/t7/t14) and corpus
+    // assembly (d9): RefinedWeb/C4-style SOURCE filtering — a domain whose
+    // docs are low-quality or mostly intra-domain duplicates is dropped
+    // wholesale, before any per-doc work is spent on it. Signals: mean t2
+    // quality score and the share of docs whose exact content hash repeats
+    // WITHIN the domain (boilerplate mills score high here). Scale: the
+    // signal projection is map-only; then two keyed aggregates — (source,
+    // hash) is fine-grained so a mega-domain cannot hot-spot the first
+    // exchange, and the per-source reduce rides map-side partials. Ratios
+    // are double divisions of exact integer operands — identical IEEE
+    // results on both engines (the t2 posture).
+    QueryDef(
+      "t15_domain_quality",
+      "Domain-level curation roll-up: per-source doc count, mean t2 quality, intra-domain exact-dup share, keep gate (avg>=2, dup<=0.5) — RefinedWeb-style source filtering",
+      Some(s"""
+        WITH sig AS (
+          SELECT source, md5(lower(trim(text))) AS h,
+                 (CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+                  + CASE WHEN ${hitsSql("en")} * 1.0 / len(toks) >= 0.05 THEN 1 ELSE 0 END
+                  + CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3 THEN 1 ELSE 0 END) AS q
+          FROM (SELECT source, text, string_split(lower(text), ' ') AS toks FROM documents)),
+        byhash AS (
+          SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(q) AS BIGINT) AS sq
+          FROM sig GROUP BY 1, 2)
+        SELECT source, n_docs, avg_quality, dup_rate,
+               (avg_quality >= 2.0 AND dup_rate <= 0.5) AS keep
+        FROM (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(SUM(sq) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_quality,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c) AS BIGINT) AS dup_rate
+          FROM byhash GROUP BY 1)
+      """)) { (spark, dir) =>
+      val sig0 = Tables.documents(spark, dir)
+        .select(col("source"), col("text"), toks(col("text")).as("toks"))
+      val sig = sig0.select(col("source"),
+        md5(lower(trim(col("text")))).as("h"),
+        (when(size(col("toks")).between(20, 200), 1).otherwise(0)
+          + when(hits(col("toks"), "en") * lit(1.0) / size(col("toks")) >= 0.05, 1).otherwise(0)
+          + when(size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks")) >= 0.3, 1).otherwise(0)).as("q"))
+      val byHash = sig.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"), sum(col("q")).as("sq"))
+      byHash.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          (sum(col("sq")).cast("double") / sum(col("c"))).as("avg_quality"),
+          (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double")
+            / sum(col("c"))).as("dup_rate"))
+        .select(col("source"), col("n_docs"), col("avg_quality"), col("dup_rate"),
+          (col("avg_quality") >= 2.0 && col("dup_rate") <= 0.5).as("keep"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
