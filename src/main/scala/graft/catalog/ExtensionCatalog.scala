@@ -1028,6 +1028,52 @@ object ExtensionCatalog {
         .withColumn("price", col("price").cast("double"))
     },
 
+    // ---- I9: dynamic partition overwrite (date-partitioned backfill) ------
+    // The mutation protocol the i-family still lacked: a restatement
+    // batch replaces EXACTLY the day-partitions it touches, wholesale —
+    // a touched day's rows absent from the batch VANISH (what separates
+    // this from i2's key-level upsert), untouched days are never read or
+    // rewritten. At 100 TB this is how a late-arriving day is restated:
+    // one directory, not the table. The REAL write path is
+    // `TableStore.overwriteDynamicPartitions` (Spark-native
+    // partitionOverwriteMode=dynamic, spec-gated in TableStoreSpec); this
+    // entry pins the protocol's read-side algebra: anti-join on the
+    // batch's distinct partition set (tiny → broadcast) ∪ the batch.
+    QueryDef(
+      "i9_partition_overwrite",
+      "Dynamic partition overwrite protocol: base days not touched by the restatement batch survive untouched; touched days are replaced wholesale (dropped rows vanish) — anti-join on the batch's distinct day set ∪ batch",
+      Some("""
+        WITH base AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(value AS DOUBLE) AS value,
+                 CAST(date_trunc('day', ts) AS DATE) AS part_day
+          FROM events),
+        batch AS (
+          SELECT event_id, user_id, 'restated' AS event_type, value, part_day
+          FROM base
+          WHERE part_day BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+            AND event_id % 2 = 0)
+        SELECT event_id, user_id, event_type, value, part_day FROM base
+        WHERE part_day NOT IN (SELECT DISTINCT part_day FROM batch)
+        UNION ALL
+        SELECT event_id, user_id, event_type, value, part_day FROM batch
+      """)) { (spark, dir) =>
+      val base = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"),
+        to_date(date_trunc("day", col("ts"))).as("part_day"))
+      val batch = base
+        .filter(col("part_day").between(lit("2024-01-10").cast("date"),
+          lit("2024-01-14").cast("date")) && col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"),
+          lit("restated").as("event_type"), col("value"), col("part_day"))
+      base.join(batch.select(col("part_day")).distinct(),
+          Seq("part_day"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("part_day"))
+        .unionByName(batch)
+    },
+
     // ---- K3: mergeable HLL sketches --------------------------------------
     // Hash-gated via the k1 technique (round-5 verdict #4): sketch BYTES and
     // estimates are engine-specific, so the output carries the exact merged

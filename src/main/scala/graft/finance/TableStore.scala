@@ -49,6 +49,27 @@ final class TableStore(spark: SparkSession, val root: String) {
     swapInto(tmp, target)
   }
 
+  /** Dynamic partition overwrite — the date-partitioned BACKFILL protocol:
+    * only the partitions PRESENT in the batch are replaced (wholesale —
+    * a touched partition's rows not in the batch disappear, which is the
+    * point of a restatement); untouched partitions' files are never
+    * listed, rewritten, or even read. At 100 TB this is how a
+    * late-arriving day is restated: one directory rewritten, not the
+    * table. Uses Spark's native `partitionOverwriteMode=dynamic` as a
+    * per-write option (no session-conf mutation — catalog queries share
+    * the session). Atomicity contract is Spark's own dynamic-overwrite
+    * commit (per-partition staging) — same contract as Hive/Spark
+    * INSERT OVERWRITE, weaker than [[overwrite]]'s whole-table swap but
+    * scoped to exactly the restated partitions. */
+  def overwriteDynamicPartitions(
+      table: String, batch: DataFrame, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwriteDynamicPartitions needs partition columns")
+    batch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(dir(table).toString)
+  }
+
   /** Bucketed managed table for co-located joins (SURVEY §4 / builder
     * prompt: "bucketing for co-located joins"): both sides of a recurring
     * equi-join written with the same bucket spec join WITHOUT a shuffle —

@@ -27,6 +27,27 @@ class TableStoreSpec extends SparkSpec {
     assert(got == Map("t1" -> "v1", "t2" -> "v2", "t3" -> "v2"))
   }
 
+  test("overwriteDynamicPartitions replaces only the batch's partitions, wholesale") {
+    val store = freshStore()
+    // base: three day-partitions, two rows each
+    store.overwriteDynamicPartitions("fct_daily",
+      Seq(("d1", 1L, "a"), ("d1", 2L, "b"),
+          ("d2", 3L, "c"), ("d2", 4L, "d"),
+          ("d3", 5L, "e"), ("d3", 6L, "f"))
+        .toDF("day", "id", "v"), Seq("day"))
+    // restatement: d2 wholesale (one row survives — the dropped row must
+    // VANISH, which is what distinguishes this from upsert) + new d4
+    store.overwriteDynamicPartitions("fct_daily",
+      Seq(("d2", 3L, "RESTATED"), ("d4", 7L, "g")).toDF("day", "id", "v"), Seq("day"))
+    val got = store.read("fct_daily").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(got == Set(
+      ("d1", 1L, "a"), ("d1", 2L, "b"),      // untouched partition intact
+      ("d2", 3L, "RESTATED"),                 // replaced wholesale: id=4 gone
+      ("d3", 5L, "e"), ("d3", 6L, "f"),      // untouched partition intact
+      ("d4", 7L, "g")))                       // new partition appended
+  }
+
   test("bucketed tables join without a shuffle; re-overwrite cleans old generation") {
     val root = Files.createTempDirectory("graft-bk")
     val store = new TableStore(spark, root.toString)
