@@ -86,6 +86,10 @@ def frame_rows(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # CHECK_THREADS caps DuckDB's per-connection threads so sharded runs
+    # (CHECK_SHARD=i/N below) don't oversubscribe the box.
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['CHECK_THREADS'])}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -93,6 +97,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # CHECK_SHARD=i/N: run names[i::N] only — a wall-clock wrapper, not a
+    # semantics change (every query still runs the identical compare in
+    # exactly one shard; the caller sums the per-shard tallies).
+    if os.environ.get("CHECK_SHARD"):
+        i, n = (int(x) for x in os.environ["CHECK_SHARD"].split("/"))
+        names = names[i::n]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
