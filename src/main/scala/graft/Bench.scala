@@ -107,8 +107,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // reliable-checkpoint home for Reuse.materialize (local run: tmp dir;
     // a cluster deployment points this at durable shared storage)
-    spark.sparkContext.setCheckpointDir(
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints")
+    spark.sparkContext.setCheckpointDir(GraftSession.DefaultCheckpointDir)
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(struct(col("*"))).cast("double").as("_h")) // double: ANSI long sum would overflow

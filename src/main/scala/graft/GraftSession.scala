@@ -29,6 +29,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Default reliable-checkpoint home, shared by every entry point (this
+    * builder, `Bench`, `Verify`): one definition so the checkpoint home
+    * cannot silently diverge between them. On a cluster, override with
+    * durable shared storage. Each SparkContext checkpoints into its own
+    * UUID subdirectory under this path; `Reuse.materialize` registers a
+    * shutdown hook that deletes that subdirectory so repeated runs don't
+    * accumulate checkpoint blocks. */
+  val DefaultCheckpointDir: String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints"
+
   /** The configuration contract, exposed for inspection/tests. */
   def configs(shufflePartitions: Int): Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
@@ -49,10 +59,12 @@ object GraftSession {
     // this with durable shared storage (HDFS/object store) — an
     // executor-local or node-local path defeats the recoverability the
     // reliable path exists for. The default keeps single-JVM runs working
-    // out of the box; the cleaner drops checkpoint files when their frame
-    // is garbage-collected so long sessions don't leak disk.
-    "spark.checkpoint.dir" ->
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints",
+    // out of the box; disk lifecycle is two-tier — the cleaner drops files
+    // for frames that get garbage-collected mid-session, and
+    // Reuse.materialize's shutdown hook removes this app's checkpoint
+    // subdirectory at exit (session-lifetime caches hold strong
+    // references, so the cleaner alone never fires for them).
+    "spark.checkpoint.dir" -> DefaultCheckpointDir,
     "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
   def builder(appName: String, shufflePartitions: Int = 200): SparkSession.Builder = {

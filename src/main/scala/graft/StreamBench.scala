@@ -150,11 +150,18 @@ object StreamBench {
     val qFull = startUls(s"$work/uls-full", s"$work/ckpt-uls-full")
     qFull.processAllAvailable(); qFull.stop()
 
-    // segment A: kill after `killAfter` committed batches
+    // segment A: kill after `killAfter` committed batches. The wait exits
+    // on ANY of: target batch committed, query no longer active (a tiny
+    // fixture can drain in fewer than `killAfter` batches, or the query
+    // can die with an error — polling a dead query would spin forever), or
+    // a hard deadline as the last-resort hang guard.
     val killAfter = 2L
     val tA = System.nanoTime()
+    val deadlineA = tA + 300L * 1000L * 1000L * 1000L // 300 s
     val qA = startUls(s"$work/uls-rec", s"$work/ckpt-uls-rec")
-    while (Option(qA.lastProgress).forall(_.batchId < killAfter - 1)) Thread.sleep(50)
+    while (qA.isActive
+        && Option(qA.lastProgress).forall(_.batchId < killAfter - 1)
+        && System.nanoTime() < deadlineA) Thread.sleep(50)
     qA.stop() // mid-replay kill: most of the fixture is still unprocessed
     val segASec = (System.nanoTime() - tA) / 1e9
     val batchesA = Option(qA.lastProgress).map(_.batchId + 1).getOrElse(0L)
@@ -167,10 +174,15 @@ object StreamBench {
     val batchesB = Option(qB.lastProgress).map(_.batchId + 1).getOrElse(0L) - batchesA
     qB.stop()
 
+    // SYMMETRIC compare: rows in either run but not the other. A
+    // union-distinct count against the reference alone would miss rows
+    // ABSENT from the recovered run (a lost-replay failure leaves rec a
+    // strict subset of full and the superset check still passes) — the
+    // exact failure class this measurement exists to catch.
     val full = finalRows(s"$work/uls-full")
     val rec = finalRows(s"$work/uls-rec")
     val nUsers = full.count()
-    val mismatch = full.unionByName(rec).distinct().count() - nUsers
+    val mismatch = full.except(rec).unionByName(rec.except(full)).count()
     println(
       s"""{"pipeline":"user_lifetime_stats_recovery","rows":$nRows,""" +
         s""""kill_after_batches":$killAfter,"segA_sec":${f"$segASec%.2f"},""" +

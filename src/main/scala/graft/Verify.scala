@@ -23,8 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // reliable-checkpoint home for Reuse.materialize (local run: tmp dir;
     // a cluster deployment points this at durable shared storage)
-    spark.sparkContext.setCheckpointDir(
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-checkpoints")
+    spark.sparkContext.setCheckpointDir(GraftSession.DefaultCheckpointDir)
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>

@@ -1079,7 +1079,10 @@ object ParityCatalog {
           .join(parent.select(col(pk)).filter(col(pk).isNotNull),
             col(fk) === col(pk), "left_outer")
           .agg(count(lit(1)).as("n_child"),
-            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+            // coalesce: sum over an EMPTY feed (every FK NULL) is NULL,
+            // but the oracle's scalar COUNT subqueries return 0 there
+            coalesce(sum(when(col(pk).isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_orphans"))
           .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
             expr("(n_orphans * CAST(1000000 AS BIGINT)) div nullif(n_child, CAST(0 AS BIGINT))")
               .as("orphan_micro"))

@@ -195,12 +195,15 @@ final class Jobs(spark: SparkSession, store: TableStore) {
       .option("transport", transportKey)
       .option("retryTotal", retryTotal.toString)
       .load()
-    // count via the store, not batch.count(): counting the source frame
-    // would fetch the whole fleet a second time when the write runs
-    val before =
-      if (store.exists("raw_simplefin")) store.read("raw_simplefin").count() else 0L
-    loadRawBatch(batch)
-    store.read("raw_simplefin").count() - before
+    // persist the batch so count + write share ONE fleet fetch — counting
+    // the raw table before/after instead would scan the ever-growing table
+    // twice per ingest (cost linear in table history, not batch size)
+    batch.persist()
+    try {
+      val n = batch.count()
+      loadRawBatch(batch)
+      n
+    } finally batch.unpersist(blocking = false)
   }
 
   private def registryRow(

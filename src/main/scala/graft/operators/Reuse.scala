@@ -1,6 +1,9 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Multi-consumer materialization of an intermediate DataFrame.
   *
@@ -28,11 +31,43 @@ object Reuse {
   def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) {
-      df.checkpoint() // eager; durable blocks, cluster-survivable
+      registerCheckpointCleanup(sc)
+      // Reliable checkpoint alone runs the plan TWICE: the eager count job
+      // computes it, then RDD.doCheckpoint launches a second job that
+      // recomputes every partition to write the files (the documented
+      // "persist before checkpoint" caveat). Persisting first means the
+      // count job populates the cache and the write job reads blocks — the
+      // expensive plan executes exactly once.
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint() // eager; durable blocks, cluster-survivable
+      finally cached.unpersist(blocking = false) // write job already done
     } else {
       val d = df.localCheckpoint(eager = false)
       d.count() // materialize so consumers read blocks, not the plan
       d
     }
   }
+
+  // Spark never deletes an application's reliable-checkpoint directory:
+  // `spark.cleaner.referenceTracking.cleanCheckpoints` only fires when the
+  // checkpointed RDD is garbage-collected, and session-lifetime caches
+  // (cc labels, graph scores) hold strong references until JVM exit — so
+  // repeated runs would accumulate checkpoint blocks under the shared
+  // checkpoint home forever. Each SparkContext checkpoints into its own
+  // UUID subdirectory (SparkContext.setCheckpointDir), so deleting THAT
+  // directory at JVM shutdown is safe for concurrent applications.
+  private val cleanupRegistered = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def registerCheckpointCleanup(sc: org.apache.spark.SparkContext): Unit =
+    sc.getCheckpointDir.foreach { dir =>
+      if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
+        val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(conf).delete(p, true)
+          } catch { case _: Throwable => () } // best-effort: never block exit
+        }, s"graft-checkpoint-cleanup"))
+      }
+    }
 }

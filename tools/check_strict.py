@@ -102,6 +102,11 @@ def main(sf_dir, out_dir):
     # exactly one shard; the caller sums the per-shard tallies).
     if os.environ.get("CHECK_SHARD"):
         i, n = (int(x) for x in os.environ["CHECK_SHARD"].split("/"))
+        # Shards are 0-based: a 1-based spec (1/4..4/4) would silently drop
+        # names[0] from every shard while the tallies still sum plausibly.
+        if not (0 <= i < n):
+            raise SystemExit(
+                f"CHECK_SHARD out of range: {i}/{n} (expected 0 <= i < n; shards are 0-based)")
         names = names[i::n]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
