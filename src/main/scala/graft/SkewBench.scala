@@ -167,6 +167,14 @@ object SkewBench {
       timed("salted", repeats) { () =>
         setSkewHandling(false)
         summarize(Skew.saltedJoin(fact, dim, Seq("k"), saltBy = col("event_id")))
+      },
+      timed("salted_hot", repeats) { () =>
+        setSkewHandling(false)
+        // 50k-row threshold: only the 90% key qualifies at sf>=0.1, so the
+        // dim replicates for ONE key instead of all of them — the cost
+        // saltedJoin pays and this arm measures the recovery of.
+        summarize(Skew.saltedJoinHot(fact, dim, Seq("k"),
+          saltBy = col("event_id"), hotRowThreshold = 50000L))
       })
     setSkewHandling(false)
 

@@ -263,6 +263,24 @@ object ExtensionCatalog {
     },
 
     QueryDef(
+      "x4b_hotkey_salted_join",
+      "Hot-key-targeted salted join (operators/Skew.saltedJoinHot): exact per-key counts pick the heavy suppliers, ONLY those salt (dim replicated for the hot slice alone), cold keys join plain — the union equals the unsalted join exactly, which is what the oracle checks. The 600-row threshold sits at the per-supplier mean so BOTH arms carry real rows at every sweep scale",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, s_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      """)) { (spark, dir) =>
+      graft.operators.Skew.saltedJoinHot(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_suppkey").as("s_suppkey")),
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        keys = Seq("s_suppkey"),
+        saltBy = col("l_orderkey") * 8 + col("l_linenumber"),
+        hotRowThreshold = 600L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("s_name"))
+    },
+
+    QueryDef(
       "x5_twophase_distinct",
       "Two-phase distinct aggregation (operators/Skew.distinctCountSkewAware): groupBy(key, value) then groupBy(key) — countDistinct without funneling a hot key through one reducer",
       Some("""

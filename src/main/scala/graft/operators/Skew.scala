@@ -35,6 +35,50 @@ object Skew {
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
+  /** Hot-key-targeted salted join: salt ONLY the keys that are actually
+    * heavy, join everything else plain. `saltedJoin` pays `buckets`×
+    * replication of the ENTIRE dimension even when one key in a million is
+    * hot (SkewBench measured that overhead losing to AQE's targeted split);
+    * this form detects heavy hitters with one exact per-key count over the
+    * fact (map-side combined — only |distinct keys| rows shuffle), routes
+    * hot-key rows through the salted path with the dimension replicated for
+    * the HOT KEYS ONLY, and lets cold keys take the ordinary equi-join.
+    *
+    * The union of the two arms equals the plain inner join exactly: every
+    * fact row lands in exactly one arm (semi vs anti on the same hot-key
+    * set), and each arm's join is result-equal to its slice of the plain
+    * join. Detection is exact, so the split — and the result — is
+    * deterministic.
+    *
+    * At 100 TB: heavy hitters are by definition few (at most
+    * |fact|/threshold of them), so the hot-key set broadcasts; the extra
+    * cost over a plain join is one map-side-combined count of the fact and
+    * `buckets` copies of the hot slice of the dimension. Use this over
+    * [[saltedJoin]] whenever the dimension is large relative to its hot
+    * slice; use AQE's skew split instead whenever both join sides reach the
+    * join through shuffle exchanges (it replicates even less).
+    */
+  def saltedJoinHot(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      buckets: Int = 16,
+      hotRowThreshold: Long = 4000000L): DataFrame = {
+    require(buckets > 0 && hotRowThreshold > 0)
+    val hotKeys = fact.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_hot_n"))
+      .filter(col("_hot_n") > hotRowThreshold)
+      .select(keys.map(col): _*)
+    val hotJoined = saltedJoin(
+      fact.join(broadcast(hotKeys), keys, "left_semi"),
+      dim.join(broadcast(hotKeys), keys, "left_semi"),
+      keys, saltBy, buckets)
+    fact.join(broadcast(hotKeys), keys, "left_anti")
+      .join(dim, keys)
+      .unionByName(hotJoined)
+  }
+
   /** Two-phase distinct aggregation: `groupBy(keys, value).count` first
     * (spreads a hot group's distinct values over many reducers, map-side
     * combined), then `groupBy(keys).count` — equivalent to

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "a14_outlier_fence" -> "per-priority counts and fence stats: 5 rows each",
     "k5_countmin_frequency" -> "the fixed-width CM sketch row joined back for the bound check",
     "x11_global_shuffle_rank" -> "per-range-bucket counts: bucket count is a constant of the operator",
+    "x4b_hotkey_salted_join" -> "hot-key set: at most |fact|/threshold keys by construction (saltedJoinHot)",
     "x8_sequence_pack" -> "ONE guard row carrying the packing invariant assertion",
     "g5_cluster_eval" -> "per-cluster aggregates: k rows by construction",
     "s9_knn_join" -> "per-cell query lists: cells of the 8-query probe set only",

@@ -25,6 +25,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 900 + fact.filter("key in ('k3','k5')").count())
   }
 
+  test("saltedJoinHot equals the unsalted join across threshold regimes") {
+    val fact = (0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k${i % 17}", i.toLong, i * 1.5))
+      .toDF("key", "row_id", "v")
+    val dim = Seq(("hot", "HOT"), ("k3", "K3"), ("k5", "K5"), ("missing", "M"))
+      .toDF("key", "label")
+    val expected = fact.join(dim, Seq("key"))
+      .select("key", "row_id", "v", "label")
+      .collect().map(_.toSeq).toSet
+
+    // threshold 100: only "hot" (900 rows) salts; cold keys (<=7 rows each)
+    // take the plain arm. threshold 1: everything salts. threshold 10^6:
+    // nothing salts (pure plain join through the anti/semi split).
+    Seq(100L, 1L, 1000000L).foreach { thr =>
+      val got = Skew.saltedJoinHot(fact, dim, Seq("key"),
+          saltBy = col("row_id"), buckets = 8, hotRowThreshold = thr)
+        .select("key", "row_id", "v", "label")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"hotRowThreshold=$thr diverged")
+    }
+  }
+
+  test("saltedJoinHot replicates the dim only for hot keys") {
+    val fact = (0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k${i % 17}", i.toLong, i * 1.5))
+      .toDF("key", "row_id", "v")
+    val dim = Seq(("hot", "HOT"), ("k3", "K3"), ("k5", "K5"), ("missing", "M"))
+      .toDF("key", "label")
+    // Reproduce the internal hot-key detection at threshold 100: only "hot"
+    // qualifies, so the salted arm's replicated dim must be 1 key x buckets
+    // — NOT |dim| x buckets (the saltedJoin cost this operator exists to
+    // avoid).
+    val hotKeys = fact.groupBy("key").count().filter(col("count") > 100)
+      .select("key")
+    assert(hotKeys.collect().map(_.getString(0)).toSeq == Seq("hot"))
+    val replicated = dim.join(broadcast(hotKeys), Seq("key"), "left_semi")
+      .withColumn("_salt", explode(sequence(lit(0), lit(7))))
+    assert(replicated.count() == 8L)
+  }
+
   test("distinctCountSkewAware equals countDistinct, nulls included") {
     val df = (0 until 500).map(i => (s"g${i % 3}", if (i % 11 == 0) null else s"v${i % 37}"))
       .toDF("g", "v")
