@@ -40,15 +40,16 @@ object Skew {
     * replication of the ENTIRE dimension even when one key in a million is
     * hot (SkewBench measured that overhead losing to AQE's targeted split);
     * this form detects heavy hitters with one exact per-key count over the
-    * fact (map-side combined — only |distinct keys| rows shuffle), routes
-    * hot-key rows through the salted path with the dimension replicated for
-    * the HOT KEYS ONLY, and lets cold keys take the ordinary equi-join.
+    * fact (map-side combined — only |distinct keys| rows shuffle), salts
+    * ONLY hot-key rows with the dimension replicated for the HOT KEYS
+    * ONLY, and lets cold keys ride the same join unsalted (salt 0 on both
+    * sides).
     *
-    * The union of the two arms equals the plain inner join exactly: every
-    * fact row lands in exactly one arm (semi vs anti on the same hot-key
-    * set), and each arm's join is result-equal to its slice of the plain
-    * join. Detection is exact, so the split — and the result — is
-    * deterministic.
+    * The result equals the plain inner join exactly: a cold key pairs the
+    * same rows at the shared salt 0, and a hot fact row meets each of its
+    * dim rows exactly once — at the one salt the fact row drew, because the
+    * dim copy is replicated across ALL salts. Detection is exact, so the
+    * routing — and the result — is deterministic.
     *
     * At 100 TB: heavy hitters are by definition few (at most
     * |fact|/threshold of them), so the hot-key set broadcasts; the extra
@@ -70,13 +71,26 @@ object Skew {
       .agg(count(lit(1)).as("_hot_n"))
       .filter(col("_hot_n") > hotRowThreshold)
       .select(keys.map(col): _*)
-    val hotJoined = saltedJoin(
-      fact.join(broadcast(hotKeys), keys, "left_semi"),
-      dim.join(broadcast(hotKeys), keys, "left_semi"),
-      keys, saltBy, buckets)
-    fact.join(broadcast(hotKeys), keys, "left_anti")
-      .join(dim, keys)
-      .unionByName(hotJoined)
+      .withColumn("_hot", lit(true))
+    // Single-scan routing (not semi/anti splitting, which re-scans the fact
+    // per arm): each side takes ONE broadcast left-outer against the hot-key
+    // set to learn its salt — a hot fact row salts into [0, buckets), a cold
+    // one takes salt 0; a hot dim row explodes to every salt, a cold one
+    // keeps only salt 0 — then ONE equi-join on (keys..., salt) carries both
+    // regimes. The two broadcasts share one exchange (identical subtrees →
+    // ReuseExchange), so the fact is scanned exactly twice total: once for
+    // detection, once for the join.
+    val salted = fact.join(broadcast(hotKeys), keys, "left_outer")
+      .withColumn("_salt",
+        when(col("_hot"), pmod(xxhash64(saltBy), lit(buckets)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    val replicated = dim.join(broadcast(hotKeys), keys, "left_outer")
+      .withColumn("_salt", explode(
+        when(col("_hot"), sequence(lit(0), lit(buckets - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop("_hot")
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
   /** Two-phase distinct aggregation: `groupBy(keys, value).count` first
