@@ -30,8 +30,13 @@ class SkewBenchSpec extends SparkSpec {
     val naive = sig(fact.join(dim, "k"))
     val salted = sig(graft.operators.Skew.saltedJoin(
       fact, dim, Seq("k"), saltBy = col("event_id")))
+    // Threshold 100: the sf0.001 hot key (~900 rows) salts, cold keys ride
+    // unsalted — both regimes of the single-pass routing carry rows here.
+    val saltedHot = sig(graft.operators.Skew.saltedJoinHot(
+      fact, dim, Seq("k"), saltBy = col("event_id"), hotRowThreshold = 100L))
     assert(naive._1 > 0L, "empty join output")
     assert(naive == salted, s"salted join diverged: $naive vs $salted")
+    assert(naive == saltedHot, s"salted_hot join diverged: $naive vs $saltedHot")
   }
 
   test("two-phase distinct equals count_distinct on the skewed key") {
