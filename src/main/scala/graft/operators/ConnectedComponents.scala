@@ -35,16 +35,16 @@ import org.apache.spark.sql.functions._
   * already a star forest (see `isStarForest`), checked by one aggregate per
   * round — never a collected set comparison, and no extra "did anything
   * change" confirm round. Each round's edge set goes through
-  * `localCheckpoint` (persisted MEMORY_AND_DISK, read twice: once by the
-  * next round, once by the convergence aggregate; the truncated plan also
-  * keeps every round's analysis O(1) and avoids SPARK-21478 cache-rebuild
-  * cascades), and the SUPERSEDED round's blocks are freed explicitly via
-  * the underlying checkpointed RDD, so live storage is bounded at two
-  * rounds' edge sets no matter how many rounds run; the final round's
-  * (smallest) set stays materialized for the label projection the caller
-  * consumes. On a production cluster with preemptible executors, point
-  * `sparkContext.setCheckpointDir` at durable storage and switch to
-  * reliable `checkpoint()` — the algorithm does not change.
+  * `Reuse.round` (read twice: once by the next round, once by the
+  * convergence aggregate; the truncated plan also keeps every round's
+  * analysis O(1) and avoids SPARK-21478 cache-rebuild cascades), and the
+  * SUPERSEDED round is freed explicitly via `Reuse.freeRound`, so live
+  * storage is bounded at two rounds' edge sets no matter how many rounds
+  * run; the final round's (smallest) set stays materialized for the label
+  * projection the caller consumes. Under a checkpoint dir (every
+  * production session, plus Verify/Bench/tests here) the round cut is a
+  * RELIABLE checkpoint — preemptible-executor-survivable; the bare-session
+  * fallback is `localCheckpoint`.
   *
   * NOTE: `label` is necessarily EAGER — the round count is data-dependent,
   * so calling it runs Spark jobs (the rounds) before returning the final
@@ -66,7 +66,7 @@ object ConnectedComponents {
         least(col(src).cast("long"), col(dst).cast("long")).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(Reuse.round)
 
     // shared with the other iterative graph operators — rationale at the
     // definition (PageRank.freeBlocks)
@@ -134,7 +134,7 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       t0 = System.nanoTime()
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = smallStar(largeStar(e)).transform(Reuse.round)
       converged = isStarForest(next) // first action: materializes the checkpoint
       if (debug) System.err.println(
         f"[cc] round ${iter + 1}: ${(System.nanoTime() - t0) / 1e9}%.2f s")

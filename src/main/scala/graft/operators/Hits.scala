@@ -40,14 +40,16 @@ object Hits {
     val (e, nodes) = (g.edges, g.nodes)
 
     // (node, hub, auth) — one vector carries both scores.
-    // Free discipline: a finalized local checkpoint whose blocks are
-    // dropped CANNOT recompute (LocalCheckpointRDD throws), so a vector is
-    // freed only AFTER the job that materializes its sole dependent has
-    // completed — `retired` holds the one vector awaiting that job.
+    // Free discipline: a finalized LOCAL checkpoint whose blocks are
+    // dropped CANNOT recompute (LocalCheckpointRDD throws — the bare-
+    // session mode of Reuse.round; the reliable mode re-reads files), so a
+    // vector is freed only AFTER the job that materializes its sole
+    // dependent has completed — `retired` holds the one vector awaiting
+    // that job.
     // Storage stays bounded at two score vectors plus one retiree.
     var scores = nodes
       .withColumn("hub", lit(unit)).withColumn("auth", lit(unit))
-      .localCheckpoint(false)
+      .transform(Reuse.round)
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
@@ -62,7 +64,7 @@ object Hits {
         .withColumn("auth",
           expr(s"CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * ${unit}L div ${maxA}L"))
         .drop("raw")
-        .localCheckpoint(false)
+        .transform(Reuse.round)
       // hub half: pull the fresh authority mass back, max-normalize
       val rawH = e.join(withAuth, e("dst") === withAuth("node"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
@@ -75,7 +77,7 @@ object Hits {
           expr(s"CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * ${unit}L div ${maxH}L"))
         .drop("raw")
         .select(col("node"), col("hub"), col("auth"))
-        .localCheckpoint(false)
+        .transform(Reuse.round)
       retired = Some(withAuth) // freed once `next` materializes
       scores = next
       iter += 1

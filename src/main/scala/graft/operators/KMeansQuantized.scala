@@ -38,7 +38,7 @@ object KMeansQuantized {
     val pe = points
       .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
-      .localCheckpoint(false)
+      .transform(Reuse.round)
 
     // seed: the k smallest ids (bounded collect: k longs)
     val ids = points.select("vec_id").orderBy("vec_id").limit(k)

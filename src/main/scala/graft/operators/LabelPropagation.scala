@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * each round is one keyed join (labels onto the symmetrized edge list),
   * one (node, label) count aggregate, and one per-node argmax window over
   * the aggregate's OWN exchange — all shuffles keyed on node id, no driver
-  * state. Each round's label vector goes through `localCheckpoint`; the
-  * superseded round's blocks are freed, bounding live storage at two
+  * state. Each round's label vector goes through `Reuse.round` (reliable
+  * checkpoint under a checkpoint dir, `localCheckpoint` in a bare dev
+  * session); the superseded round is freed, bounding live storage at two
   * vectors plus the edge list regardless of round count. The window
   * partition buffers one node's DISTINCT NEIGHBOR LABELS (≤ degree, and
   * collapsing every round), not its edges.
@@ -44,11 +45,11 @@ object LabelPropagation {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .transform(Reuse.round)
 
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(false)
+      .transform(Reuse.round)
     var iter = 0
     while (iter < iters) {
       val votes = sym
@@ -64,7 +65,7 @@ object LabelPropagation {
         .withColumn("rn", row_number().over(best))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
-        .localCheckpoint(false)
+        .transform(Reuse.round)
       next.count() // materialize before freeing the superseded round
       PageRank.freeBlocks(labels)
       labels = next

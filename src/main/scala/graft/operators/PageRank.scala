@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * destination — both shuffles keyed on node id, so a cluster partitions
   * them; no driver-side state beyond the dangling-mass scalar (one number
   * per round, the fixed-size-reduction posture). Every round's rank vector
-  * goes through `localCheckpoint` and the superseded round's blocks are
-  * freed, bounding live storage at two vectors no matter how many rounds
-  * run.
+  * goes through [[Reuse.round]] (reliable checkpoint under a checkpoint
+  * dir — cluster-survivable lineage cuts — `localCheckpoint` in a bare
+  * dev session) and the superseded round is freed, bounding live storage
+  * at two vectors no matter how many rounds run.
   *
   * Semantics (the standard ones, so scores are comparable to reference
   * implementations): damping `d`, uniform teleport `(1−d)/n`, and dangling
@@ -39,7 +40,7 @@ object PageRank {
     /** Degree-annotated edge list, checkpointed once and reused every
       * PageRank round. */
     def withDeg: DataFrame = synchronized {
-      if (deg.isEmpty) deg = Some(edges.join(outDeg, "src").localCheckpoint(false))
+      if (deg.isEmpty) deg = Some(edges.join(outDeg, "src").transform(Reuse.round))
       deg.get
     }
     /** Release the prep checkpoints once the trained vector is finalized
@@ -54,10 +55,10 @@ object PageRank {
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false)
+      .transform(Reuse.round)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .transform(Reuse.round)
     val n = nodes.count()
     require(n > 0, "PageRank: empty graph")
     // per-source fanout once, reused every round
@@ -65,20 +66,15 @@ object PageRank {
     new Graph(e, nodes, n, outDeg)
   }
 
-  /** Free a superseded round's checkpointed blocks deterministically.
-    * `Dataset.unpersist` is the wrong tool here: it is non-cascading
+  /** Free a superseded round deterministically. `Dataset.unpersist`
+    * DIRECTLY on a round would be the wrong tool: it is non-cascading
     * (SPARK-21478), so dependent cached rounds would be rebuilt from FULL
-    * lineage — measured 10-20× slower. After `localCheckpoint` the round's
-    * plan is a LogicalRDD over the materialized blocks and the next
-    * round's checkpoint no longer references them, so unpersisting the
-    * underlying RDD is safe; best-effort (ContextCleaner GC remains the
-    * fallback if the plan shape ever changes). Shared by every iterative
+    * lineage — measured 10-20× slower; [[Reuse.freeRound]] releases the
+    * round's cache handle and blocks behind the checkpoint boundary,
+    * where nothing downstream can rebuild from lineage. Best-effort
+    * (ContextCleaner GC remains the fallback). Shared by every iterative
     * graph operator (ConnectedComponents, Hits, KMeansQuantized). */
-  private[operators] def freeBlocks(df: DataFrame): Unit =
-    try df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => ()
-    } catch { case scala.util.control.NonFatal(_) => () }
+  private[operators] def freeBlocks(df: DataFrame): Unit = Reuse.freeRound(df)
 
   /** Ranks after `iterations` rounds: (node, rank). Nodes = every distinct
     * src or dst. Parallel edges count once per occurrence (a multigraph
@@ -98,7 +94,7 @@ object PageRank {
     // Free discipline (the Hits lesson): a finalized local checkpoint with
     // dropped blocks cannot recompute, so the superseded vector is freed
     // only AFTER the next round's collect has materialized its dependent.
-    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(false)
+    var ranks = nodes.withColumn("rank", lit(1.0)).transform(Reuse.round)
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
@@ -114,7 +110,7 @@ object PageRank {
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
+        .transform(Reuse.round)
       retired = Some(ranks)
       ranks = next
       iter += 1
@@ -151,7 +147,7 @@ object PageRank {
     val (nodes, n, outDeg, withDeg) = (g.nodes, g.n, g.outDeg, g.withDeg)
 
     // same deferred-free discipline as `ranks` (the Hits lesson)
-    var ranks = nodes.withColumn("s", lit(unit)).localCheckpoint(false)
+    var ranks = nodes.withColumn("s", lit(unit)).transform(Reuse.round)
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
@@ -167,7 +163,7 @@ object PageRank {
         .withColumn("acc",
           lit(15L) * lit(unit) + lit(85L) * (coalesce(col("contrib"), lit(0L)) + lit(share)))
         .select(col("node"), expr("acc div 100").as("s"))
-        .localCheckpoint(false)
+        .transform(Reuse.round)
       retired = Some(ranks)
       ranks = next
       iter += 1

@@ -48,6 +48,62 @@ object Reuse {
     }
   }
 
+  /** LAZY per-round materialization for iterative operators (PageRank,
+    * HITS, label propagation, connected components, k-means): reliable
+    * checkpoint when the session has a checkpoint dir, `localCheckpoint`
+    * in a bare dev session — the same mode rule as [[materialize]], but
+    * lazy in both modes so the loop's own first action on the round (its
+    * convergence aggregate) is what materializes it; no extra job is
+    * spent per round. In reliable mode the frame is persisted first: the
+    * checkpoint-write job that Spark launches at the end of that first
+    * action would otherwise recompute the round's whole plan (the
+    * documented persist-before-checkpoint caveat); with the cache
+    * populated by the action itself, the write job reads blocks. The
+    * cache handle is tracked so [[freeRound]] can release it when the
+    * round is superseded — live storage stays bounded at two rounds
+    * whatever the round count, while lineage is cut at a
+    * cluster-survivable boundary every round (an executor loss re-reads
+    * checkpoint files instead of killing a 100 TB job — localCheckpoint's
+    * executor-local blocks cannot do that).
+    */
+  def round(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      registerCheckpointCleanup(sc)
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = false)
+      roundCaches.put(out, cached)
+      out
+    } else df.localCheckpoint(eager = false)
+  }
+
+  /** Free a superseded round produced by [[round]]. Safe to call before
+    * the round ever materialized (it just drops the cache registration);
+    * dependents built AFTER the round's first action read its checkpoint
+    * files (reliable mode) or its still-present blocks, never the freed
+    * cache. `Dataset.unpersist` here is non-cascading, and the dependent
+    * rounds sit behind a checkpoint boundary, so nothing rebuilds from
+    * full lineage (the SPARK-21478 trap [[PageRank.freeBlocks]] documents
+    * applies to cache-on-cache dependencies, which the checkpoint cut
+    * prevents). */
+  def freeRound(df: DataFrame): Unit = {
+    val cached = roundCaches.remove(df)
+    if (cached != null) {
+      try cached.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // local mode (and any leftover blocks of the checkpointed RDD itself)
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Checkpointed-frame → its pre-checkpoint cache handle, so freeing a
+    * round can release the cache that fed its checkpoint write. Entries
+    * are removed on free; a loop holds at most two. */
+  private val roundCaches = new ConcurrentHashMap[DataFrame, DataFrame]()
+
   // Spark never deletes an application's reliable-checkpoint directory:
   // `spark.cleaner.referenceTracking.cleanCheckpoints` only fires when the
   // checkpointed RDD is garbage-collected, and session-lifetime caches
