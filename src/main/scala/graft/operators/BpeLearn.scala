@@ -86,9 +86,21 @@ object BpeLearn {
       merges.foldLeft(col("w"))((c, m) => applyMerge(c, m.left_sym, m.right_sym)).as("w"),
       col("cnt"))
 
+  /** How many cache-over-cache merge rounds may chain before the lineage
+    * is cut with [[Reuse.round]]. Each round's plan is one projection over
+    * the previous round's cached frame, so WITHOUT a cut the logical plan
+    * deepens by one layer per merge — at real merge counts (tens of
+    * thousands) driver-side analysis goes quadratic and an executor loss
+    * recomputes through every unpersisted layer back to the corpus scan.
+    * A periodic checkpoint bounds plan depth and recovery cost at
+    * `interval` layers while costing one vocab-sized write per interval. */
+  private val CheckpointInterval = 32
+
   /** Learn `numMerges` merges. Stops early if the corpus runs out of
     * repeated pairs. Caches each round's vocab-sized rendering and frees the
-    * previous one, so storage is bounded at two renderings regardless of K. */
+    * previous one, so storage is bounded at two renderings regardless of K;
+    * every [[CheckpointInterval]]-th rendering is additionally routed
+    * through [[Reuse.round]] (cluster-survivable lineage cut). */
   def learn(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
     var words = initialSymbols(wordCounts).cache()
     var prev: Option[DataFrame] = None
@@ -102,18 +114,21 @@ object BpeLearn {
       // bounded at two vocab-sized renderings with no extra count() job.
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
-      prev.foreach(_.unpersist())
+      prev.foreach { p => p.unpersist(); Reuse.freeRound(p) }
       prev = Some(words)
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, a, b, c)
         words = words.select(applyMerge(col("w"), a, b).as("w"), col("cnt")).cache()
+        // Lineage cut rides the NEXT round's collect (Reuse.round is lazy),
+        // so the cadence costs no extra job.
+        if (rank % CheckpointInterval == 0) words = Reuse.round(words)
         rank += 1
       }
     }
-    prev.foreach(_.unpersist())
-    words.unpersist()
+    prev.foreach { p => p.unpersist(); Reuse.freeRound(p) }
+    words.unpersist(); Reuse.freeRound(words)
     merges.result()
   }
 }
