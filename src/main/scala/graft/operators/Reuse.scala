@@ -101,8 +101,15 @@ object Reuse {
 
   /** Checkpointed-frame → its pre-checkpoint cache handle, so freeing a
     * round can release the cache that fed its checkpoint write. Entries
-    * are removed on free; a loop holds at most two. */
-  private val roundCaches = new ConcurrentHashMap[DataFrame, DataFrame]()
+    * are removed on free (a loop holds at most two); WEAK keys, because a
+    * round the caller keeps without ever freeing (the returned final
+    * vector) must not pin its entry for the JVM lifetime — once the
+    * caller drops the frame the entry clears and ContextCleaner reclaims
+    * the cache. The value holds no reference to the key (the cache handle
+    * is the PRE-checkpoint Dataset), so weak semantics actually fire. */
+  private val roundCaches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, DataFrame]())
 
   // Spark never deletes an application's reliable-checkpoint directory:
   // `spark.cleaner.referenceTracking.cleanCheckpoints` only fires when the
