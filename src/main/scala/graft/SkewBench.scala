@@ -75,14 +75,21 @@ object SkewBench {
     * hashes — EXACT under any partitioning/addition order (a double sum of
     * hashes rounds differently per partition layout, so equal results
     * could read as a mismatch; a long sum would overflow under ANSI). */
-  private def summarize(joined: DataFrame): (Long, Long) = {
-    val r = joined
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("k"), col("event_id"), col("variant"),
-          col("weight"), col("value"))).as("c"))
-      .head()
-    (r.getLong(0), r.getLong(1))
+  private def checksumAgg(joined: DataFrame): DataFrame =
+    joined.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("k"), col("event_id"), col("variant"),
+        col("weight"), col("value"))).as("c"))
+
+  private def readSummary(r: org.apache.spark.sql.Row): (Long, Long) = {
+    val n = r.getLong(0)
+    // bit_xor over zero rows is NULL; surface an empty fixture loudly
+    // instead of an opaque NPE from the unboxing getLong.
+    require(n > 0, "[skewbench] join produced 0 rows — wrong or empty sfDir?")
+    (n, r.getLong(1))
   }
+
+  private def summarize(joined: DataFrame): (Long, Long) =
+    readSummary(checksumAgg(joined).head())
 
   private def timed(name: String, repeats: Int)(body: () => (Long, Long)): ArmResult = {
     var best = Double.MaxValue
@@ -152,17 +159,17 @@ object SkewBench {
       },
       timed("aqe", repeats) { () =>
         setSkewHandling(true)
-        val agg = fact.join(dim, "k")
-          .agg(count(lit(1)).as("n"),
-            bit_xor(xxhash64(col("k"), col("event_id"), col("variant"),
-              col("weight"), col("value"))).as("c"))
-        val r = agg.collect().head
+        // Same checksum aggregate as every other arm (one definition);
+        // collect() (not head()) so the debug plan below is the plan that
+        // actually executed — head() would wrap a separate Limit query.
+        val agg = checksumAgg(fact.join(dim, "k"))
+        val out = readSummary(agg.collect().head)
         if (sys.env.contains("SKEWBENCH_DEBUG")) {
           val plan = agg.queryExecution.executedPlan.toString
           System.err.println("[skewbench] aqe skew markers: " +
             plan.linesIterator.filter(_.toLowerCase.contains("skew")).mkString(" | ").take(1500))
         }
-        (r.getLong(0), r.getLong(1))
+        out
       },
       timed("salted", repeats) { () =>
         setSkewHandling(false)

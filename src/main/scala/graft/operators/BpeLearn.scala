@@ -114,16 +114,23 @@ object BpeLearn {
       // bounded at two vocab-sized renderings with no extra count() job.
       val top = pairCounts(words)
         .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      Reuse.seal(words) // cut rounds: checkpoint written by that collect
       prev.foreach { p => p.unpersist(); Reuse.freeRound(p) }
       prev = Some(words)
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, a, b, c)
-        words = words.select(applyMerge(col("w"), a, b).as("w"), col("cnt")).cache()
         // Lineage cut rides the NEXT round's collect (Reuse.round is lazy),
-        // so the cadence costs no extra job.
-        if (rank % CheckpointInterval == 0) words = Reuse.round(words)
+        // so the cadence costs no extra job. Cut rounds do NOT also take a
+        // plain .cache(): in reliable mode Reuse.round persists internally
+        // (and seal below releases it), and in local mode the round's
+        // blocks are its storage — a second cache layer would leak (its
+        // handle would be unreachable from the wrapper frame).
+        val rendered = words.select(applyMerge(col("w"), a, b).as("w"), col("cnt"))
+        words =
+          if (rank % CheckpointInterval == 0) Reuse.round(rendered)
+          else rendered.cache()
         rank += 1
       }
     }

@@ -129,6 +129,7 @@ object ConnectedComponents {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     var converged = isStarForest(e)
+    Reuse.seal(e) // materialized by that aggregate; feeder cache is dead
     if (debug) System.err.println(
       f"[cc] init check: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     var iter = 0
@@ -136,6 +137,7 @@ object ConnectedComponents {
       t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).transform(Reuse.round)
       converged = isStarForest(next) // first action: materializes the checkpoint
+      Reuse.seal(next)
       if (debug) System.err.println(
         f"[cc] round ${iter + 1}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       freeBlocks(e) // superseded round: bounded storage, deterministic

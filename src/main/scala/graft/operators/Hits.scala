@@ -57,6 +57,7 @@ object Hits {
       val rawA = e.join(scores, e("src") === scores("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
       val maxA = rawA.agg(coalesce(max(col("raw")), lit(0L))).head.getLong(0)
+      Reuse.seal(scores) // materialized by that collect; feeder cache is dead
       // that collect materialized `scores` — its parent can go now
       retired.foreach(PageRank.freeBlocks); retired = None
       require(maxA > 0, "HITS: graph has edges but no authority mass") // unreachable: hubs start at unit
@@ -69,6 +70,7 @@ object Hits {
       val rawH = e.join(withAuth, e("dst") === withAuth("node"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
       val maxH = rawH.agg(coalesce(max(col("raw")), lit(0L))).head.getLong(0)
+      Reuse.seal(withAuth) // materialized by that collect
       require(maxH > 0, "HITS: graph has edges but no hub mass")
       // maxH materialized `withAuth`, the only reader of `scores`
       PageRank.freeBlocks(scores)
@@ -83,6 +85,7 @@ object Hits {
       iter += 1
     }
     scores.count() // materialize the final vector so the last retiree can go
+    Reuse.seal(scores) // final round is file-backed now; drop its feeder cache
     retired.foreach(PageRank.freeBlocks)
     g.free()
     scores

@@ -48,6 +48,7 @@ object KMeansQuantized {
     var cent: Map[(Int, Long), Long] = pe
       .filter(col("vec_id").isin(ids.map(Long.box): _*))
       .collect().map(r => (cidOf(r.getLong(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    Reuse.seal(pe) // that collect materialized pe; its feeder cache is dead
     var sizes: Map[Int, Long] = Map.empty
 
     var iter = 0

@@ -43,9 +43,12 @@ object LabelPropagation {
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .transform(Reuse.round)
+    // Eager materialize (not Reuse.round): sym is read by every round but
+    // always BELOW the round's own checkpoint mark, so a lazy mark would
+    // never write its files (RDD.doCheckpoint stops at the first marked
+    // RDD per branch).
+    val sym = Reuse.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
 
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
@@ -67,6 +70,7 @@ object LabelPropagation {
         .select(col("node"), col("lbl"))
         .transform(Reuse.round)
       next.count() // materialize before freeing the superseded round
+      Reuse.seal(next) // the count wrote its checkpoint; feeder cache is dead
       PageRank.freeBlocks(labels)
       labels = next
       iter += 1

@@ -40,7 +40,12 @@ object PageRank {
     /** Degree-annotated edge list, checkpointed once and reused every
       * PageRank round. */
     def withDeg: DataFrame = synchronized {
-      if (deg.isEmpty) deg = Some(edges.join(outDeg, "src").transform(Reuse.round))
+      // EAGER materialize, not Reuse.round: a lazily-marked frame that is
+      // only ever computed UNDER a round's own marked RDD never gets its
+      // checkpoint written (RDD.doCheckpoint stops at the first marked
+      // RDD per branch) — the eager form runs its own write job now, so
+      // the reused annotated list really is file-backed.
+      if (deg.isEmpty) deg = Some(Reuse.materialize(edges.join(outDeg, "src")))
       deg.get
     }
     /** Release the prep checkpoints once the trained vector is finalized
@@ -52,14 +57,17 @@ object PageRank {
   }
 
   private[operators] def prepGraph(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
-    val e = edges.select(
+    // Eager materialize (not Reuse.round): the edge list is read by every
+    // round but always BELOW the round's own checkpoint mark, so a lazy
+    // mark would never write its files (see withDeg).
+    val e = Reuse.materialize(edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .transform(Reuse.round)
+      .filter(col("src").isNotNull && col("dst").isNotNull))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .transform(Reuse.round)
     val n = nodes.count()
+    Reuse.seal(nodes) // count wrote the checkpoint; the feeder cache is dead
     require(n > 0, "PageRank: empty graph")
     // per-source fanout once, reused every round
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -101,6 +109,7 @@ object PageRank {
       // dangling mass: one scalar to the driver per round
       val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+      Reuse.seal(ranks) // materialized by that collect; feeder cache is dead
       retired.foreach(freeBlocks); retired = None // that collect materialized `ranks`
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
@@ -116,6 +125,7 @@ object PageRank {
       iter += 1
     }
     ranks.count() // materialize the final vector so the last retiree can go
+    Reuse.seal(ranks) // final round is file-backed now; drop its feeder cache
     retired.foreach(freeBlocks)
     g.free()
     ranks
@@ -153,6 +163,7 @@ object PageRank {
     while (iter < iterations) {
       val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("s")), lit(0L))).head.getLong(0)
+      Reuse.seal(ranks) // materialized by that collect; feeder cache is dead
       retired.foreach(freeBlocks); retired = None
       val share = dangling / n
       val contribs = withDeg
@@ -169,6 +180,7 @@ object PageRank {
       iter += 1
     }
     ranks.count() // materialize the final vector so the last retiree can go
+    Reuse.seal(ranks) // final round is file-backed now; drop its feeder cache
     retired.foreach(freeBlocks)
     g.free()
     ranks

@@ -77,21 +77,34 @@ object Reuse {
     } else df.localCheckpoint(eager = false)
   }
 
-  /** Free a superseded round produced by [[round]]. Safe to call before
-    * the round ever materialized (it just drops the cache registration);
-    * dependents built AFTER the round's first action read its checkpoint
-    * files (reliable mode) or its still-present blocks, never the freed
-    * cache. `Dataset.unpersist` here is non-cascading, and the dependent
-    * rounds sit behind a checkpoint boundary, so nothing rebuilds from
-    * full lineage (the SPARK-21478 trap [[PageRank.freeBlocks]] documents
-    * applies to cache-on-cache dependencies, which the checkpoint cut
-    * prevents). */
-  def freeRound(df: DataFrame): Unit = {
+  /** Release a LIVE round's feeder cache once the round has materialized.
+    * In reliable mode the cache exists only so the checkpoint-write job
+    * (which runs at the end of the round's first action) reads blocks
+    * instead of recomputing the plan; every read AFTER that goes to the
+    * checkpoint files, so from then on the cache is dead weight — call
+    * this right after the materializing action and the frame stays fully
+    * readable. In local mode this is a no-op (the round's blocks ARE its
+    * backing). Idempotent. Without it, a round the caller keeps forever
+    * (the returned final vector) would pin its feeder cache for the JVM
+    * lifetime — CacheManager holds registered plans strongly, so the weak
+    * registry alone cannot reclaim them. */
+  def seal(df: DataFrame): Unit = {
     val cached = roundCaches.remove(df)
     if (cached != null) {
       try cached.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** Free a SUPERSEDED round produced by [[round]]: [[seal]] plus
+    * dropping the round's own materialized blocks. Call it only once the
+    * round's sole dependent has materialized (the loops' deferred-free
+    * discipline): in local mode the blocks are the round's only backing
+    * and a freed-but-unmaterialized local round cannot compute at all
+    * (LocalCheckpointRDD cannot recompute), so this is a destructive
+    * retirement, not a cancel. */
+  def freeRound(df: DataFrame): Unit = {
+    seal(df)
     // local mode (and any leftover blocks of the checkpointed RDD itself)
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()

@@ -35,9 +35,10 @@ class OperatorsSpec extends SparkSpec {
       .select("key", "row_id", "v", "label")
       .collect().map(_.toSeq).toSet
 
-    // threshold 100: only "hot" (900 rows) salts; cold keys (<=7 rows each)
-    // take the plain arm. threshold 1: everything salts. threshold 10^6:
-    // nothing salts (pure plain join through the anti/semi split).
+    // threshold 100: only "hot" (900 rows) salts; cold keys (<=7 rows
+    // each) ride salt 0. threshold 1: every key salts. threshold 10^6:
+    // nothing is hot — all rows carry salt 0 on both sides, so the single
+    // join degenerates to the plain equi-join.
     Seq(100L, 1L, 1000000L).foreach { thr =>
       val got = Skew.saltedJoinHot(fact, dim, Seq("key"),
           saltBy = col("row_id"), buckets = 8, hotRowThreshold = thr)

@@ -21,4 +21,28 @@ class ReuseSpec extends SparkSpec {
     assert(m.count() == 10)
     assert(files() > before, "no checkpoint blocks written — localCheckpoint fallback taken?")
   }
+
+  test("round writes its checkpoint on first action; seal frees the feeder cache and keeps the frame readable") {
+    import spark.implicits._
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "test harness must configure a checkpoint dir")
+    def files(): Long = {
+      val d = new java.io.File(new java.net.URI(dir.get).getPath)
+      if (!d.isDirectory) 0L
+      else java.nio.file.Files.walk(d.toPath).filter(_.toFile.isFile).count()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    val before = files()
+    val r = Reuse.round((1 to 10).toDF("x").filter("x > 2"))
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "round must persist the feeder plan (else the checkpoint write recomputes it)")
+    assert(r.count() == 8) // first action: materializes AND writes the checkpoint
+    assert(files() > before, "lazy round never wrote reliable checkpoint files")
+    Reuse.seal(r)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "seal must release the feeder cache once the round is file-backed")
+    assert(r.count() == 8, "sealed round must stay fully readable from its checkpoint")
+    Reuse.freeRound(r) // idempotent with seal; frees the round's own blocks
+    assert(r.count() == 8, "reliable rounds re-read files even after freeRound")
+  }
 }
