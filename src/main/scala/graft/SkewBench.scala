@@ -84,7 +84,7 @@ object SkewBench {
     val n = r.getLong(0)
     // bit_xor over zero rows is NULL; surface an empty fixture loudly
     // instead of an opaque NPE from the unboxing getLong.
-    require(n > 0, "[skewbench] join produced 0 rows — wrong or empty sfDir?")
+    require(n > 0, "[skewbench] arm produced 0 rows — wrong or empty sfDir?")
     (n, r.getLong(1))
   }
 
@@ -192,11 +192,9 @@ object SkewBench {
     val joinOk = joinArms.map(a => (a.rows, a.checksum)).distinct.size == 1
 
     // ---- skewed distinct count ------------------------------------------
-    def summarizeDistinct(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("k"), col("n_distinct"))).as("c")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    def summarizeDistinct(df: DataFrame): (Long, Long) =
+      readSummary(df.agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("k"), col("n_distinct"))).as("c")).head())
     val distinctArms = Seq(
       timed("naive_count_distinct", repeats) { () =>
         summarizeDistinct(

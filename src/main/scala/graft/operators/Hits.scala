@@ -47,9 +47,10 @@ object Hits {
     // dependent has completed — `retired` holds the one vector awaiting
     // that job.
     // Storage stays bounded at two score vectors plus one retiree.
+    // plain frame: a projection over the file-backed nodes (see the
+    // PageRank init-vector note — a round mark here never writes files)
     var scores = nodes
       .withColumn("hub", lit(unit)).withColumn("auth", lit(unit))
-      .transform(Reuse.round)
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {

@@ -47,12 +47,14 @@ object LabelPropagation {
     // always BELOW the round's own checkpoint mark, so a lazy mark would
     // never write its files (RDD.doCheckpoint stops at the first marked
     // RDD per branch).
-    val sym = Reuse.materialize(
+    val sym = Reuse.materializeHot(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
 
+    // plain frame: round 1's own checkpoint mark sits above this one in
+    // every job, so a lazy mark here would never write its files — the
+    // recompute path is one distinct over the file-backed sym
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .transform(Reuse.round)
     var iter = 0
     while (iter < iters) {
       val votes = sym

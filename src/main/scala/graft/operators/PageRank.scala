@@ -45,7 +45,7 @@ object PageRank {
       // checkpoint written (RDD.doCheckpoint stops at the first marked
       // RDD per branch) — the eager form runs its own write job now, so
       // the reused annotated list really is file-backed.
-      if (deg.isEmpty) deg = Some(Reuse.materialize(edges.join(outDeg, "src")))
+      if (deg.isEmpty) deg = Some(Reuse.materializeHot(edges.join(outDeg, "src")))
       deg.get
     }
     /** Release the prep checkpoints once the trained vector is finalized
@@ -60,7 +60,7 @@ object PageRank {
     // Eager materialize (not Reuse.round): the edge list is read by every
     // round but always BELOW the round's own checkpoint mark, so a lazy
     // mark would never write its files (see withDeg).
-    val e = Reuse.materialize(edges.select(
+    val e = Reuse.materializeHot(edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull))
     val nodes = e.select(col("src").as("node"))
@@ -96,13 +96,19 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val g = prepGraph(edges, srcCol, dstCol)
-    val (nodes, outDeg, withDeg) = (g.nodes, g.outDeg, g.withDeg)
+    // one row per source, probed by the dangling anti-join EVERY round —
+    // without this the groupBy over the edge list re-runs per iteration
+    val outDeg = Reuse.materializeHot(g.outDeg)
+    val (nodes, withDeg) = (g.nodes, g.withDeg)
     val n = g.n.toDouble
 
     // Free discipline (the Hits lesson): a finalized local checkpoint with
     // dropped blocks cannot recompute, so the superseded vector is freed
     // only AFTER the next round's collect has materialized its dependent.
-    var ranks = nodes.withColumn("rank", lit(1.0)).transform(Reuse.round)
+    // plain frame: a trivial projection over the file-backed nodes — a
+    // round mark here would never write its files (round 1's own mark
+    // sits above it in every job) and only waste a feeder cache
+    var ranks = nodes.withColumn("rank", lit(1.0))
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
@@ -127,6 +133,7 @@ object PageRank {
     ranks.count() // materialize the final vector so the last retiree can go
     Reuse.seal(ranks) // final round is file-backed now; drop its feeder cache
     retired.foreach(freeBlocks)
+    freeBlocks(outDeg)
     g.free()
     ranks
   }
@@ -154,10 +161,11 @@ object PageRank {
       unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val g = prepGraph(edges, srcCol, dstCol)
-    val (nodes, n, outDeg, withDeg) = (g.nodes, g.n, g.outDeg, g.withDeg)
+    val outDeg = Reuse.materializeHot(g.outDeg) // see ranks()
+    val (nodes, n, withDeg) = (g.nodes, g.n, g.withDeg)
 
     // same deferred-free discipline as `ranks` (the Hits lesson)
-    var ranks = nodes.withColumn("s", lit(unit)).transform(Reuse.round)
+    var ranks = nodes.withColumn("s", lit(unit)) // plain: see ranks()
     var retired: Option[DataFrame] = None
     var iter = 0
     while (iter < iterations) {
@@ -182,6 +190,7 @@ object PageRank {
     ranks.count() // materialize the final vector so the last retiree can go
     Reuse.seal(ranks) // final round is file-backed now; drop its feeder cache
     retired.foreach(freeBlocks)
+    freeBlocks(outDeg)
     g.free()
     ranks
   }

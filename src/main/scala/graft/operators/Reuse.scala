@@ -96,15 +96,36 @@ object Reuse {
     }
   }
 
-  /** Free a SUPERSEDED round produced by [[round]]: [[seal]] plus
-    * dropping the round's own materialized blocks. Call it only once the
-    * round's sole dependent has materialized (the loops' deferred-free
+  /** [[materialize]] plus a MEMORY tier on the result, for frames an
+    * iterative loop re-reads every round (the edge list every PageRank
+    * round joins, LPA's symmetrized edges): the checkpoint files stay the
+    * durable recovery path, but steady-state reads come from blocks
+    * instead of re-scanning the object store once per round. Reliable
+    * mode only — in a bare session the local-checkpoint blocks already
+    * ARE the memory tier, and a second plan-level cache would just double
+    * the storage. Release with [[freeRound]] when the loop ends. */
+  def materializeHot(df: DataFrame): DataFrame = {
+    val m = materialize(df)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      m.persist(StorageLevel.MEMORY_AND_DISK)
+    m
+  }
+
+  /** Free a SUPERSEDED round produced by [[round]] (or a hot frame from
+    * [[materializeHot]]): [[seal]], plus the frame's own plan-level cache
+    * if any, plus its materialized blocks. Call it only once the round's
+    * sole dependent has materialized (the loops' deferred-free
     * discipline): in local mode the blocks are the round's only backing
     * and a freed-but-unmaterialized local round cannot compute at all
     * (LocalCheckpointRDD cannot recompute), so this is a destructive
     * retirement, not a cancel. */
   def freeRound(df: DataFrame): Unit = {
     seal(df)
+    // plan-level cache (materializeHot's memory tier); no-op otherwise.
+    // Non-cascading is fine: dependents sit behind their own checkpoint
+    // cuts, never on this cache.
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
     // local mode (and any leftover blocks of the checkpointed RDD itself)
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
