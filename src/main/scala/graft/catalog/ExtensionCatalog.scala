@@ -1785,6 +1785,103 @@ object ExtensionCatalog {
           col("o_orderkey"),
           assignTo(8).as("shard8"), assignTo(7).as("shard7"))
         .withColumn("moved", col("shard8") =!= col("shard7"))
+    },
+
+    // ---- X14: DSIR-style importance selection -------------------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    // fit two hashed-n-gram bag-of-words models — one on the TARGET corpus
+    // (here the `en` slice standing in for the high-quality reference,
+    // e.g. Wikipedia), one on the RAW pool — and score each raw document
+    // by how target-like its token distribution is. Classic DSIR weights
+    // are log p_target − log p_raw summed per token; to keep the score
+    // cross-engine hash-exact this uses the t12 discipline instead: the
+    // per-bucket LIKELIHOOD RATIO in truncated micro units (exact
+    // cross-multiplied integers — no ln, no double accumulation order),
+    // averaged per document, gate at ratio 1.0 (mean_micro >= 1e6 ⇔ the
+    // doc's buckets are on average more target- than raw-typical). Add-1
+    // smoothing on both models keeps unseen buckets finite.
+    //
+    // Scale shape: the model is a FIXED 64-bucket grid whatever the corpus
+    // — one token-instance aggregate produces it (map-side combined), the
+    // two totals ride a 64-row window (bounded by the grid, the x11
+    // posture), and scoring is a map-only scan of raw tokens against the
+    // broadcast 64-row ratio table + one per-doc aggregate. At 100 TB the
+    // grid widens with log(vocab) like any feature hasher; nothing else
+    // changes. Integer bounds: ratio_micro operands cross-multiply to
+    // ~1e6·N², held as DECIMAL(20,0)×DECIMAL(20,0) (Spark) / HUGEINT
+    // (DuckDB) before one truncating division back to BIGINT.
+    QueryDef(
+      "x14_dsir_selection",
+      "DSIR-style importance selection (Xie et al. 2023): 64-bucket hashed-unigram target (en) vs raw models with add-1 smoothing, per-doc mean likelihood ratio in exact micro units (cross-multiplied integers, truncating division — no ln), select gate at ratio >= 1.0",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(t.w), 1, 15))::BIGINT % 64 AS bucket
+          FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+                FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL) d,
+               unnest(d.ws) AS t(w)),
+        counts AS (
+          SELECT bucket,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+                 CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+          FROM tok GROUP BY 1),
+        model AS (
+          SELECT bucket, c_t, c_r,
+                 CAST(SUM(c_t) OVER () AS BIGINT) AS n_t,
+                 CAST(SUM(c_r) OVER () AS BIGINT) AS n_r
+          FROM counts),
+        ratio AS (
+          SELECT bucket,
+                 CAST((CAST(1000000 * (c_t + 1) AS HUGEINT) * CAST(n_r + 64 AS HUGEINT))
+                      // (CAST(c_r + 1 AS HUGEINT) * CAST(n_t + 64 AS HUGEINT)) AS BIGINT)
+                   AS ratio_micro
+          FROM model),
+        scored AS (
+          SELECT tok.doc_id, COUNT(*) AS n_toks,
+                 CAST(SUM(r.ratio_micro) AS BIGINT) AS score_sum
+          FROM tok JOIN ratio r USING (bucket)
+          WHERE tok.lang <> 'en'
+          GROUP BY 1)
+        SELECT s.doc_id, d.lang, s.n_toks, s.score_sum,
+               s.score_sum // s.n_toks AS mean_micro,
+               s.score_sum // s.n_toks >= 1000000 AS selected
+        FROM scored s JOIN documents d USING (doc_id)
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 64).as("bucket"))
+      val counts = tok.groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
+      // totals over the 64-row grid: constant-but-non-foldable partition
+      // key (the x11 idiom) — a single-partition window bounded by the
+      // bucket grid, never the corpus
+      val wAll = Window
+        .partitionBy(coalesce(pmod(col("bucket"), lit(1L)), lit(0L)))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val model = counts
+        .withColumn("n_t", sum(col("c_t")).over(wAll))
+        .withColumn("n_r", sum(col("c_r")).over(wAll))
+      // exact cross-multiplied ratio: DECIMAL(20,0) products (≤ ~1e6·N²,
+      // 20+20 digits stays inside decimal(38,0)), one truncating integral
+      // division back to BIGINT — `div` ≡ DuckDB `//` on non-negatives
+      val ratio = model.select(col("bucket"),
+        expr("""(CAST(1000000 * (c_t + 1) AS DECIMAL(20,0)) * CAST(n_r + 64 AS DECIMAL(20,0)))
+                div (CAST(c_r + 1 AS DECIMAL(20,0)) * CAST(n_t + 64 AS DECIMAL(20,0)))""")
+          .as("ratio_micro"))
+      val scored = tok.filter(col("lang") =!= "en")
+        .join(broadcast(ratio), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("ratio_micro")).as("score_sum"))
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("score_sum"),
+          expr("score_sum div n_toks").as("mean_micro"),
+          (expr("score_sum div n_toks") >= 1000000L).as("selected"))
     })
 
 

@@ -621,5 +621,94 @@ object SimilarityCatalog {
       adc.withColumn("nn_rank", row_number().over(best))
         .filter(col("nn_rank") <= 5)
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc_dist"))
+    },
+
+    // ---- S10: IVF + ADC composed (the FAISS IVFADC recipe) ------------------
+    // s2 prunes the SCAN (search only the query's cell); s8 compresses the
+    // SCAN (search codes, not vectors). Billion-scale ANN composes both —
+    // FAISS's IVFADC (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011): the inverted cell list bounds WHICH
+    // codes are read, the ADC table bounds WHAT each candidate costs (4
+    // lookups + a sum; vectors are never touched at query time). Same
+    // integer-exact contract as s8 (sample codebooks, micro-unit
+    // coordinates, deterministic argmin tiebreaks), nprobe=1 on the label
+    // cell (the s2 stand-in for a KMeans coarse quantizer; residual
+    // encoding is a codebook-QUALITY refinement, orthogonal to the
+    // machinery gated here). At 100 TB the cells are parquet partitions —
+    // the cell equi-condition IS partition pruning — and per-query work is
+    // |cell|/|corpus| of s8's, with the same KB-sized broadcast tables.
+    QueryDef(
+      "s10_ivf_adc",
+      "IVF+ADC composed (FAISS IVFADC): PQ codes probed only within the query's cell — cell pruning times 32x code compression in one plan; integer-exact encode/search, oracle = the identical arithmetic unrolled with the cell restriction",
+      Some("""
+        WITH qv AS (
+          SELECT vec_id, label,
+                 CAST((t.j - 1) // 16 AS INTEGER) AS sub, t.j AS j,
+                 CAST(round_even(CAST(embedding[t.j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+          FROM embeddings, unnest(range(1, 65)) AS t(j)),
+        cb AS (SELECT vec_id AS cid, sub, j, v AS cv FROM qv WHERE vec_id < 4),
+        dists AS (
+          SELECT a.vec_id, a.label, a.sub, c.cid,
+                 CAST(SUM((a.v - c.cv) * (a.v - c.cv)) AS BIGINT) AS dist
+          FROM qv a JOIN cb c ON a.sub = c.sub AND a.j = c.j
+          GROUP BY 1, 2, 3, 4),
+        codes AS (
+          SELECT vec_id, label, sub, cid AS code FROM (
+            SELECT vec_id, label, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM dists) WHERE rn = 1),
+        qtab AS (
+          SELECT vec_id AS query_id, label AS q_label, sub, cid, dist AS qdist
+          FROM dists WHERE vec_id BETWEEN 4 AND 11),
+        adc AS (
+          SELECT t.query_id, c.vec_id, CAST(SUM(t.qdist) AS BIGINT) AS adc_dist
+          FROM codes c JOIN qtab t ON c.sub = t.sub AND c.code = t.cid
+                                  AND c.label = t.q_label
+          GROUP BY 1, 2)
+        SELECT query_id, nn_rank, vec_id, adc_dist FROM (
+          SELECT query_id, vec_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, vec_id) AS nn_rank
+          FROM adc) WHERE nn_rank <= 5
+      """)) { (spark, dir) =>
+      val nSub = 4; val subDim = 16
+      val q = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("qv"))
+      val cb = q.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      def subDist(s: Int): Column = aggregate(
+        zip_with(slice(col("qv"), s * subDim + 1, subDim),
+          slice(col("cv"), s * subDim + 1, subDim),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      // the cell id (label) rides the same dists frame that serves encode
+      // and the query tables — the only s8 delta is the equi-condition
+      val dists = q.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("label"), col("cid"),
+          explode(array((0 until nSub).map(s =>
+            struct(lit(s).as("sub"), subDist(s).as("dist"))): _*)).as("e"))
+        .select(col("vec_id"), col("label"), col("e.sub").as("sub"),
+          col("cid"), col("e.dist").as("dist"))
+      val codes = dists.groupBy(col("vec_id"), col("label"), col("sub"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("label"), col("sub"), col("m.cid").as("code"))
+      val qtab = dists.filter(col("vec_id").between(4, 11))
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("sub").as("qsub"), col("cid"), col("dist").as("qdist"))
+      // candidate cost = 4 code lookups + a sum, and only same-cell codes
+      // are probed: the broadcast qtab carries the query's cell, so the
+      // join prunes every foreign-cell candidate before any aggregation
+      val adc = codes.join(broadcast(qtab),
+          col("sub") === col("qsub") && col("code") === col("cid") &&
+            col("label") === col("q_label"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qdist")).as("adc_dist"))
+      val best = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      adc.withColumn("nn_rank", row_number().over(best))
+        .filter(col("nn_rank") <= 5)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc_dist"))
     })
 }

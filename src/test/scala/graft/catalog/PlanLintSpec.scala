@@ -27,7 +27,7 @@ class PlanLintSpec extends SparkSpec {
     * must be hash/sort-merge/broadcast-HASH only. */
   private val bnljByDesign = Set(
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
-    "x8_sequence_pack", "s8_pq_adc")
+    "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc")
 
   /** Queries allowed to carry a forced `broadcast()` hint on a side that
     * reads table data (round-8 verdict #7's lint). A hint whose subtree is
@@ -55,7 +55,9 @@ class PlanLintSpec extends SparkSpec {
     "s1_topk_cosine_bruteforce" -> "query set vec_id<8: 8 rows whatever the corpus",
     "s2_topk_cosine_ivf" -> "query set vec_id<8: 8 rows whatever the corpus",
     "s5_topk_cosine_srp" -> "8 queries x band keys: query-set-sized",
-    "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants")
+    "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants",
+    "s10_ivf_adc" -> "4-row codebook + 8x4x4 cell-tagged query distance table: operator constants",
+    "x14_dsir_selection" -> "64-bucket hashed n-gram ratio model: grid size is an operator constant")
 
   test("forced broadcast hints only on literal or audited bounded sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, ResolvedHint}
