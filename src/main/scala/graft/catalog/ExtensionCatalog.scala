@@ -1774,16 +1774,22 @@ object ExtensionCatalog {
                a8.shard8 <> a7.shard7 AS moved
         FROM a8 JOIN a7 ON a8.k = a7.k
       """)) { (spark, dir) =>
-      def assignTo(n: Int) = array_max(
-        transform(sequence(lit(0), lit(n - 1)),
-          s => struct(
-            md5(concat(col("o_orderkey").cast("string"), lit("#"),
-              s.cast("string"))).as("h"),
-            s.cast("long").as("s"))))
-        .getField("s")
-      Tables.orders(spark, dir).select(
+      // ONE 8-struct weight array per key; shard7 is the argmax over its
+      // s<7 prefix (the weights are shared — 8 md5s per row, not 8+7; the
+      // projection boundary keeps the array a computed column, so codegen
+      // evaluates it once for both argmaxes and the moved flag)
+      val weights = transform(sequence(lit(0), lit(7)),
+        s => struct(
+          md5(concat(col("o_orderkey").cast("string"), lit("#"),
+            s.cast("string"))).as("h"),
+          s.cast("long").as("s")))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), weights.as("w"))
+        .select(
           col("o_orderkey"),
-          assignTo(8).as("shard8"), assignTo(7).as("shard7"))
+          array_max(col("w")).getField("s").as("shard8"),
+          array_max(filter(col("w"), x => x.getField("s") < 7))
+            .getField("s").as("shard7"))
         .withColumn("moved", col("shard8") =!= col("shard7"))
     },
 
