@@ -1869,9 +1869,11 @@ object ExtensionCatalog {
       val wAll = Window
         .partitionBy(coalesce(pmod(col("bucket"), lit(1L)), lit(0L)))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val model = counts
-        .withColumn("n_t", sum(col("c_t")).over(wAll))
-        .withColumn("n_r", sum(col("c_r")).over(wAll))
+      // both totals in ONE projection → one Window operator (sequential
+      // withColumn planned two Windows with a needless exchange between)
+      val model = counts.select(col("bucket"), col("c_t"), col("c_r"),
+        sum(col("c_t")).over(wAll).as("n_t"),
+        sum(col("c_r")).over(wAll).as("n_r"))
       // exact cross-multiplied ratio: DECIMAL(20,0) products (≤ ~1e6·N²,
       // 20+20 digits stays inside decimal(38,0)), one truncating integral
       // division back to BIGINT — `div` ≡ DuckDB `//` on non-negatives
