@@ -46,6 +46,13 @@ object ExtensionCatalog {
   private final val KmK = 4
   private final val KmIters = 3
   private final val LpaIters = 3
+  // k-core threshold sits just above the trade graph's p90 degree so the
+  // sweep exercises BOTH regimes: at sf0.01 the peel cascades to full
+  // dissolution (removal rounds 1-4 all populated), at sf0.1-replicated
+  // scales a dense core survives round 1. Any k is hash-exact; this one
+  // makes the round machinery observable.
+  private final val KcK = 48
+  private final val KcRounds = 4
 
   // k5's Count-Min geometry, shared verbatim between the aggregator's update
   // path, the DataFrame probe arithmetic, and the unrolled SQL oracle
@@ -1609,6 +1616,28 @@ object ExtensionCatalog {
           tradeGraphEdges(spark, dir), "src", "dst", LpaIters))
     },
 
+    // ---- G7: k-core peeling ---------------------------------------------------
+    // The degeneracy primitive next to reachability (d8/x10 connected
+    // components) and majority vote (g4 LPA): repeatedly delete nodes
+    // whose SURVIVING degree is below k (Matula-Beck 1983; synchronous
+    // distributed form per Montresor et al. PODC'11). What it buys a
+    // curation pipeline: the dense kernel of an interaction or near-dup
+    // graph — spam rings, canonical hubs — where CC keeps weak chains and
+    // LPA follows majorities. Fixed-round statement (the g1/g2/g4 play):
+    // each node reports the round that removed it (0 = survivor) and the
+    // degree that decided it, so the whole cascade is hash-observable;
+    // peeling is monotone, so rounds past the cascade depth are idempotent.
+    // Oracle = the peels unrolled as degree/filter CTE layers over the
+    // same symmetrized trade graph.
+    QueryDef(
+      "g7_kcore",
+      "k-core peeling over the symmetrized trade graph, 4 synchronous rounds at k=48: per-node removal round (0 = core survivor) + the deciding surviving-subgraph degree; oracle = the peeling rounds unrolled as degree/filter CTE layers",
+      Some(kcoreOracle(KcK, KcRounds))) { (spark, dir) =>
+      graphScores.getOrElseUpdate((spark, dir, "g7"),
+        graft.operators.KCore.peel(
+          tradeGraphEdges(spark, dir), "src", "dst", KcK, KcRounds))
+    },
+
     // ---- G5: cluster-quality evaluation -------------------------------------
     // The eval metric that closes the clustering loop ("did g3's clusters
     // actually separate?") — a Davies-Bouldin-style cohesion/separation
@@ -1974,6 +2003,38 @@ object ExtensionCatalog {
       l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
       $layers
       SELECT node, lbl AS label FROM l$k
+    """
+  }
+
+  /** g7's oracle: the synchronous peels unrolled. Layer i: `d_i` degrees
+    * within the surviving subgraph (both endpoints alive), `ann_i` the
+    * alive set annotated with COALESCE(d, 0) — a node isolated by earlier
+    * peels has no degree row — `a_i` the survivors. The report unions each
+    * round's removed slice (round number + deciding degree) with the final
+    * survivors at round 0. */
+  private def kcoreOracle(kk: Int, rounds: Int): String = {
+    val layers = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+        SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym s JOIN a${i - 1} x ON s.src = x.node
+                   JOIN a${i - 1} y ON s.dst = y.node
+        GROUP BY 1),
+      ann$i AS MATERIALIZED (
+        SELECT a.node, COALESCE(d.d, 0) AS d
+        FROM a${i - 1} a LEFT JOIN d$i d ON a.node = d.node),
+      a$i AS MATERIALIZED (SELECT node FROM ann$i WHERE d >= $kk)"""
+    }.mkString(",\n      ")
+    val removed = (1 to rounds).map { i =>
+      s"SELECT node, CAST($i AS BIGINT) AS removed_round, d AS last_deg FROM ann$i WHERE d < $kk"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""$TradeGraphSql,
+      sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+      a0 AS MATERIALIZED (SELECT node FROM nodes),
+      $layers
+      $removed
+      UNION ALL
+      SELECT node, CAST(0 AS BIGINT), d FROM ann$rounds WHERE d >= $kk
     """
   }
 

@@ -28,6 +28,59 @@ object TextCatalog {
     s"len(list_filter(toks, x -> list_contains([$lst], x)))"
   }
 
+  // ---- Shared bigram-LM machinery (t12 scoring, t16 buckets) ----------------
+  // One helper drives both entries and both oracles (the t13 posture: the
+  // two sides cannot drift). See t12's entry comment for the arithmetic
+  // contract and the scale shape.
+
+  /** DuckDB CTE prefix (no `WITH`) ending in `d(doc_id, n_bigrams,
+    * score_sum)` — per-doc exact bigram-LM accumulators; `t(doc_id, toks)`
+    * is also in scope for the doc universe. */
+  private val bigramScoreSql: String = """
+        t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        bi AS (
+          SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+          FROM t, unnest(range(1, len(toks))) AS u(i)),
+        pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+        uc AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+        q AS (SELECT pc.a, pc.b, (pc.c_ab * 1000000) // uc.c_a AS q
+              FROM pc JOIN uc USING (a)),
+        d AS (
+          SELECT bi.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q.q) AS BIGINT) AS score_sum
+          FROM bi JOIN q ON bi.a = q.a AND bi.b = q.b
+          GROUP BY 1)"""
+
+  /** `(doc_id, n_bigrams, score_sum)` — the Spark twin of [[bigramScoreSql]]'s
+    * `d`: corpus-trained bigram transition model, per-doc exact integer
+    * accumulators. Docs with <2 tokens have no row (no scorable bigram). */
+  private def bigramLmDocScores(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documentsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    // bigram instances built INSIDE the array (map-only): position i pairs
+    // with i+1 via a 1-slice, like t11's windowed pairs at offset 1 only
+    val bi = t.select(col("doc_id"), explode(flatten(
+        transform(col("toks"), (x, i) =>
+          transform(slice(col("toks"), i + 2, lit(1)),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val pc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    // c(a·) = Σ_b c(a,b): roll the PAIR table up instead of re-scanning
+    // the instance stream — the second aggregate runs over vocab²-sized
+    // counts, not token-volume-sized instances (and Catalyst reuses pc's
+    // exchange: a is a prefix of (a, b))
+    val uc = pc.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    // `div` = Spark's truncating integral division ≡ DuckDB `//` on
+    // non-negative longs (the g3 idiom) — only reachable via SQL expr
+    val q = pc.join(uc, Seq("a"))
+      .select(col("a"), col("b"),
+        expr("(c_ab * CAST(1000000 AS BIGINT)) div c_a").as("q"))
+    bi.join(q, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("score_sum"))
+  }
+
   /** RE2-safe PII patterns shared verbatim by the Spark and DuckDB sides of
     * t5. Literal dots are written as `[.]` character classes so the SAME
     * string is valid in a DuckDB `'...'` literal (backslashes literal), a
@@ -652,20 +705,8 @@ object TextCatalog {
     QueryDef(
       "t12_bigram_lm_score",
       "Bigram-LM quality filter (CCNet/KenLM shape): corpus-trained transition model, per-doc mean transition probability in integer micro-prob units (truncating division, commutative integer sums — no ln, no double order), keep gate at 34500",
-      Some("""
-        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-                   FROM documents WHERE text IS NOT NULL),
-        bi AS (
-          SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
-          FROM t, unnest(range(1, len(toks))) AS u(i)),
-        pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
-        uc AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
-        q AS (SELECT pc.a, pc.b, (pc.c_ab * 1000000) // uc.c_a AS q
-              FROM pc JOIN uc USING (a)),
-        d AS (
-          SELECT bi.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q.q) AS BIGINT) AS score_sum
-          FROM bi JOIN q ON bi.a = q.a AND bi.b = q.b
-          GROUP BY 1)
+      Some(s"""
+        WITH $bigramScoreSql
         SELECT t.doc_id,
                CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(COALESCE(d.score_sum, 0) AS BIGINT) AS score_sum,
@@ -673,31 +714,10 @@ object TextCatalog {
                COALESCE(d.score_sum // d.n_bigrams >= 34500, FALSE) AS keep
         FROM t LEFT JOIN d USING (doc_id)
       """)) { (spark, dir) =>
-      val t = Tables.documentsFanned(spark, dir)
+      val d = bigramLmDocScores(spark, dir)
+      Tables.documentsFanned(spark, dir)
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-      // bigram instances built INSIDE the array (map-only): position i pairs
-      // with i+1 via a 1-slice, like t11's windowed pairs at offset 1 only
-      val bi = t.select(col("doc_id"), explode(flatten(
-          transform(col("toks"), (x, i) =>
-            transform(slice(col("toks"), i + 2, lit(1)),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      val pc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-      // c(a·) = Σ_b c(a,b): roll the PAIR table up instead of re-scanning
-      // the instance stream — the second aggregate runs over vocab²-sized
-      // counts, not token-volume-sized instances (and Catalyst reuses pc's
-      // exchange: a is a prefix of (a, b))
-      val uc = pc.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-      // `div` = Spark's truncating integral division ≡ DuckDB `//` on
-      // non-negative longs (the g3 idiom) — only reachable via SQL expr
-      val q = pc.join(uc, Seq("a"))
-        .select(col("a"), col("b"),
-          expr("(c_ab * CAST(1000000 AS BIGINT)) div c_a").as("q"))
-      val d = bi.join(q, Seq("a", "b"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("score_sum"))
-      t.select(col("doc_id"))
+        .select(col("doc_id"))
         .join(d, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -875,6 +895,68 @@ object TextCatalog {
             / sum(col("c"))).as("dup_rate"))
         .select(col("source"), col("n_docs"), col("avg_quality"), col("dup_rate"),
           (col("avg_quality") >= 2.0 && col("dup_rate") <= 0.5).as("keep"))
+    },
+
+    // ---- T16: CCNet-style per-language quality terciles ----------------------
+    // CCNet's defining curation move (Wenzek et al., LREC 2020): bucket each
+    // language's documents into head/middle/tail TERCILES by LM score, so
+    // downstream mixtures can oversample the head without a hand-tuned
+    // absolute threshold (t12's fixed gate) — the cutoffs adapt to each
+    // language's own score distribution. Score = t12's bigram-LM mean in
+    // micro units (shared helper; the two entries and both oracles cannot
+    // drift), ranked per language with (score desc, doc_id) total order;
+    // bucket boundaries are the exact integer conditions rk·3 ≤ n and
+    // rk·3 ≤ 2n — no percentile function, no doubles, no engine quantile
+    // semantics to reconcile. Docs with <2 tokens have no scorable bigram
+    // and no bucket (t12 reports them with keep=false; CCNet drops them).
+    //
+    // Scale shape: scoring is t12's map-only extraction + two model
+    // aggregates; the tercile rank is ONE per-language window — a
+    // spillable sort (the a14 argument), and at 100 TB the window's
+    // partition count is |languages|, so the x11 two-phase rank (range-
+    // bucket by score, broadcast offsets) is the drop-in if a single
+    // language outgrows one sort spill — same output, the rank is
+    // associative over score ranges. The sketch path for approximate
+    // cutoffs is gated at k2 (percentile_approx).
+    QueryDef(
+      "t16_ccnet_buckets",
+      "CCNet-style per-language quality terciles (Wenzek et al. 2020): t12's bigram-LM micro score ranked per language, head/middle/tail by exact integer tercile conditions (rk*3 <= n, rk*3 <= 2n) — the adaptive-cutoff corpus split",
+      Some(s"""
+        WITH $bigramScoreSql,
+        scored AS (
+          SELECT d.doc_id, dd.lang, d.score_sum // d.n_bigrams AS mean_micro
+          FROM d JOIN documents dd USING (doc_id)
+          WHERE dd.lang IS NOT NULL),
+        ranked AS (
+          SELECT doc_id, lang, mean_micro,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY mean_micro DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT doc_id, lang, mean_micro, rk,
+               CASE WHEN rk * 3 <= n THEN 'head'
+                    WHEN rk * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = bigramLmDocScores(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .filter(col("lang").isNotNull)
+          .select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          expr("score_sum div n_bigrams").as("mean_micro"))
+      val rkW = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_micro").desc, col("doc_id"))
+      val nW = Window.partitionBy(col("lang"))
+      scored
+        .select(col("doc_id"), col("lang"), col("mean_micro"),
+          row_number().over(rkW).cast("long").as("rk"),
+          count(lit(1)).over(nW).as("n"))
+        .select(col("doc_id"), col("lang"), col("mean_micro"), col("rk"),
+          when(col("rk") * 3 <= col("n"), "head")
+            .when(col("rk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
     })
 
   /** v2's oracle, K iterations unrolled. Layer i: `p_i` weighted adjacent
