@@ -113,6 +113,8 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
+    val byName = Catalog.defs.map(d => d.name -> d).toMap
+    val bnljSeen = scala.collection.mutable.Set.empty[String]
     val failures = Catalog.defs.flatMap { d =>
       val plan =
         try d.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -121,10 +123,22 @@ class PlanLintSpec extends SparkSpec {
             fail(s"${d.name}: plan construction failed: ${e.getMessage}")
         }
       val cartesian = plan.contains("CartesianProduct")
-      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(d.name)
+      val hasBnlj = plan.contains("BroadcastNestedLoopJoin")
+      if (hasBnlj) bnljSeen += d.name
+      val bnlj = hasBnlj && !bnljByDesign(d.name)
       (if (cartesian) Seq(s"${d.name}: CartesianProduct") else Nil) ++
         (if (bnlj) Seq(s"${d.name}: unexpected BroadcastNestedLoopJoin") else Nil)
     }
     assert(failures.isEmpty, s"scale-killers found:\n${failures.mkString("\n")}")
+    // Inverse direction (the broadcast-allowlist lesson applied here too):
+    // bnljByDesign is an AUDIT of plans that exist. If a refactor removes a
+    // query's BNLJ, its excuse must go with it — a rotted entry would
+    // pre-excuse a future unsound nested loop on that query.
+    val stale = bnljByDesign.toSeq.sorted.flatMap { name =>
+      if (!byName.contains(name)) Seq(s"$name: allowlisted but not in the catalog")
+      else if (!bnljSeen(name)) Seq(s"$name: allowlisted but its plan carries no BroadcastNestedLoopJoin")
+      else Nil
+    }
+    assert(stale.isEmpty, s"stale BNLJ-audit entries:\n${stale.mkString("\n")}")
   }
 }
