@@ -911,13 +911,20 @@ object TextCatalog {
     // and no bucket (t12 reports them with keep=false; CCNet drops them).
     //
     // Scale shape: scoring is t12's map-only extraction + two model
-    // aggregates; the tercile rank is ONE per-language window — a
-    // spillable sort (the a14 argument), and at 100 TB the window's
-    // partition count is |languages|, so the x11 two-phase rank (range-
-    // bucket by score, broadcast offsets) is the drop-in if a single
-    // language outgrows one sort spill — same output, the rank is
-    // associative over score ranges. The sketch path for approximate
-    // cutoffs is gated at k2 (percentile_approx).
+    // aggregates. The rank is NOT one window per language — |languages|
+    // is a fixed-cardinality partition key, so a single language would
+    // funnel its whole corpus through one sort reducer at 100 TB (the s3
+    // lesson applied to sorts). Instead it is the x11 two-phase rank over
+    // a grid the OPERATOR bounds: mean_micro is a probability in micro
+    // units, so `score div 1000` yields ≤ 1001 buckets per language by
+    // construction — phase 1 counts per (lang, bucket) and windows the
+    // exclusive higher-bucket offsets + language totals over that bounded
+    // grid; phase 2 ranks WITHIN each (lang, bucket) in parallel and adds
+    // the broadcast offset. Bucket is a function of the score and the
+    // bucket order aligns with the score order, so the sum is exactly the
+    // per-language (score desc, doc_id) rank; no stage sorts more than
+    // one bucket's rows. The oracle keeps the textbook single-window SQL.
+    // The sketch path for approximate cutoffs is gated at k2.
     QueryDef(
       "t16_ccnet_buckets",
       "CCNet-style per-language quality terciles (Wenzek et al. 2020): t12's bigram-LM micro score ranked per language, head/middle/tail by exact integer tercile conditions (rk*3 <= n, rk*3 <= 2n) — the adaptive-cutoff corpus split",
@@ -946,13 +953,29 @@ object TextCatalog {
           .select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
           expr("score_sum div n_bigrams").as("mean_micro"))
-      val rkW = Window.partitionBy(col("lang"))
-        .orderBy(col("mean_micro").desc, col("doc_id"))
+        // phase-1 grid key: mean_micro ∈ [0, 1e6] (a probability in micro
+        // units), so div 1000 gives ≤ 1001 buckets — an operator constant
+        .withColumn("b", expr("mean_micro div 1000"))
+      // exclusive offsets over the bounded (lang × ≤1001) count grid; the
+      // DESC bucket order matches the DESC score order of the final rank
+      val offW = Window.partitionBy(col("lang")).orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val nW = Window.partitionBy(col("lang"))
-      scored
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offs = scored.groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("b"),
+          coalesce(sum(col("c")).over(offW), lit(0L)).as("off"),
+          sum(col("c")).over(nW).as("n"))
+      // phase 2: rank within each (lang, bucket) in parallel — bucket is a
+      // function of the score, so within-bucket (score desc, doc_id) plus
+      // the higher-bucket offset IS the per-language global rank
+      val within = Window.partitionBy(col("lang"), col("b"))
+        .orderBy(col("mean_micro").desc, col("doc_id"))
+      scored.join(broadcast(offs), Seq("lang", "b"))
         .select(col("doc_id"), col("lang"), col("mean_micro"),
-          row_number().over(rkW).cast("long").as("rk"),
-          count(lit(1)).over(nW).as("n"))
+          (row_number().over(within).cast("long") + col("off")).as("rk"),
+          col("n"))
         .select(col("doc_id"), col("lang"), col("mean_micro"), col("rk"),
           when(col("rk") * 3 <= col("n"), "head")
             .when(col("rk") * 3 <= col("n") * 2, "middle")

@@ -57,7 +57,8 @@ class PlanLintSpec extends SparkSpec {
     "s5_topk_cosine_srp" -> "8 queries x band keys: query-set-sized",
     "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants",
     "s10_ivf_adc" -> "4-row codebook + 8x4x4 cell-tagged query distance table: operator constants",
-    "x14_dsir_selection" -> "64-bucket hashed n-gram ratio model: grid size is an operator constant")
+    "x14_dsir_selection" -> "64-bucket hashed n-gram ratio model: grid size is an operator constant",
+    "t16_ccnet_buckets" -> "per-(lang, score-bucket) offsets: langs x <=1001 rows, the grid is an operator constant (x11 posture)")
 
   test("forced broadcast hints only on literal or audited bounded sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, ResolvedHint}
