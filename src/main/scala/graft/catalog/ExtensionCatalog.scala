@@ -1867,7 +1867,10 @@ object ExtensionCatalog {
           FROM counts),
         ratio AS (
           SELECT bucket,
-                 CAST((CAST(1000000 * (c_t + 1) AS HUGEINT) * CAST(n_r + 64 AS HUGEINT))
+                 -- multiply by 1e6 AFTER widening: a BIGINT product would
+                 -- cap the operand at 19 digits and the engines diverge on
+                 -- overflow (DuckDB raises, non-ANSI Spark wraps)
+                 CAST((CAST(c_t + 1 AS HUGEINT) * 1000000 * CAST(n_r + 64 AS HUGEINT))
                       // (CAST(c_r + 1 AS HUGEINT) * CAST(n_t + 64 AS HUGEINT)) AS BIGINT)
                    AS ratio_micro
           FROM model),
@@ -1903,11 +1906,14 @@ object ExtensionCatalog {
       val model = counts.select(col("bucket"), col("c_t"), col("c_r"),
         sum(col("c_t")).over(wAll).as("n_t"),
         sum(col("c_r")).over(wAll).as("n_r"))
-      // exact cross-multiplied ratio: DECIMAL(20,0) products (≤ ~1e6·N²,
-      // 20+20 digits stays inside decimal(38,0)), one truncating integral
-      // division back to BIGINT — `div` ≡ DuckDB `//` on non-negatives
+      // exact cross-multiplied ratio: widen to DECIMAL FIRST, then the 1e6
+      // scale and the cross products (≤ ~1e6·N², inside decimal(38,0)),
+      // one truncating integral division back to BIGINT — `div` ≡ DuckDB
+      // `//` on non-negatives. The 1e6 multiply must sit INSIDE the
+      // decimal: a long product would cap the operand at 19 digits and
+      // the engines diverge on overflow (DuckDB raises, Spark wraps).
       val ratio = model.select(col("bucket"),
-        expr("""(CAST(1000000 * (c_t + 1) AS DECIMAL(20,0)) * CAST(n_r + 64 AS DECIMAL(20,0)))
+        expr("""(CAST(c_t + 1 AS DECIMAL(20,0)) * 1000000 * CAST(n_r + 64 AS DECIMAL(20,0)))
                 div (CAST(c_r + 1 AS DECIMAL(20,0)) * CAST(n_t + 64 AS DECIMAL(20,0)))""")
           .as("ratio_micro"))
       val scored = tok.filter(col("lang") =!= "en")

@@ -46,13 +46,7 @@ object KCore {
            k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    // eager materialize + memory tier: read by every round, always below
-    // the round's own checkpoint mark (the LabelPropagation posture)
-    val sym = Reuse.materializeHot(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val sym = PageRank.symmetrizedHot(edges, srcCol, dstCol)
 
     var alive = sym.select(col("src").as("node")).distinct()
     val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]

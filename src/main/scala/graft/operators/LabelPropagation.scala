@@ -40,15 +40,7 @@ object LabelPropagation {
     */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    // Eager materialize (not Reuse.round): sym is read by every round but
-    // always BELOW the round's own checkpoint mark, so a lazy mark would
-    // never write its files (RDD.doCheckpoint stops at the first marked
-    // RDD per branch).
-    val sym = Reuse.materializeHot(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val sym = PageRank.symmetrizedHot(edges, srcCol, dstCol)
 
     // plain frame: round 1's own checkpoint mark sits above this one in
     // every job, so a lazy mark here would never write its files — the

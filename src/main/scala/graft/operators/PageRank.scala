@@ -84,6 +84,23 @@ object PageRank {
     * graph operator (ConnectedComponents, Hits, KMeansQuantized). */
   private[operators] def freeBlocks(df: DataFrame): Unit = Reuse.freeRound(df)
 
+  /** Shared undirected-graph prologue for the iterative operators that
+    * work on the SYMMETRIZED view ([[LabelPropagation]], [[KCore]]):
+    * normalize to long (src, dst), drop nulls and self-loops, union the
+    * reverse direction, dedup, and eager-materialize with a memory tier —
+    * NOT `Reuse.round`, because the edge list is read by every round but
+    * always below the round's own checkpoint mark, so a lazy mark would
+    * never write its files (RDD.doCheckpoint stops at the first marked
+    * RDD per branch). Release with [[freeBlocks]] when the loop ends. */
+  private[operators] def symmetrizedHot(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    Reuse.materializeHot(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+  }
+
   /** Ranks after `iterations` rounds: (node, rank). Nodes = every distinct
     * src or dst. Parallel edges count once per occurrence (a multigraph
     * edge is a stronger link); self-loops are legal. */

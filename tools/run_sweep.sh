@@ -17,14 +17,33 @@ for SF in $SCALES; do
   echo "=== sf$SF verify done rc=$rc wall=$((t1-t0))s"
   grep -E "FAILED" /tmp/sweep_verify_$SF.log | head -5
   echo "=== sf$SF gate start $(date +%T)"
+  pids=()
   for i in 0 1 2 3 4 5 6 7; do
     CHECK_SHARD=$i/8 python3 tools/check_strict.py $SRC $OUT \
       > /tmp/gate_${SF}_$i.log 2>&1 &
+    pids+=($!)
   done
-  wait
+  # a crashed shard must fail the sweep loudly, never silently shrink the
+  # TOTAL (its log would carry no summary line and the sum would
+  # undercount). A shard that RAN but found failures still emits its
+  # "== pass=.. fail=.." summary — that is a valid (red) result, not a
+  # crash, and flows into the TOTAL below.
+  crashed=0
+  for i in 0 1 2 3 4 5 6 7; do
+    wait ${pids[$i]}
+    if ! grep -q "^== " /tmp/gate_${SF}_$i.log; then
+      echo "=== sf$SF SHARD $i CRASHED (no summary; see /tmp/gate_${SF}_$i.log)"
+      crashed=1
+    fi
+  done
   t2=$(date +%s)
   echo "=== sf$SF gate done wall=$((t2-t1))s"
   cat /tmp/gate_${SF}_*.log | grep -E "^(FAIL|ERR)" | head -20
-  cat /tmp/gate_${SF}_*.log | grep "^== " \
-    | awk -v sf=$SF '{for(i=1;i<=NF;i++){split($i,a,"=");if(a[1]=="pass")p+=a[2];if(a[1]=="fail")f+=a[2];if(a[1]=="rows-only")r+=a[2]}} END{printf "=== sf%s TOTAL pass=%d fail=%d rows-only=%d\n", sf, p, f, r}'
+  summaries=$(cat /tmp/gate_${SF}_*.log | grep -c "^== ")
+  if [ "$crashed" -ne 0 ] || [ "$summaries" -ne 8 ]; then
+    echo "=== sf$SF TOTAL INVALID: crashed=$crashed summary_lines=$summaries/8"
+  else
+    cat /tmp/gate_${SF}_*.log | grep "^== " \
+      | awk -v sf=$SF '{for(i=1;i<=NF;i++){split($i,a,"=");if(a[1]=="pass")p+=a[2];if(a[1]=="fail")f+=a[2];if(a[1]=="rows-only")r+=a[2]}} END{printf "=== sf%s TOTAL pass=%d fail=%d rows-only=%d\n", sf, p, f, r}'
+  fi
 done
