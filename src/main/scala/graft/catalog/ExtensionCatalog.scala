@@ -1844,7 +1844,19 @@ object ExtensionCatalog {
     // grid widens with log(vocab) like any feature hasher; nothing else
     // changes. Integer bounds: ratio_micro operands cross-multiply to
     // ~1e6·N², held as DECIMAL(20,0)×DECIMAL(20,0) (Spark) / HUGEINT
-    // (DuckDB) before one truncating division back to BIGINT.
+    // (DuckDB) before one truncating division back to BIGINT. The per-doc
+    // score_sum then accumulates ratio_micro as a 64-bit sum, so the
+    // entry's exactness contract is max_bucket(ratio_micro) ×
+    // max_doc(n_toks) < 2^63: ratio_micro ≤ 1e6·(c_t+1)·(n_r+64) /
+    // ((c_r+1)·(n_t+64)) ≤ 1e6·(n_r+64)/(n_t+64) in the degenerate
+    // all-target bucket (c_r=0, c_t≈n_t), i.e. 1e6 × the raw/target token
+    // ratio. For the contract to break, a single document would need
+    // raw/target × doc_tokens > 9.2e12 — e.g. a 1e6-token doc in a corpus
+    // 1e7× raw-heavy — far outside any DSIR mixture (target and raw are
+    // both large by construction; the fixture sits ~9 orders inside the
+    // bound). On breach the engines diverge loudly (DuckDB HUGEINT keeps
+    // going, Spark's IntegralDivide/sum wraps) — the gate catches it, it
+    // cannot pass silently wrong.
     QueryDef(
       "x14_dsir_selection",
       "DSIR-style importance selection (Xie et al. 2023): 64-bucket hashed-unigram target (en) vs raw models with add-1 smoothing, per-doc mean likelihood ratio in exact micro units (cross-multiplied integers, truncating division — no ln), select gate at ratio >= 1.0",

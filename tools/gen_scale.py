@@ -27,9 +27,15 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf0.5"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
 # key strides: comfortably above each table's max key, and doc_id stays
-# below 2^31 (the d3/d5 packed-long encoding requires 31-bit doc ids)
+# below 2^31 (the d3/d5 packed-long encoding requires 31-bit doc ids).
+# SUPP is 1e4 (max s_suppkey is 999): the trade-graph entries build a
+# unified node space as suppkey UNION custkey+1e6, so every scaled suppkey
+# (max copies*1e4+999 = 191k at 20 copies) must stay BELOW 1e6 or copies'
+# supplier nodes collide with other copies' customer nodes (the ~0.3%
+# node-merge artifact the round-10 verdict flagged).
 CUST, ORD, PART, SUPP, DOC, VEC, EVT, USR = (
-    10**6, 10**7, 10**6, 10**5, 10**5, 10**5, 10**7, 10**6)
+    10**6, 10**7, 10**6, 10**4, 10**5, 10**5, 10**7, 10**6)
+assert (COPIES - 1) * SUPP + 999 < 10**6, "suppkey space must not reach cust nodes"
 
 TABLES = {
     "region": "SELECT * FROM src",   # tiny dims replicate as-is (k=0 only)

@@ -8,6 +8,11 @@ SCALES=${@:-"1.0 2.0"}
 for SF in $SCALES; do
   SRC=/tmp/testdata/sf$SF
   OUT=/tmp/verify_sf$SF
+  # stale outputs from a previous run at this scale must never feed the
+  # gate: wipe OUT first, and a non-zero Verify rc invalidates the whole
+  # scale (skip the gate entirely — same silent-evidence-corruption class
+  # as the shard-crash check below).
+  rm -rf "$OUT"
   echo "=== sf$SF verify start $(date +%T)"
   t0=$(date +%s)
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SRC $OUT" \
@@ -16,6 +21,10 @@ for SF in $SCALES; do
   t1=$(date +%s)
   echo "=== sf$SF verify done rc=$rc wall=$((t1-t0))s"
   grep -E "FAILED" /tmp/sweep_verify_$SF.log | head -5
+  if [ "$rc" -ne 0 ]; then
+    echo "=== sf$SF TOTAL INVALID: verify rc=$rc (gate skipped)"
+    continue
+  fi
   echo "=== sf$SF gate start $(date +%T)"
   pids=()
   for i in 0 1 2 3 4 5 6 7; do
