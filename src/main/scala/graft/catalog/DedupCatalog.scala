@@ -889,6 +889,106 @@ object DedupCatalog {
           when(col("n_windows").isNull, lit(true))
             .otherwise(col("n_boilerplate") * lit(1.0) / col("n_windows") < 0.5)
             .as("keep"))
+    },
+
+    // ---- D14: exact-substring dedup (stride-1, the suffix-array form) -----
+    // d11's fixed 10-token chunks MISS a duplicate span that straddles a
+    // chunk boundary (the two copies chunk at different alignments, so no
+    // chunk is shared — ExactSubstrSpec constructs the case). The published
+    // answer (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better") is suffix-array ExactSubstr: remove every ≥50-token
+    // span that occurs elsewhere in the corpus, keeping the first
+    // occurrence. A length-≥50 duplicate substring exists iff some
+    // 50-token window (stride 1) is duplicated, so the suffix-array
+    // criterion re-expresses Spark-shaped as: hash every stride-1 50-token
+    // window (O(corpus tokens) rows — the same asymptotic footprint as the
+    // suffix array itself), find each window's global first occurrence,
+    // and erase the 50 tokens under every LATER occurrence. Skew
+    // discipline: "first occurrence" is a groupBy(window-hash) MIN over a
+    // packed (doc_id, pos) long — partial-aggregated map-side, so a
+    // boilerplate window with 1e9 occurrences at 100 TB combines locally
+    // instead of sorting one reducer (the row_number-per-window form d11
+    // uses would funnel exactly there; its buckets are 10x coarser so it
+    // tolerates it). Only occurrences of DUPLICATED windows (HAVING n>1)
+    // survive the join back, so the 50x position fan-out pays out on
+    // duplicated spans only; the rebuild is one anti-join plus one
+    // groupBy(doc_id), both uniform-keyed.
+    QueryDef(
+      "d14_exact_substring_dedup",
+      "North-star dedup: ExactSubstr (Lee et al. 2022) at stride-1 50-token windows — global first occurrence of every duplicated window wins, later occurrences' tokens erased, documents rebuilt; catches the boundary-straddling spans d11's fixed chunks miss",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+        wins AS (
+          SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS wh,
+                 CAST(doc_id AS BIGINT) * 4294967296 + i AS pk
+          FROM toks, unnest(range(1, len(t) - 48)) AS u(i)
+          WHERE len(t) >= 50),
+        dups AS (SELECT wh, MIN(pk) AS first_pk FROM wins
+                 GROUP BY 1 HAVING COUNT(*) > 1),
+        removed AS (
+          SELECT DISTINCT w.doc_id, w.pos + v.j AS tokpos
+          FROM wins w JOIN dups USING (wh), unnest(range(0, 50)) AS v(j)
+          WHERE w.pk <> dups.first_pk),
+        tokens AS (
+          SELECT doc_id, len(t) AS n_toks, u.i AS tokpos, t[u.i] AS w
+          FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        kept AS (
+          SELECT tk.doc_id, tk.n_toks, tk.tokpos, tk.w FROM tokens tk
+          WHERE NOT EXISTS (SELECT 1 FROM removed r
+                            WHERE r.doc_id = tk.doc_id AND r.tokpos = tk.tokpos))
+        SELECT doc_id, MAX(n_toks) AS n_toks, COUNT(*) AS n_kept,
+               MAX(n_toks) - COUNT(*) AS n_removed,
+               string_agg(w, ' ' ORDER BY tokpos) AS dedup_text
+        FROM kept GROUP BY 1
+      """)) { (spark, dir) =>
+      val W = 50
+      // same empty-doc guard as d11: split of non-null text is never empty
+      // today, but an empty array must drop out on BOTH engines
+      val t = Tables.documentsFanned(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) > 0)
+      // one window hash per token position (docs >= W tokens): the when()
+      // nulls the array below W and explode emits nothing — the d13
+      // one-evaluation posture, no pushed filter re-running the pipeline.
+      // pk packs (doc_id, pos) into one long (doc_id < 2^31 per the d3/d5
+      // fixture contract, pos < 2^32), so the global first occurrence is a
+      // plain MIN — map-side combined, skew-immune.
+      val wins = t.select(col("doc_id"),
+        explode(when(size(col("t")) >= W,
+          transform(sequence(lit(1), size(col("t")) - (W - 1)),
+            i => struct(
+              i.cast("long").as("pos"),
+              md5(array_join(slice(col("t"), i, lit(W)), " ")).as("wh"))))).as("x"))
+        .select(col("doc_id"), col("x.pos"), col("x.wh"),
+          (col("doc_id").cast("long") * lit(4294967296L) + col("x.pos")).as("pk"))
+      val dups = wins.groupBy(col("wh"))
+        .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("wh"), col("first_pk"))
+      // later occurrences of duplicated windows erase their W positions;
+      // distinct collapses overlapping spans before the rebuild
+      val removed = wins.join(dups, Seq("wh"))
+        .filter(col("pk") =!= col("first_pk"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("tokpos"))
+        .distinct()
+      val tokens = t.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+          posexplode(col("t")).as(Seq("p0", "w")))
+        .select(col("doc_id"), col("n_toks"),
+          (col("p0") + 1).cast("long").as("tokpos"), col("w"))
+      tokens.join(removed, Seq("doc_id", "tokpos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_toks")).as("n_toks"),
+          count(lit(1)).as("n_kept"),
+          (max(col("n_toks")) - count(lit(1))).as("n_removed"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("tokpos"), col("w")))),
+              s => s("w")),
+            " ").as("dedup_text"))
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring) — a
