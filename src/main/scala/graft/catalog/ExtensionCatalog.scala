@@ -43,8 +43,10 @@ object ExtensionCatalog {
   // constant folding is the only reason declaring it after happened to work
   private final val PrIters = 5
   private final val HitsIters = 4
-  private final val KmK = 4
-  private final val KmIters = 3
+  // private[catalog]: d15 (SimilarityCatalog) composes the g3 cells with
+  // the banded near-dup machinery — same constants, same unrolled oracle
+  private[catalog] final val KmK = 4
+  private[catalog] final val KmIters = 3
   private final val LpaIters = 3
   // k-core threshold sits just above the trade graph's p90 degree so the
   // sweep exercises BOTH regimes: at sf0.01 the peel cascades to full
@@ -1745,12 +1747,7 @@ object ExtensionCatalog {
       // memoized + checkpointed (the tradeGraphEdges idiom): the assignment
       // tower (distances + argmin window) feeds BOTH join branches and
       // every repeat — one 20k-row table, computed once per (session, dir)
-      val assign = graphScores.getOrElseUpdate((spark, dir, "s9assign"), {
-        // Reuse.materialize: reliable checkpoint when a dir is configured
-        // (cluster-survivable), localCheckpoint fallback (g6 posture)
-        graft.operators.Reuse.materialize(
-          kmOwn(spark, dir).select(col("vec_id"), col("cid")))
-      })
+      val assign = kmCellAssignments(spark, dir)
       val vecs = kmQuantized(spark, dir)
       val queries = assign.filter(col("vec_id") % 20 === 0)
         .join(vecs, "vec_id")
@@ -2123,6 +2120,18 @@ object ExtensionCatalog {
       .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
   }
 
+  /** The memoized, checkpointed final-centroid cell assignment `(vec_id,
+    * cid)` — one table per (session, dir), shared by s9's kNN join and
+    * d15's SemDeDup composition (the tradeGraphEdges idiom: the assignment
+    * tower feeds several branches; Reuse.materialize is a reliable
+    * checkpoint when a dir is configured, localCheckpoint fallback). */
+  private[catalog] def kmCellAssignments(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graphScores.getOrElseUpdate((spark, dir, "s9assign"), {
+      graft.operators.Reuse.materialize(
+        kmOwn(spark, dir).select(col("vec_id"), col("cid")))
+    })
+
   private def kmOwn(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
     kmDists(spark, dir)
@@ -2132,7 +2141,7 @@ object ExtensionCatalog {
       .select(col("vec_id"), col("cid"), col("d2"))
   }
 
-  private def kmeansOracle(k: Int, iters: Int,
+  private[catalog] def kmeansOracle(k: Int, iters: Int,
       finalSelect: Option[String] = None): String = {
     val layers = (1 to iters).map { i =>
       s"""a$i AS MATERIALIZED (

@@ -537,6 +537,69 @@ object SimilarityCatalog {
         .join(dropped, Seq("vec_id"), "left_anti")
     },
 
+    // ---- D15: SemDeDup capstone — dedup WITHIN k-means cells ---------------
+    // The published embedding-dedup recipe end to end (Abbas et al. 2023,
+    // "SemDeDup: Data-efficient learning at web-scale through semantic
+    // deduplication"): cluster the embeddings with k-means, then drop
+    // semantic duplicates WITHIN each cluster — never across. s7 states
+    // the drop rule alone; d15 composes it with g3's integer-exact Lloyd
+    // cells the way d9 composes the text-dedup chain: candidate pairs ride
+    // the same banded machinery (per-bucket cap, exact-cosine verify) and
+    // only pairs whose endpoints share a final-centroid cell survive to
+    // the drop list, so a vector is dropped iff an earlier-id SAME-CELL
+    // band-colliding neighbor sits at cosine >= the threshold.
+    //
+    // Scale shape: the cell assignment is the memoized g3 tower (one
+    // checkpointed vocab of (vec_id, cid)); the pair fan-out is DOUBLY
+    // blocked — by SRP band bucket (capped) AND by cell membership — so
+    // per-bucket work stays Σ min(|bucket|, cap)² and the cell test is two
+    // id-keyed hash joins of the candidate list (ids only) against the
+    // assignment, never a widening of the fan-out. The final anti-join is
+    // the one corpus-wide exchange, exactly s7's. The oracle extends the
+    // unrolled Lloyd rounds with the banded-pair CTEs, so cluster
+    // assignment, candidate generation, cosine verify, cell restriction,
+    // and the keep rule are hash-matched END TO END.
+    QueryDef(
+      "d15_semdedup_cells",
+      "SemDeDup capstone (Abbas et al. 2023): k-means cells (g3's integer-exact Lloyd rounds) x banded near-dup prune (s7's drop rule) — drop any vector with an earlier-id SAME-CELL band-colliding neighbor at cosine >= 0.45; kept corpus with cluster ids, oracle = unrolled Lloyd layers + banded-pair CTEs composed",
+      Some(ExtensionCatalog.kmeansOracle(
+        ExtensionCatalog.KmK, ExtensionCatalog.KmIters, finalSelect = Some(s""",
+      dists AS MATERIALIZED (
+        SELECT p.vec_id, c.cid, SUM((p.v - c.cval) * (p.v - c.cval)) AS d2
+        FROM pq p JOIN c${ExtensionCatalog.KmIters} c ON p.pos = c.pos
+        GROUP BY 1, 2),
+      own AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      $bandedPairsSql,
+      dropd AS (
+        SELECT DISTINCT p.v2 AS vec_id
+        FROM neardup_pairs p
+        JOIN own o1 ON o1.vec_id = p.v1
+        JOIN own o2 ON o2.vec_id = p.v2
+        WHERE o1.cid = o2.cid)
+      SELECT e.vec_id, o.cid AS cluster_id, e.label
+      FROM embeddings e
+      JOIN own o USING (vec_id)
+      WHERE NOT EXISTS (SELECT 1 FROM dropd d WHERE d.vec_id = e.vec_id)"""))
+      )) { (spark, dir) =>
+      val cells = ExtensionCatalog.kmCellAssignments(spark, dir)
+      // cell restriction = two id-keyed joins of the (small) verified pair
+      // list against the assignment — the fan-out is already banded+capped
+      val dropped = nearDupPairs(spark, dir)
+        .join(cells.select(col("vec_id").as("v1"), col("cid").as("cid1")), "v1")
+        .join(cells.select(col("vec_id").as("v2"), col("cid").as("cid2")), "v2")
+        .filter(col("cid1") === col("cid2"))
+        .select(col("v2").as("vec_id")).distinct()
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+        .join(cells, "vec_id")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("label"))
+    },
+
     // ---- S8: product-quantization encode + ADC search ----------------------
     // The PQ CONTRACT oracle-gated (operators/PqIndex is the production
     // mapPartitions path with KMeans codebooks; its float/RNG training

@@ -113,6 +113,132 @@ class PlanLintSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale broadcast-audit entries:\n${stale.mkString("\n")}")
   }
 
+  /** Queries whose plan legitimately contains a Window (or WindowGroupLimit)
+    * whose partition spec is empty, constant, or provably fixed-cardinality
+    * — the sort funnel that dies at 100 TB unless the windowed INPUT is
+    * bounded by construction before the window (the x11/t16 trap class,
+    * hand-caught twice before this lint). An entry here asserts the
+    * windowed row count is an operator constant (a grid, a top-k, a capped
+    * bucket) — never a function of corpus size. */
+  private val fixedCardWindowByDesign: Map[String, String] = Map(
+    "a5_cumulative_savings" -> "windowed input = the per-month aggregate: rows = calendar months, never the corpus",
+    "w8_rank_functions" -> "SQL-surface parity demo of the full rank family at reference scale; any production rank takes the x11 two-phase form",
+    "f5_lateral_topk" -> "rank<=2 pushes map-side as WindowGroupLimit: at most 2 rows per group per task reach the exchange",
+    "m3_stratified_split" -> "reference parity: sklearn's stratified split is per-class ordinal by definition; input is the validated training slice, classes = the category vocabulary",
+    "k2_approx_quantiles" -> "prefix offsets over the (returnflag, price-bucket) grid: 3 x bucket-count rows (the corpus rank itself is bucket-partitioned and unflagged)",
+    "dq2_volume_anomaly" -> "windowed input = per-(event_type, day) counts: calendar-sized at any event volume",
+    "a14_outlier_fence" -> "exact-quartile gate machinery for percentile_approx (the production path), deliberately exact over a spillable 5-group sort — the dq5 posture",
+    "x12_stratified_sample" -> "rn<=20 pushes map-side as WindowGroupLimit: at most 20 rows per stratum per task reach the exchange",
+    "x11_global_shuffle_rank" -> "THE two-phase rank: the constant-key window runs over 256 bucket counts, never the corpus",
+    "o5_registry_history" -> "model-registry history: rows = training runs (fixture synthesizes a thin 1/97 orders slice)",
+    "x14_dsir_selection" -> "ratio-model totals over the 64-bucket hashed-unigram grid: operator constant",
+    "v1_vocab_build" -> "dense-id assignment over the top-1000 rows AFTER the limit: operator constant",
+    "t13_langid_confusion" -> "row totals over the (true_lang x predicted_lang) confusion grid: langs^2 rows",
+    "t16_ccnet_buckets" -> "the x11 two-phase form itself: within-bucket rank spread over the (lang, <=1001-bucket) grid keys, offsets over the grid rows",
+    "e10_transition_matrix" -> "row shares over the (from_type x to_type) transition grid: types^2 rows")
+
+  /** Fixture columns whose cardinality is a constant of the data MODEL,
+    * not the data VOLUME: a window partitioned only by these sorts
+    * corpus-sized groups on a fixed reducer count — the exact t16
+    * regression this lint exists for. */
+  private val fixedCardCols = Set(
+    "lang", "true_lang", "pred_lang", "label", "source",
+    "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    "c_mktsegment", "event_type", "b", "band_key", "cid", "cluster_id",
+    "sub", "bucket")
+
+  /** The detector: windows in `df`'s optimized plan whose every partition
+    * expression is (after resolving through child-project aliases — window
+    * keys are extracted into `_w` projections) a literal, the
+    * coalesce(pmod(x, 1), 0) constant idiom, a small-modulus pmod/%
+    * bucketing (cardinality <= the modulus), or a declared fixed-cardinality
+    * fixture column. Global Sort+Limit is out of scope: the optimizer
+    * plans TakeOrderedAndProject (bounded per partition), and a final
+    * presentation orderBy is range-partitioned, not a funnel. */
+  private def fixedCardWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, ExprId, Literal, Pmod, Remainder}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val plan = df.queryExecution.optimizedPlan
+    val aliases: Map[ExprId, Expression] =
+      plan.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect { case a: Alias => a.exprId -> a.child }).toMap
+    def resolve(e: Expression, depth: Int): Expression =
+      if (depth <= 0) e
+      else e.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) =>
+          resolve(aliases(a.exprId), depth - 1)
+      }
+    def smallMod(v: Any): Boolean = v match {
+      case i: Int => i <= 4096
+      case l: Long => l <= 4096L
+      case _ => false
+    }
+    def fixedCard(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case Coalesce(cs) => cs.forall(fixedCard)
+      case Pmod(_, Literal(v, _), _) if smallMod(v) => true
+      case Remainder(_, Literal(v, _), _) if smallMod(v) => true
+      case c: Cast => fixedCard(c.child)
+      case a: AttributeReference => fixedCardCols(a.name)
+      case _ => e.references.isEmpty
+    }
+    plan.collect {
+      case w: LWindow if w.partitionSpec.forall(p => fixedCard(resolve(p, 8))) =>
+        s"Window(${w.partitionSpec.mkString(", ")})"
+      case w: WindowGroupLimit if w.partitionSpec.forall(p => fixedCard(resolve(p, 8))) =>
+        s"WindowGroupLimit(${w.partitionSpec.mkString(", ")})"
+    }
+  }
+
+  test("fixed-cardinality-partition windows only where the windowed input is bounded by design") {
+    // The sort-funnel lint (round-10 verdict #1). A Window partitioned by
+    // nothing, a constant, or a fixed-cardinality key sorts corpus-sized
+    // groups on a bounded reducer count: fine when the windowed input is
+    // an operator-bounded grid (x11's range-bucket offsets, x14's 64-row
+    // model, v1's top-1000), fatal when it is the corpus (t16's original
+    // per-language rank — RegressedT16 below proves the detector catches
+    // exactly that form).
+    val byName = Catalog.defs.map(d => d.name -> d).toMap
+    val seen = scala.collection.mutable.Set.empty[String]
+    val failures = Catalog.defs.flatMap { d =>
+      val funnels = fixedCardWindows(d.fn(spark, sfDir))
+      if (funnels.nonEmpty) seen += d.name
+      if (funnels.nonEmpty && !fixedCardWindowByDesign.contains(d.name))
+        Seq(s"${d.name}: ${funnels.mkString("; ")}")
+      else Nil
+    }
+    assert(failures.isEmpty,
+      s"unaudited fixed-cardinality-partition windows (the x11/t16 sort-funnel class):\n" +
+        failures.mkString("\n"))
+    // inverse staleness, same discipline as the broadcast and BNLJ audits
+    val stale = fixedCardWindowByDesign.keys.toSeq.sorted.flatMap { name =>
+      if (!byName.contains(name)) Seq(s"$name: allowlisted but not in the catalog")
+      else if (!seen(name)) Seq(s"$name: allowlisted but its plan carries no fixed-cardinality window")
+      else Nil
+    }
+    assert(stale.isEmpty, s"stale fixed-card-window audit entries:\n${stale.mkString("\n")}")
+  }
+
+  test("the detector catches the regressed t16 form (per-language corpus-sized window)") {
+    // The done-criterion of the lint: t16's round-10 first draft ranked
+    // with ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score) — every
+    // language's whole corpus slice through one reducer. Reconstruct that
+    // shape and assert the detector flags it; the shipped two-phase t16
+    // passes the audit above.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val regressed = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+    assert(fixedCardWindows(regressed).nonEmpty,
+      "detector missed the per-language corpus-sized window")
+    // and a healthy high-cardinality window is NOT flagged
+    val healthy = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("n_chars"))))
+    assert(fixedCardWindows(healthy).isEmpty,
+      "detector false-positives on a doc_id-partitioned window")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where designed") {
     val byName = Catalog.defs.map(d => d.name -> d).toMap
     val bnljSeen = scala.collection.mutable.Set.empty[String]
