@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER public
+  * subword family next to BPE (v2/v3): Kudo, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates", ACL 2018. Seed a large substring vocabulary, Viterbi-
+  * segment the corpus under current piece scores, re-estimate piece usage
+  * from the segmentations (hard EM — what SentencePiece's pruning rounds
+  * use), prune to the survivors, repeat. (Reference repo has no tokenizer
+  * trainer; this is training-data-extension surface, the v2 posture.)
+  *
+  * Scale shape (the BpeLearn contract): the CORPUS is touched exactly once
+  * (one shuffle to `(word, cnt)`); seeding, scoring, segmentation and
+  * pruning all run on the DISTINCT-WORD table — vocabulary-sized at any
+  * corpus. The Viterbi DP is UNROLLED into plain column expressions (word
+  * length is capped at [[MaxWord]], the `max_sentencepiece_length`-style
+  * bound), so segmentation is ONE map-only projection per round: no UDF,
+  * no per-word driver loop, no iteration that re-reads anything bigger
+  * than the word table. Per round the only driver state is one Long (the
+  * vocabulary total — the t8/b1 embed-as-literal posture).
+  *
+  * Integer-exact determinism (this feeds a DuckDB-hash-gated entry): piece
+  * scores are integer "bit-lengths" of the micro-scaled relative frequency
+  * — bits(p) = length(bin(c_p·2^20 // total + 1)) — a deterministic
+  * floor(log2)+1 both engines compute from identical integers (no ln(),
+  * no doubles anywhere). The Viterbi argmax tiebreak is: higher candidate
+  * score first, then the LONGER piece (k=4..1 scanned with >=). Bound:
+  * c_p·2^20 must stay under 2^63 → piece counts < 2^42, ~100× any
+  * realistic vocabulary entry even at 100 TB (counts live on the word
+  * table, weighted by word frequency).
+  */
+object UnigramLM {
+
+  /** Longest word the trainer segments (longer words are dropped from the
+    * word table on BOTH engines — SentencePiece's max-length discipline;
+    * the DP unroll depth equals this). */
+  val MaxWord = 12
+
+  /** Longest candidate piece (SentencePiece max_sentencepiece_length
+    * spirit; the DP fan-in per position). */
+  val MaxPiece = 4
+
+  /** Multi-char pieces kept per pruning round (single chars are ALWAYS
+    * kept — character coverage, segmentation can never fail). */
+  val KeepK = 40
+
+  /** The "impossible" candidate score: any valid path beats it, and a
+    * word's k=1 candidate is always valid (single chars are never
+    * pruned), so it can never win the argmax. */
+  val NegInf = -1000000L
+
+  /** The one corpus-scale pass, capped at [[MaxWord]]: BpeLearn's word
+    * counts minus the over-long tail. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    BpeLearn.wordCounts(docs, textCol).filter(length(col("word")) <= MaxWord)
+
+  /** Weighted substring occurrences `(word, cnt, s, k, piece)` for every
+    * start s and length k <= MaxPiece — the seed-vocabulary generator AND
+    * the per-word piece-lookup feed. Vocab-sized × ≤ MaxWord·MaxPiece
+    * rows; map-only. */
+  def substrings(wc: DataFrame): DataFrame =
+    wc.select(col("word"), col("cnt"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)),
+                s -> transform(sequence(1, least(${MaxPiece}, length(word) - s + 1)),
+                       k -> struct(s AS s, k AS k,
+                                   substring(word, s, k) AS piece))))""")).as("x"))
+      .select(col("word"), col("cnt"),
+        col("x.s").cast("long").as("s"), col("x.k").cast("long").as("k"),
+        col("x.piece"))
+
+  /** Seed piece counts: every substring occurrence, weighted by word
+    * frequency. */
+  def seedCounts(subs: DataFrame): DataFrame =
+    subs.groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+
+  /** Integer bit-length scores for a piece table against a vocabulary
+    * total (embedded as a literal — one collected Long per round). */
+  def scored(pieces: DataFrame, total: Long): DataFrame =
+    pieces.withColumn("bits",
+      expr(s"CAST(length(bin((c * 1048576) div ${total}L + 1)) AS BIGINT)"))
+
+  /** Hard-EM E-step: Viterbi-segment every word under `scoredPieces` and
+    * return per-piece usage `(piece, c)` weighted by word counts. ONE
+    * shuffle (the per-word hit-list groupBy) + one unrolled map-only DP
+    * projection + one usage aggregate. */
+  def viterbiUsage(subs: DataFrame, scoredPieces: DataFrame): DataFrame = {
+    // per-word lookup list: only pieces present in the CURRENT vocabulary
+    // survive the join; the DP treats missing lookups as NegInf
+    val hits = subs
+      .join(scoredPieces.select(col("piece"), col("bits")), Seq("piece"))
+      .groupBy(col("word"), col("cnt"))
+      .agg(collect_list(struct(col("s"), col("k"), col("bits").as("b"))).as("hs"))
+    var df = hits.withColumn("n", length(col("word")))
+    def bitsAt(s: Int, k: Int): Column =
+      element_at(filter(col("hs"),
+        h => h.getField("s") === lit(s.toLong) && h.getField("k") === lit(k.toLong)),
+        1).getField("b")
+    // dp[j] = best score of word[1..j]; k[j] = the chosen last-piece length
+    for (j <- 1 to MaxWord) {
+      val cands: Seq[Column] = (1 to MaxPiece).map { k =>
+        if (k > j) lit(NegInf)
+        else {
+          val prev = if (j - k == 0) lit(0L) else col(s"v${j - k}")
+          coalesce(prev + bitsAt(j - k + 1, k), lit(NegInf))
+        }
+      }
+      val Seq(c1, c2, c3, c4) = cands
+      // tiebreak: longer piece wins — k=4 first, each gate uses >=
+      val kj = when(c4 >= c3 && c4 >= c2 && c4 >= c1, lit(4L))
+        .when(c3 >= c2 && c3 >= c1, lit(3L))
+        .when(c2 >= c1, lit(2L))
+        .otherwise(lit(1L))
+      df = df
+        .withColumn(s"v$j", when(col("n") >= j, greatest(c1, c2, c3, c4)))
+        .withColumn(s"k$j", when(col("n") >= j, kj))
+    }
+    // backpointer walk from position n: at most MaxWord steps, unrolled
+    df = df.withColumn("p0", col("n").cast("long"))
+    for (i <- 1 to MaxWord) {
+      val prev = col(s"p${i - 1}")
+      val kat = (1 to MaxWord).foldLeft(lit(null).cast("long")) { (acc, j) =>
+        when(prev === j, col(s"k$j")).otherwise(acc)
+      }
+      df = df
+        .withColumn(s"kat$i", kat)
+        .withColumn(s"pc$i", when(prev > 0,
+          expr(s"substring(word, CAST(p${i - 1} - kat$i + 1 AS INT), CAST(kat$i AS INT))")))
+        .withColumn(s"p$i", when(prev > 0, prev - col(s"kat$i")).otherwise(lit(0L)))
+    }
+    df.select(col("cnt"),
+        explode(array((1 to MaxWord).map(i => col(s"pc$i")): _*)).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+  }
+
+  /** M-step pruning: top-[[KeepK]] multi-char pieces by (usage DESC, piece
+    * ASC) plus EVERY single character (usage 0 if unused) — coverage can
+    * never break. Top-k is orderBy+limit (TakeOrdered — bounded, no
+    * single-partition sort). */
+  def prune(usage: DataFrame, wc: DataFrame): DataFrame = {
+    val multi = usage.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(KeepK)
+    val singles = wc.select(
+        explode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as("piece"))
+      .distinct()
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+    multi.select(col("piece"), col("c")).unionByName(singles)
+  }
+}
