@@ -913,22 +913,58 @@ object DedupCatalog {
     // survive the join back, so the 50x position fan-out pays out on
     // duplicated spans only; the rebuild is one anti-join plus one
     // groupBy(doc_id), both uniform-keyed.
+    //
+    // Window hashing (round-12, retiring the round-11 md5-of-concat): each
+    // TOKEN is md5'd once (1× corpus bytes — the irreducible cross-engine
+    // string→int bridge, the simhash idiom) into a 60-bit int, and every
+    // 50-token window hash is a polynomial FOLD over the already-hashed int
+    // slice under three distinct 31-bit primes — ~150 integer multiply-mods
+    // per window instead of materializing and md5-ing a ~300-byte string
+    // per position (which re-touched ~50× the corpus bytes and allocated
+    // every window). All arithmetic stays under 2^52 (acc < 2^31, base <
+    // 2^20), map-only, identical on both engines. The triple (h1,h2,h3) is
+    // a ~93-bit key: at 1e13 windows (100 TB) the expected number of
+    // colliding PAIRS is n²/2^94 ≈ 0.005 — collision-free in practice, and
+    // the shuffle key shrinks from a 32-char string to three longs. (The
+    // O(1)-per-window prefix-sum rolling form would need a per-doc
+    // (doc_id, pos) sort — one EXTRA corpus-wide exchange; the slice fold
+    // keeps the stage map-only, which wins at scale.)
+    //
+    // Self-overlap semantics (documented contract, pinned by
+    // ExactSubstrSpec's periodic-text case): occurrences are erased by pk
+    // order WITHOUT excluding overlaps within the same document, so in
+    // periodic text (a token or phrase repeating back-to-back) the windows
+    // at pos 2..P are "later occurrences" of the pos-1 window and erase
+    // the first occurrence itself down to its first tokens. This is MORE
+    // aggressive than Lee et al.'s span semantics on self-overlapping
+    // repeats — deliberate: periodic filler is exactly what a training
+    // corpus wants gone, and the rule stays one MIN + one anti-join with
+    // no within-doc interval logic. Both engines implement the same rule.
     QueryDef(
       "d14_exact_substring_dedup",
-      "North-star dedup: ExactSubstr (Lee et al. 2022) at stride-1 50-token windows — global first occurrence of every duplicated window wins, later occurrences' tokens erased, documents rebuilt; catches the boundary-straddling spans d11's fixed chunks miss",
+      "North-star dedup: ExactSubstr (Lee et al. 2022) at stride-1 50-token windows — per-token md5 once, 3x31-bit polynomial fold per window (no 50x byte re-hash), global first occurrence wins, later (incl. self-overlapping) occurrences erased, documents rebuilt",
       Some("""
         WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
                       FROM documents WHERE text IS NOT NULL),
+        tv AS (SELECT doc_id, t,
+                      list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS v
+               FROM toks),
         wins AS (
-          SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS wh,
+          SELECT doc_id, i AS pos,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), v[i:i+49]),
+                   (acc, x) -> (acc * 1000003 + x % 2147483647) % 2147483647) AS h1,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), v[i:i+49]),
+                   (acc, x) -> (acc * 1000033 + x % 2147483629) % 2147483629) AS h2,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), v[i:i+49]),
+                   (acc, x) -> (acc * 1000037 + x % 2147483587) % 2147483587) AS h3,
                  CAST(doc_id AS BIGINT) * 4294967296 + i AS pk
-          FROM toks, unnest(range(1, len(t) - 48)) AS u(i)
+          FROM tv, unnest(range(1, len(t) - 48)) AS u(i)
           WHERE len(t) >= 50),
-        dups AS (SELECT wh, MIN(pk) AS first_pk FROM wins
-                 GROUP BY 1 HAVING COUNT(*) > 1),
+        dups AS (SELECT h1, h2, h3, MIN(pk) AS first_pk FROM wins
+                 GROUP BY 1, 2, 3 HAVING COUNT(*) > 1),
         removed AS (
-          SELECT DISTINCT w.doc_id, w.pos + v.j AS tokpos
-          FROM wins w JOIN dups USING (wh), unnest(range(0, 50)) AS v(j)
+          SELECT DISTINCT w.doc_id, w.pos + g.j AS tokpos
+          FROM wins w JOIN dups USING (h1, h2, h3), unnest(range(0, 50)) AS g(j)
           WHERE w.pk <> dups.first_pk),
         tokens AS (
           SELECT doc_id, len(t) AS n_toks, u.i AS tokpos, t[u.i] AS w
@@ -943,12 +979,25 @@ object DedupCatalog {
         FROM kept GROUP BY 1
       """)) { (spark, dir) =>
       val W = 50
+      // the three largest primes below 2^31 and three distinct ~2^20 bases:
+      // acc*base + x%p stays under 2^52 — overflow-free long arithmetic on
+      // both engines (see the entry comment for the 93-bit collision bound)
+      val ps = Seq(2147483647L, 2147483629L, 2147483587L)
+      val bs = Seq(1000003L, 1000033L, 1000037L)
+      def roll(i: Column, b: Long, p: Long): Column =
+        aggregate(slice(col("tv"), i, lit(W)), lit(0L),
+          (acc, x) => (acc * lit(b) + x % lit(p)) % lit(p))
       // same empty-doc guard as d11: split of non-null text is never empty
       // today, but an empty array must drop out on BOTH engines
       val t = Tables.documentsFanned(spark, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .filter(size(col("t")) > 0)
+        // ONE md5 per token (the cross-engine string→int bridge), then every
+        // window hash is a pure integer fold over this array — no per-window
+        // string materialization
+        .withColumn("tv",
+          transform(col("t"), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")))
       // one window hash per token position (docs >= W tokens): the when()
       // nulls the array below W and explode emits nothing — the d13
       // one-evaluation posture, no pushed filter re-running the pipeline.
@@ -960,16 +1009,19 @@ object DedupCatalog {
           transform(sequence(lit(1), size(col("t")) - (W - 1)),
             i => struct(
               i.cast("long").as("pos"),
-              md5(array_join(slice(col("t"), i, lit(W)), " ")).as("wh"))))).as("x"))
-        .select(col("doc_id"), col("x.pos"), col("x.wh"),
+              roll(i, bs(0), ps(0)).as("h1"),
+              roll(i, bs(1), ps(1)).as("h2"),
+              roll(i, bs(2), ps(2)).as("h3"))))).as("x"))
+        .select(col("doc_id"), col("x.pos"),
+          col("x.h1"), col("x.h2"), col("x.h3"),
           (col("doc_id").cast("long") * lit(4294967296L) + col("x.pos")).as("pk"))
-      val dups = wins.groupBy(col("wh"))
+      val dups = wins.groupBy(col("h1"), col("h2"), col("h3"))
         .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
-        .select(col("wh"), col("first_pk"))
+        .select(col("h1"), col("h2"), col("h3"), col("first_pk"))
       // later occurrences of duplicated windows erase their W positions;
       // distinct collapses overlapping spans before the rebuild
-      val removed = wins.join(dups, Seq("wh"))
+      val removed = wins.join(dups, Seq("h1", "h2", "h3"))
         .filter(col("pk") =!= col("first_pk"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + (W - 1))).as("tokpos"))

@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
   * than the word table. Per round the only driver state is one Long (the
   * vocabulary total — the t8/b1 embed-as-literal posture).
   *
-  * Integer-exact determinism (this feeds a DuckDB-hash-gated entry): piece
-  * scores are integer "bit-lengths" of the micro-scaled relative frequency
-  * — bits(p) = length(bin(c_p·2^20 // total + 1)) — a deterministic
-  * floor(log2)+1 both engines compute from identical integers (no ln(),
-  * no doubles anywhere). The Viterbi argmax tiebreak is: higher candidate
-  * score first, then the LONGER piece (k=4..1 scanned with >=). Bound:
-  * c_p·2^20 must stay under 2^63 → piece counts < 2^42, ~100× any
-  * realistic vocabulary entry even at 100 TB (counts live on the word
-  * table, weighted by word frequency).
+  * Integer-exact determinism (this feeds the v4 DuckDB-hash-gated entry):
+  * piece scores derive from integer "bit-lengths" of the micro-scaled
+  * relative frequency — bits(p) = length(bin(c_p·2^20 // total + 1)) — a
+  * deterministic floor(log2)+1 both engines compute from identical
+  * integers (no ln(), no doubles anywhere). The DP maximizes
+  * Σ (bits_i − 21): since bits ≈ 21 + log2(c/total) and bits ≤ 21 always
+  * (c ≤ total), the shifted score is the integer log2-PROBABILITY proxy,
+  * ≤ 0 per piece — the actual unigram-LM objective. The shift is load-
+  * bearing: maximizing RAW bit-lengths would degenerate (every character's
+  * count ≥ any superstring piece's count, so bits(char) ≥ bits(piece) ≥ 1
+  * and splitting a piece always adds ≥ bits(piece)+1 — all-single-chars
+  * would win every word). With the shift, a merge wins exactly when
+  * p(piece) ≥ p(left)·p(right) in the bit-length rounding — the PMI > 0
+  * condition, which is what SentencePiece's EM converges toward. The
+  * Viterbi argmax tiebreak is: higher candidate score first, then the
+  * LONGER piece (k=4..1 scanned with >=). Bound: c_p·2^20 must stay under
+  * 2^63 → piece counts < 2^42, ~100× any realistic vocabulary entry even
+  * at 100 TB (counts live on the word table, weighted by word frequency).
   */
 object UnigramLM {
 
@@ -95,17 +104,25 @@ object UnigramLM {
       .groupBy(col("word"), col("cnt"))
       .agg(collect_list(struct(col("s"), col("k"), col("bits").as("b"))).as("hs"))
     var df = hits.withColumn("n", length(col("word")))
+    // get() (0-based) not element_at(…, 1): a piece absent from the current
+    // vocabulary leaves the filter EMPTY, and ANSI element_at throws
+    // INVALID_ARRAY_INDEX on an empty array where the DP needs a null
+    // (→ NegInf candidate). UnigramLMSpec pins the missing-piece case.
     def bitsAt(s: Int, k: Int): Column =
-      element_at(filter(col("hs"),
+      get(filter(col("hs"),
         h => h.getField("s") === lit(s.toLong) && h.getField("k") === lit(k.toLong)),
-        1).getField("b")
-    // dp[j] = best score of word[1..j]; k[j] = the chosen last-piece length
+        lit(0)).getField("b")
+    // dp[j] = best score of word[1..j]; k[j] = the chosen last-piece length.
+    // Per-piece score is bits − 21: the integer log2-probability proxy (see
+    // object scaladoc — the shift is what makes merges beat char splits
+    // exactly on the PMI > 0 condition). A missing lookup (piece not in the
+    // current vocabulary) nulls the addition and coalesces to NegInf.
     for (j <- 1 to MaxWord) {
       val cands: Seq[Column] = (1 to MaxPiece).map { k =>
         if (k > j) lit(NegInf)
         else {
           val prev = if (j - k == 0) lit(0L) else col(s"v${j - k}")
-          coalesce(prev + bitsAt(j - k + 1, k), lit(NegInf))
+          coalesce(prev + (bitsAt(j - k + 1, k) - lit(21L)), lit(NegInf))
         }
       }
       val Seq(c1, c2, c3, c4) = cands
@@ -151,5 +168,30 @@ object UnigramLM {
       .join(usage, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
     multi.select(col("piece"), col("c")).unionByName(singles)
+  }
+
+  /** The full trainer: seed → `rounds` hard-EM rounds (score, Viterbi-
+    * segment, prune) → final scored vocabulary `(piece, c, bits)`. The
+    * corpus is touched exactly once (the word-count shuffle inside
+    * [[wordCounts]]); the word and substring tables are checkpointed once
+    * and reread every round; each round's pruned vocabulary is
+    * checkpointed so lineage never stacks Viterbi towers (the BpeLearn
+    * discipline). Driver state per round: ONE Long (the vocabulary
+    * total, embedded as a literal into the next round's scoring — the
+    * t8/b1 posture). */
+  def train(docs: DataFrame, rounds: Int): DataFrame = {
+    val wc = Reuse.materialize(wordCounts(docs))
+    val subs = Reuse.materialize(substrings(wc))
+    var pieces = Reuse.materialize(seedCounts(subs))
+    // sum over an EMPTY vocabulary (corpus of only >MaxWord words) is null
+    // → 0; scored() never divides then — zero piece rows evaluate nothing
+    def total(): Long =
+      pieces.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    var t = total()
+    for (_ <- 1 to rounds) {
+      pieces = Reuse.materialize(prune(viterbiUsage(subs, scored(pieces, t)), wc))
+      t = total()
+    }
+    scored(pieces, t).select(col("piece"), col("c"), col("bits"))
   }
 }

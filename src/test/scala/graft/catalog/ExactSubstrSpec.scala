@@ -58,4 +58,28 @@ class ExactSubstrSpec extends SparkSpec {
       (0 until 15).map(i => s"c$i")).mkString(" "),
       s"doc 2 rebuilt text wrong: $rebuilt")
   }
+
+  test("periodic text erases back into the first occurrence (documented self-overlap contract)") {
+    // A document of one token repeated 120 times: every 50-token window has
+    // the same hash, so windows at pos 2..71 are "later occurrences" of the
+    // pos-1 window and erase positions 2..120 — the first occurrence itself
+    // survives only as its first token. This is deliberately MORE aggressive
+    // than Lee et al.'s span semantics on self-overlapping repeats (the d14
+    // entry comment states the contract); this test pins it so a rewrite
+    // that silently changes the rule fails here instead of in the oracle.
+    val d = java.nio.file.Files.createTempDirectory("graft-periodic").toString
+    import spark.implicits._
+    Seq((1L, Seq.fill(120)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Catalog.queries("d14_exact_substring_dedup")(spark, d)
+      .select(col("n_toks"), col("n_kept"), col("n_removed"), col("dedup_text"))
+      .collect().head
+    assert(r.getLong(0) == 120 && r.getLong(1) == 1 && r.getLong(2) == 119,
+      s"periodic-text erase contract changed: $r")
+    assert(r.getString(3) == "w")
+  }
 }
