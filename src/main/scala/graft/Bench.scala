@@ -1,7 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, LongAdder}
+
+/** Per-query shuffle-byte accounting (round-11 verdict #3): wall time on a
+  * shared box is noisy to ±0.5 s, so a plan regression that adds an
+  * exchange can hide inside the noise band — shuffle BYTES are
+  * deterministic per plan+data and diff cleanly round over round. Queries
+  * are attributed via a thread-local property set just before each query
+  * runs (Spark captures local properties into every job the thread — and,
+  * through SQLExecution's thread-local capture, its broadcast-exchange
+  * side jobs — submits); stages map to the owning query at job start, and
+  * task-end metrics accumulate under it. Tasks from jobs carrying no
+  * property (speculative scheduler work, anything outside a measured
+  * query) land in `_unattributed` so totals never silently undercount. */
+private final class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListener {
+  val Prop = "graft.bench.query"
+  private val stageToQuery = new ConcurrentHashMap[Int, String]()
+  private val read = new ConcurrentHashMap[String, LongAdder]()
+  private val write = new ConcurrentHashMap[String, LongAdder]()
+  override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    val q = Option(js.properties).flatMap(p => Option(p.getProperty(Prop)))
+    q.foreach(name => js.stageIds.foreach(sid => stageToQuery.put(sid, name)))
+  }
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val q = Option(stageToQuery.get(te.stageId)).getOrElse("_unattributed")
+    val m = te.taskMetrics
+    if (m != null) {
+      read.computeIfAbsent(q, _ => new LongAdder).add(m.shuffleReadMetrics.totalBytesRead)
+      write.computeIfAbsent(q, _ => new LongAdder).add(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  /** Drain the current tallies (bytes read, bytes written) per query. */
+  def snapshotAndReset(): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val ks = (read.keySet.asScala ++ write.keySet.asScala).toSet
+    val out = ks.map { k =>
+      k -> (Option(read.get(k)).map(_.sum).getOrElse(0L),
+        Option(write.get(k)).map(_.sum).getOrElse(0L))
+    }.toMap
+    read.clear(); write.clear(); stageToQuery.clear()
+    out
+  }
+}
 
 /** Benchmark main: one JSON line with per-query seconds at the target SF.
   *
@@ -43,7 +85,13 @@ import java.util.concurrent.atomic.AtomicInteger
   * BENCH_LOCAL.json (or SPARK_GRAFT_BENCH_OUT), never stdout. The suite
   * runs SPARK_GRAFT_BENCH_REPEATS times (default 2); the headline is the
   * best wall, and every repeat's wall + 1-min load average ships in the
-  * record (`walls`, `load_avg_1m`) so box contention is self-diagnosing.
+  * record (`walls`, `load_avg_1m`, plus an explicit `contended` flag when
+  * the quiet-wait budget expired with the box still loud) so box
+  * contention is self-diagnosing. Per-query shuffle read/write BYTES ship
+  * in the full record (`shuffle_read_bytes`/`shuffle_write_bytes`, max
+  * across repeats — see [[ShuffleBytesListener]]): bytes are deterministic
+  * where wall time is noisy, so a plan regression that adds an exchange
+  * diffs cleanly round over round.
   * Before anything starts the run gates on a quiet box (load_avg_1m <
   * SPARK_GRAFT_BENCH_MAX_LOAD, default 5, waiting up to
   * SPARK_GRAFT_BENCH_WAIT_SEC, default 300) — see [[awaitQuietBox]].
@@ -89,6 +137,11 @@ object Bench {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "5").toDouble
     val waitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "300").toInt
     val waitedSec = awaitQuietBox(maxLoad, waitBudget)
+    // Round-11 verdict #2 / round-10 #5: a capture that proceeded with the
+    // box still loud must say so IN the record — a reader of BENCH_r{N}
+    // .json alone could not tell a 2x regression from neighbor noise. The
+    // snapshot protocol treats contended=true as "re-run before committing".
+    val contended = loadAvg1m >= maxLoad
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,6 +161,8 @@ object Bench {
     // reliable-checkpoint home for Reuse.materialize (local run: tmp dir;
     // a cluster deployment points this at durable shared storage)
     spark.sparkContext.setCheckpointDir(GraftSession.DefaultCheckpointDir)
+    val shuffleBytes = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffleBytes)
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(struct(col("*"))).cast("double").as("_h")) // double: ANSI long sum would overflow
@@ -125,6 +180,9 @@ object Bench {
           var i = cursor.getAndIncrement()
           while (i < ordered.size) {
             val (name, fn) = ordered(i)
+            // attribute this thread's jobs (and their captured side jobs)
+            // to the query for the shuffle-bytes listener
+            spark.sparkContext.setLocalProperty(shuffleBytes.Prop, name)
             val t0 = System.nanoTime()
             val sec =
               try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
@@ -132,6 +190,7 @@ object Bench {
                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                 -1.0
               }
+            spark.sparkContext.setLocalProperty(shuffleBytes.Prop, null)
             out.put(name, sec)
             i = cursor.getAndIncrement()
           }
@@ -165,13 +224,24 @@ object Bench {
     // per-query seconds are the min across repeats, and all samples ship in
     // the record so a contended round is self-diagnosing.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    shuffleBytes.snapshotAndReset() // discard warmup tallies
     val runs = (1 to repeats).map { _ =>
       val load = loadAvg1m
       val t0 = System.nanoTime()
       val res = runAll(order, sfDir)
-      ((System.nanoTime() - t0) / 1e9, load, res)
+      ((System.nanoTime() - t0) / 1e9, load, res, shuffleBytes.snapshotAndReset())
     }
-    val (wall, _, _) = runs.minBy(_._1)
+    // Per-query shuffle bytes: MAX across repeats. Deterministic plans give
+    // identical tallies every repeat (max is exact); memoized-model entries
+    // (v2/v3/v4 train once per dir) only shuffle on the repeat that trains,
+    // so max reports the cold-run bound instead of a misleading zero.
+    val shuffles = runs.map(_._4).reduce { (a, b) =>
+      (a.keySet ++ b.keySet).map { k =>
+        val (ar, aw) = a.getOrElse(k, (0L, 0L)); val (br, bw) = b.getOrElse(k, (0L, 0L))
+        k -> (math.max(ar, br), math.max(aw, bw))
+      }.toMap
+    }
+    val (wall, _, _, _) = runs.minBy(_._1)
     val results = runs.map(_._3).reduce { (a, b) =>
       a.map { case (k, v) =>
         val w = b.getOrElse(k, v)
@@ -192,10 +262,16 @@ object Bench {
     // so a consumer reading only metric/value is FORCED to handle the
     // invalid-run case; the failure count and per-query data still ship.
     val headline = if (failures > 0) "null" else wall.toString
+    val shufR = shuffles.toSeq.sortBy(_._1)
+      .map { case (k, (r, _)) => s"\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val shufW = shuffles.toSeq.sortBy(_._1)
+      .map { case (k, (_, w)) => s"\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val shufRTotal = shuffles.valuesIterator.map(_._1).sum
+    val shufWTotal = shuffles.valuesIterator.map(_._2).sum
     val summary =
-      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
     val full =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
     // full-suite record with an n=1 artifact (and a typo'd filter would
     // silently persist n=0): targeted runs only write when the caller

@@ -64,12 +64,36 @@ object StreamBench {
     val schema = spark.read.parquet(staged).schema
     val nRows = spark.read.parquet(staged).count()
 
+    // State-rows BOUNDS (round-11 verdict #4): the scaladoc claims state ~
+    // keys / open windows / lag-window events, never stream length — now
+    // ASSERTED per pipeline, so a state leak (a lost watermark, a
+    // dropDuplicates without the watermark column, an unbounded key space)
+    // fails this main loudly instead of shipping as a big-but-unread
+    // number. Keyed pipelines bound exactly: one state row per user
+    // (transformWithState ValueState, flatMapGroupsWithState session), one
+    // per open (hour-window, event_type) group. The interval join's
+    // eviction granularity is the micro-batch: the final batch evicts with
+    // the PREVIOUS batch's watermark, so retained rows ~ the last trigger's
+    // tail (4 of `files` range-balanced splits) + the 2h/1h lag windows —
+    // bounded here by TWO triggers' row share, cushioned 1.5x for range-
+    // partitioner sampling imbalance. Still ~a third of this replay and
+    // O(lag window) on any real (long) stream — the claim under test is
+    // sub-linearity, and a broken watermark holds 100% and fails.
+    val statsDf = spark.read.parquet(staged)
+    val distinctUsers = statsDf.select(col("user_id")).distinct().count()
+    val hourTypeGroups = statsDf
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    val joinTailBound = (nRows * 8L * 3L) / (files.toLong * 2L)
+
     def src(maxFilesPerTrigger: Int): DataFrame =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .parquet(staged)
 
-    def run(name: String, mode: String, filesPerTrigger: Int = 4)(
+    var stateBoundViolations = 0
+
+    def run(name: String, mode: String, filesPerTrigger: Int = 4,
+        stateBound: Long = Long.MaxValue)(
         pipeline: DataFrame => DataFrame): Unit = {
       val out = pipeline(src(filesPerTrigger))
       val t0 = System.nanoTime()
@@ -96,20 +120,30 @@ object StreamBench {
       val stateRows = lastState.map(_.numRowsTotal).sum
       val stateBytes = lastState.map(_.memoryUsedBytes).sum
       q.stop()
+      val boundOk = stateRows <= stateBound
+      if (!boundOk) {
+        stateBoundViolations += 1
+        System.err.println(
+          s"[streambench] STATE BOUND VIOLATED: $name state_rows=$stateRows > bound=$stateBound")
+      }
       println(
         s"""{"pipeline":"$name","rows":$nRows,"wall_sec":${f"$wall%.2f"},""" +
           s""""rows_per_sec":${(nRows / wall).toLong},"batches":$batches,""" +
-          s""""state_rows":$stateRows,"state_bytes":$stateBytes}""")
+          s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+          s""""state_rows_bound":$stateBound,"state_bound_ok":$boundOk}""")
     }
 
-    run("user_lifetime_stats", "update")(EventStreams.userLifetimeStats)
-    run("sessionize", "append") { df =>
+    run("user_lifetime_stats", "update", stateBound = distinctUsers)(
+      EventStreams.userLifetimeStats)
+    run("sessionize", "append", stateBound = distinctUsers) { df =>
       EventStreams.sessionize(df.select(
         col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[EventStreams.Event]).toDF()
     }
-    run("tumbling_counts", "update")(df => EventStreams.tumblingCounts(df))
-    run("click_purchase_join", "append")(df => EventStreams.clickPurchaseJoin(df))
+    run("tumbling_counts", "update", stateBound = hourTypeGroups)(
+      df => EventStreams.tumblingCounts(df))
+    run("click_purchase_join", "append", stateBound = joinTailBound)(
+      df => EventStreams.clickPurchaseJoin(df))
 
     // ---- Recovery measurement (round-9 verdict #6) --------------------------
     // Steady state is half the story: the 100 TB posture claims changelog
@@ -193,5 +227,8 @@ object StreamBench {
       System.err.println(s"[streambench] RECOVERY MISMATCH: $mismatch rows differ")
 
     spark.stop()
+    // a violated state bound or a recovery mismatch must fail the harness
+    // run itself — a red exit code, not just a false flag in the JSON
+    if (stateBoundViolations > 0 || mismatch != 0L) sys.exit(1)
   }
 }

@@ -559,9 +559,22 @@ object SimilarityCatalog {
     // unrolled Lloyd rounds with the banded-pair CTEs, so cluster
     // assignment, candidate generation, cosine verify, cell restriction,
     // and the keep rule are hash-matched END TO END.
+    //
+    // Keep-policy fidelity (stated deviation from the paper): Abbas et al.
+    // keep one representative per duplicate group chosen by CENTROID
+    // DISTANCE (their reported variant keeps the vector with the LOWEST
+    // cosine similarity to the cluster centroid); d15 keeps the LOWEST-ID
+    // vector of each similar pair chain instead. Lowest-id is the
+    // deterministic, one-pass, anti-join-shaped rule (s7's scaladoc
+    // explains why greedy kept-set recursion does not distribute); which
+    // member of a near-duplicate group survives is a tie-break choice the
+    // paper itself reports as a minor ablation, not a different dedup. The
+    // d2 distance tower already computes per-(vec, centroid) d2, so the
+    // centroid-distance keep rule is implementable as a documented upgrade
+    // if paper-exact selection is ever required.
     QueryDef(
       "d15_semdedup_cells",
-      "SemDeDup capstone (Abbas et al. 2023): k-means cells (g3's integer-exact Lloyd rounds) x banded near-dup prune (s7's drop rule) — drop any vector with an earlier-id SAME-CELL band-colliding neighbor at cosine >= 0.45; kept corpus with cluster ids, oracle = unrolled Lloyd layers + banded-pair CTEs composed",
+      "SemDeDup capstone (Abbas et al. 2023): k-means cells (g3's integer-exact Lloyd rounds) x banded near-dup prune (s7's drop rule) — drop any vector with an earlier-id SAME-CELL band-colliding neighbor at cosine >= 0.45 (keep rule: lowest id, a stated deviation from the paper's centroid-distance representative); kept corpus with cluster ids, oracle = unrolled Lloyd layers + banded-pair CTEs composed",
       Some(ExtensionCatalog.kmeansOracle(
         ExtensionCatalog.KmK, ExtensionCatalog.KmIters, finalSelect = Some(s""",
       dists AS MATERIALIZED (

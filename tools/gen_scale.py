@@ -28,14 +28,43 @@ COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
 # key strides: comfortably above each table's max key, and doc_id stays
 # below 2^31 (the d3/d5 packed-long encoding requires 31-bit doc ids).
-# SUPP is 1e4 (max s_suppkey is 999): the trade-graph entries build a
-# unified node space as suppkey UNION custkey+1e6, so every scaled suppkey
-# (max copies*1e4+999 = 191k at 20 copies) must stay BELOW 1e6 or copies'
+# SUPP is 1e4: the trade-graph entries build a unified node space as
+# suppkey UNION custkey+1e6, so every scaled suppkey (max copies*1e4+999 =
+# 191k at 20 copies of the default fixture) must stay BELOW 1e6 or copies'
 # supplier nodes collide with other copies' customer nodes (the ~0.3%
-# node-merge artifact the round-10 verdict flagged).
+# node-merge artifact the round-10 verdict flagged). The assertions run
+# against the ACTUAL max keys of SRC at runtime (round-11 ADVICE: a
+# hardcoded 999 could not catch a larger source fixture whose max suppkey
+# reaches the stride).
 CUST, ORD, PART, SUPP, DOC, VEC, EVT, USR = (
     10**6, 10**7, 10**6, 10**4, 10**5, 10**5, 10**7, 10**6)
-assert (COPIES - 1) * SUPP + 999 < 10**6, "suppkey space must not reach cust nodes"
+
+# (table, key column, stride) for every shifted key; checked in main()
+KEYED = [
+    ("customer", "c_custkey", CUST), ("supplier", "s_suppkey", SUPP),
+    ("part", "p_partkey", PART), ("orders", "o_orderkey", ORD),
+    ("events", "event_id", EVT), ("events", "user_id", USR),
+    ("documents", "doc_id", DOC), ("embeddings", "vec_id", VEC),
+]
+
+
+def check_strides(con):
+    """Disjoint-id-space guarantees against SRC's actual max keys: every
+    stride must exceed its table's max key (otherwise copies' key ranges
+    overlap and 'replicated' rows silently merge), scaled suppkeys must
+    stay below the 1e6 customer-node offset of the unified trade graph,
+    and scaled doc ids below 2^31 (the packed-long encoding)."""
+    for table, keycol, stride in KEYED:
+        mx = con.execute(
+            f"SELECT max({keycol}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+        assert mx < stride, \
+            f"{table}.{keycol}: max key {mx} >= stride {stride} — copies would overlap"
+        if keycol == "s_suppkey":
+            assert (COPIES - 1) * stride + mx < 10**6, \
+                f"scaled suppkey {(COPIES-1)*stride + mx} reaches the 1e6 cust-node offset"
+        if keycol == "doc_id":
+            assert (COPIES - 1) * stride + mx < 2**31, \
+                f"scaled doc_id {(COPIES-1)*stride + mx} breaks the 31-bit packed-long contract"
 
 TABLES = {
     "region": "SELECT * FROM src",   # tiny dims replicate as-is (k=0 only)
@@ -84,6 +113,7 @@ def main():
     import os
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    check_strides(con)
     con.execute(f"CREATE VIEW ks AS SELECT range AS k FROM range({COPIES})")
     for name, sql in TABLES.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS "
