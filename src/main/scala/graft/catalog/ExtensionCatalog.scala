@@ -2121,15 +2121,17 @@ object ExtensionCatalog {
   }
 
   /** The memoized, checkpointed final-centroid cell assignment `(vec_id,
-    * cid)` — one table per (session, dir), shared by s9's kNN join and
-    * d15's SemDeDup composition (the tradeGraphEdges idiom: the assignment
-    * tower feeds several branches; Reuse.materialize is a reliable
-    * checkpoint when a dir is configured, localCheckpoint fallback). */
+    * cid, d2)` — one table per (session, dir), shared by s9's kNN join and
+    * d15/d16's SemDeDup compositions (the tradeGraphEdges idiom: the
+    * assignment tower feeds several branches; Reuse.materialize is a
+    * reliable checkpoint when a dir is configured, localCheckpoint
+    * fallback). `d2` is the own-cell squared distance — one extra long per
+    * row, and it is d16's centroid-distance keep rank, so carrying it here
+    * avoids a second checkpoint of the same tower. */
   private[catalog] def kmCellAssignments(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graphScores.getOrElseUpdate((spark, dir, "s9assign"), {
-      graft.operators.Reuse.materialize(
-        kmOwn(spark, dir).select(col("vec_id"), col("cid")))
+      graft.operators.Reuse.materialize(kmOwn(spark, dir))
     })
 
   private def kmOwn(spark: org.apache.spark.sql.SparkSession, dir: String) = {

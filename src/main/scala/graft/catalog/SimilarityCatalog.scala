@@ -613,6 +613,74 @@ object SimilarityCatalog {
         .select(col("vec_id"), col("cid").as("cluster_id"), col("label"))
     },
 
+    // ---- D16: SemDeDup with the PAPER's keep rule (centroid distance) ------
+    // d15's stated deviation, closed as a sibling entry: Abbas et al. keep
+    // the member of each within-cell duplicate group with the LOWEST cosine
+    // similarity to the cluster centroid — in the quantized-integer tower
+    // that is the LARGEST own-cell d2 (ties broken by vec_id ASC so the
+    // rank is total). Reformulated one-pass (the s7 discipline — greedy
+    // exactly-one-per-group recursion serializes): drop a vector iff SOME
+    // same-cell band-colliding neighbor at cosine >= the threshold OUTRANKS
+    // it under (d2 DESC, vec_id ASC). For a tight duplicate group whose
+    // pairs all collide (the regime SemDeDup targets — near-identical
+    // embeddings land in the same SRP buckets), exactly the paper's argmax
+    // survives; on similarity CHAINS the rule keeps every local maximum,
+    // recall-safe in the dedup direction exactly like s7/d15. Same scale
+    // shape as d15: memoized assignment tower (which already carries d2 —
+    // the keep rank costs NO new computation), banded+capped pair fan-out
+    // symmetrized (ids only, 2x a small list), two id-keyed joins, one
+    // corpus-wide anti-join. Oracle = the d15 composition with the own-cell
+    // d2 kept and the outrank predicate in the drop CTE.
+    QueryDef(
+      "d16_semdedup_centroid_keep",
+      "SemDeDup, paper-exact keep rule (Abbas et al. 2023): within k-means cells, drop any vector with a band-colliding cosine>=0.45 same-cell neighbor FARTHER from the centroid ((d2 DESC, vec_id) outrank) — keeps the group member least similar to the centroid; kept corpus with cluster id and the integer centroid distance",
+      Some(ExtensionCatalog.kmeansOracle(
+        ExtensionCatalog.KmK, ExtensionCatalog.KmIters, finalSelect = Some(s""",
+      dists AS MATERIALIZED (
+        SELECT p.vec_id, c.cid, SUM((p.v - c.cval) * (p.v - c.cval)) AS d2
+        FROM pq p JOIN c${ExtensionCatalog.KmIters} c ON p.pos = c.pos
+        GROUP BY 1, 2),
+      own AS MATERIALIZED (
+        SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM (
+          SELECT vec_id, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      $bandedPairsSql,
+      sym AS (SELECT v1 AS u, v2 AS v FROM neardup_pairs
+              UNION ALL SELECT v2 AS u, v1 AS v FROM neardup_pairs),
+      dropd AS (
+        SELECT DISTINCT s.v AS vec_id
+        FROM sym s
+        JOIN own ou ON ou.vec_id = s.u
+        JOIN own ov ON ov.vec_id = s.v
+        WHERE ou.cid = ov.cid
+          AND (ou.d2 > ov.d2 OR (ou.d2 = ov.d2 AND s.u < s.v)))
+      SELECT e.vec_id, o.cid AS cluster_id, o.d2 AS centroid_d2, e.label
+      FROM embeddings e
+      JOIN own o USING (vec_id)
+      WHERE NOT EXISTS (SELECT 1 FROM dropd d WHERE d.vec_id = e.vec_id)"""))
+      )) { (spark, dir) =>
+      val own = ExtensionCatalog.kmCellAssignments(spark, dir) // (vec_id, cid, d2)
+      val pairs = nearDupPairs(spark, dir).select(col("v1"), col("v2"))
+      // symmetrize: the outranking neighbor may sit on either side of the
+      // v1<v2 pair list; u = the potential keeper, v = the candidate drop
+      val sym = pairs.unionByName(pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+        .select(col("v1").as("u"), col("v2").as("v"))
+      val dropped = sym
+        .join(own.select(col("vec_id").as("u"), col("cid").as("cid_u"), col("d2").as("d2_u")), "u")
+        .join(own.select(col("vec_id").as("v"), col("cid").as("cid_v"), col("d2").as("d2_v")), "v")
+        .filter(col("cid_u") === col("cid_v") &&
+          (col("d2_u") > col("d2_v") ||
+            (col("d2_u") === col("d2_v") && col("u") < col("v"))))
+        .select(col("v").as("vec_id")).distinct()
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+        .join(own, "vec_id")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid").as("cluster_id"),
+          col("d2").as("centroid_d2"), col("label"))
+    },
+
     // ---- S8: product-quantization encode + ADC search ----------------------
     // The PQ CONTRACT oracle-gated (operators/PqIndex is the production
     // mapPartitions path with KMeans codebooks; its float/RNG training
