@@ -979,14 +979,6 @@ object DedupCatalog {
         FROM kept GROUP BY 1
       """)) { (spark, dir) =>
       val W = 50
-      // the three largest primes below 2^31 and three distinct ~2^20 bases:
-      // acc*base + x%p stays under 2^52 — overflow-free long arithmetic on
-      // both engines (see the entry comment for the 93-bit collision bound)
-      val ps = Seq(2147483647L, 2147483629L, 2147483587L)
-      val bs = Seq(1000003L, 1000033L, 1000037L)
-      def roll(i: Column, b: Long, p: Long): Column =
-        aggregate(slice(col("tv"), i, lit(W)), lit(0L),
-          (acc, x) => (acc * lit(b) + x % lit(p)) % lit(p))
       // same empty-doc guard as d11: split of non-null text is never empty
       // today, but an empty array must drop out on BOTH engines
       val t = Tables.documentsFanned(spark, dir)
@@ -994,24 +986,20 @@ object DedupCatalog {
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .filter(size(col("t")) > 0)
         // ONE md5 per token (the cross-engine string→int bridge), then every
-        // window hash is a pure integer fold over this array — no per-window
-        // string materialization
+        // window hash derives from this int array — no per-window string
+        // materialization
         .withColumn("tv",
           transform(col("t"), w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")))
-      // one window hash per token position (docs >= W tokens): the when()
-      // nulls the array below W and explode emits nothing — the d13
-      // one-evaluation posture, no pushed filter re-running the pipeline.
-      // pk packs (doc_id, pos) into one long (doc_id < 2^31 per the d3/d5
-      // fixture contract, pos < 2^32), so the global first occurrence is a
-      // plain MIN — map-side combined, skew-immune.
+      // All stride-1 window hashes in ONE native rolling pass per document
+      // (graft.functions.RollingWindowHashes — ~12 integer ops per window,
+      // O(tokens) per doc regardless of W; scaladoc there explains why the
+      // HOF fold form was retired). Docs below W tokens yield null and
+      // explode emits nothing — the d13 one-evaluation posture. pk packs
+      // (doc_id, pos) into one long (doc_id < 2^31 per the d3/d5 fixture
+      // contract, pos < 2^32), so the global first occurrence is a plain
+      // MIN — map-side combined, skew-immune.
       val wins = t.select(col("doc_id"),
-        explode(when(size(col("t")) >= W,
-          transform(sequence(lit(1), size(col("t")) - (W - 1)),
-            i => struct(
-              i.cast("long").as("pos"),
-              roll(i, bs(0), ps(0)).as("h1"),
-              roll(i, bs(1), ps(1)).as("h2"),
-              roll(i, bs(2), ps(2)).as("h3"))))).as("x"))
+        explode(graft.functions.RollingWindowHashes(col("tv"), W)).as("x"))
         .select(col("doc_id"), col("x.pos"),
           col("x.h1"), col("x.h2"), col("x.h3"),
           (col("doc_id").cast("long") * lit(4294967296L) + col("x.pos")).as("pk"))
