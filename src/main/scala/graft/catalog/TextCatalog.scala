@@ -602,6 +602,30 @@ object TextCatalog {
       spark.createDataFrame(unigramVocab(spark, dir)).toDF("piece", "c", "bits")
     },
 
+    // ---- V5: unigram-LM tokenization ----------------------------------------
+    // The inference half of v4 — v3's relationship to v2: Viterbi-segment
+    // the corpus under the TRAINED vocabulary (v4's memoized artifact,
+    // rebuilt as a literal frame — model scoring tables are bounded:
+    // KeepK multis + the alphabet) and emit the corpus subword frequencies,
+    // what the corpus looks like to a model tokenized this way. ONE extra
+    // unrolled Viterbi projection over the vocab-sized word table — the
+    // corpus is touched only by the word-count shuffle; nothing iterates.
+    // Oracle: v4's layers plus one UNPRUNED round whose usage CTE is the
+    // answer — so training AND inference segmentation are hash-gated as
+    // one chain. Scope contract inherited from v4 (and mirrored in the
+    // oracle): words longer than MaxWord are out of the tokenizer's
+    // segmentation domain and contribute no subword counts.
+    QueryDef(
+      "v5_unigram_tokenize",
+      "North-star tokenizer inference: corpus subword frequencies under the v4-trained unigram-LM vocabulary — one map-only unrolled Viterbi pass over the word table, weighted usage as (token, freq); oracle = v4's rounds + one unpruned segmentation round",
+      Some(unigramOracle(UnigramRounds, tokenize = true))) { (spark, dir) =>
+      val wc = graft.operators.UnigramLM.wordCounts(Tables.documentsFanned(spark, dir))
+      val subs = graft.operators.UnigramLM.substrings(wc)
+      val pieces = spark.createDataFrame(unigramVocab(spark, dir)).toDF("piece", "c", "bits")
+      graft.operators.UnigramLM.viterbiUsage(subs, pieces)
+        .select(col("piece").as("token"), col("c").as("freq"))
+    },
+
     // ---- T10: per-document TF-IDF keywords ---------------------------------
     // Keyword extraction — the per-doc summary signal next to t8's QUERY
     // scoring: t8 ranks docs for fixed terms, t10 ranks terms for every
@@ -1093,12 +1117,16 @@ object TextCatalog {
     * candidate expressions are inlined at most ~10× within one step.
     * Multi-referenced frames (`wc`, `subs`, `us_r`, `p_r`) are
     * MATERIALIZED so reference count never multiplies the chain. */
-  private def unigramOracle(rounds: Int): String = {
+  /** @param tokenize false → v4 (emit the final scored vocabulary);
+    *                  true → v5 (one EXTRA unpruned Viterbi round over the
+    *                  final vocabulary, emit its usage as (token, freq) —
+    *                  the corpus subword frequencies, the v3 posture). */
+  private def unigramOracle(rounds: Int, tokenize: Boolean = false): String = {
     val MW = graft.operators.UnigramLM.MaxWord
     val MP = graft.operators.UnigramLM.MaxPiece
     val KK = graft.operators.UnigramLM.KeepK
     val NI = graft.operators.UnigramLM.NegInf
-    def layer(r: Int): String = {
+    def layer(r: Int, withPrune: Boolean = true): String = {
       val gridCols = (1 to MW).flatMap(s => (1 to math.min(MP, MW - s + 1)).map(k =>
         s"MAX(CASE WHEN s = $s AND k = $k THEN bits END) AS b${s}_$k"))
         .mkString(",\n               ")
@@ -1151,7 +1179,7 @@ object TextCatalog {
           SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
           FROM (SELECT cnt, unnest([${(1 to MW).map(i => s"pc$i").mkString(", ")}]) AS piece
                 FROM walk${r}_$MW)
-          WHERE piece IS NOT NULL GROUP BY 1),
+          WHERE piece IS NOT NULL GROUP BY 1)""" + (if (!withPrune) "" else s""",
         p$r AS MATERIALIZED (
           SELECT piece, c FROM (
             SELECT piece, c FROM us$r WHERE length(piece) > 1
@@ -1159,8 +1187,16 @@ object TextCatalog {
           UNION ALL
           SELECT sg.ch AS piece, CAST(COALESCE(u.c, 0) AS BIGINT) AS c
           FROM (SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM wc) sg
-          LEFT JOIN us$r u ON u.piece = sg.ch)"""
+          LEFT JOIN us$r u ON u.piece = sg.ch)""")
     }
+    val finalSql =
+      if (tokenize)
+        s"""${layer(rounds + 1, withPrune = false)}
+      SELECT piece AS token, c AS freq FROM us${rounds + 1}"""
+      else
+        s"""SELECT piece, c,
+             CAST(length(bin(c * 1048576 // (SELECT CAST(SUM(c) AS BIGINT) FROM p$rounds) + 1)) AS BIGINT) AS bits
+      FROM p$rounds"""
     s"""
       WITH wc AS MATERIALIZED (
         SELECT word, COUNT(*) AS cnt
@@ -1173,10 +1209,7 @@ object TextCatalog {
              unnest(range(1, length(word) + 1)) AS u(s),
              unnest(range(1, least($MP, length(word) - u.s + 1) + 1)) AS v(k)),
       p0 AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM subs GROUP BY 1),
-      ${(1 to rounds).map(layer).mkString(",\n      ")}
-      SELECT piece, c,
-             CAST(length(bin(c * 1048576 // (SELECT CAST(SUM(c) AS BIGINT) FROM p$rounds) + 1)) AS BIGINT) AS bits
-      FROM p$rounds
+      ${(1 to rounds).map(r => layer(r)).mkString(",\n      ")}${if (tokenize) ",\n      " else "\n      "}$finalSql
     """
   }
 }

@@ -83,4 +83,14 @@ class UnigramLMSpec extends SparkSpec {
     assert(usageFor("mn", Seq(("m", 16L), ("n", 16L)))
       == Map("m" -> 1L, "n" -> 1L))
   }
+
+  test("v5 tokenization emits the hand-computed corpus subword frequencies") {
+    // under the trained vocabulary, every "xy" segments as [xy] and "z" as
+    // [z]; x/y have zero usage and (unlike v4's vocabulary listing) do NOT
+    // appear — v5 reports what the corpus looks like tokenized, not the
+    // model
+    val got = graft.catalog.Catalog.queries("v5_unigram_tokenize")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("xy", 4L), ("z", 1L)), s"v5 frequencies wrong: $got")
+  }
 }
