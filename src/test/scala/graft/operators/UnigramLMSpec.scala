@@ -84,6 +84,35 @@ class UnigramLMSpec extends SparkSpec {
       == Map("m" -> 1L, "n" -> 1L))
   }
 
+  test("native Viterbi expression is bit-identical to the unrolled column DP") {
+    // differential gate for the round-13 plan-constant fix: the native
+    // UnigramViterbiSegment must reproduce the ORIGINAL unrolled form
+    // exactly, on a corpus crafted to hit every branch — exact ties
+    // (longer-piece gate), missing multi-char pieces (NegInf coalesce),
+    // words at MaxWord, a word longer than MaxWord (dropped), repeated
+    // pieces, and 1..4-char piece lengths
+    val docs = Seq(
+      (1L, "abcd abcd ab cd abab"),
+      (2L, "xyxyxyxyxyxy q abcdabcdabcd"),
+      (3L, "aaaa bbbb ab ba supercalifragilistic"),
+      (4L, "mn mn mn zz z")).toDF("doc_id", "text")
+    val wc = UnigramLM.wordCounts(docs)
+    val subs = UnigramLM.substrings(wc)
+    // two vocabularies: the full seed, and a pruned one with holes
+    val seed = UnigramLM.scored(UnigramLM.seedCounts(subs), 100L)
+    for (vocab <- Seq(seed, UnigramLM.prune(
+        UnigramLM.viterbiUsage(subs, seed), wc).transform(p =>
+          UnigramLM.scored(p, 37L)))) {
+      val native = UnigramLM.viterbiUsage(subs, vocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val unrolled = UnigramLM.viterbiUsageUnrolled(subs, vocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(native == unrolled,
+        s"native vs unrolled diverged:\n native=$native\n unrolled=$unrolled")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("v5 tokenization emits the hand-computed corpus subword frequencies") {
     // under the trained vocabulary, every "xy" segments as [xy] and "z" as
     // [z]; x/y have zero usage and (unlike v4's vocabulary listing) do NOT
