@@ -32,7 +32,18 @@ private final class ShuffleBytesListener extends org.apache.spark.scheduler.Spar
       write.computeIfAbsent(q, _ => new LongAdder).add(m.shuffleWriteMetrics.bytesWritten)
     }
   }
-  /** Drain the current tallies (bytes read, bytes written) per query. */
+  /** Drain the current tallies (bytes read, bytes written) per query.
+    *
+    * The caller must quiesce the ASYNC listener bus first (round-12 ADVICE:
+    * events arrive on Spark's listener threads, so a snapshot taken right
+    * after the last job returns can miss trailing TaskEnd events — or,
+    * worse, count them into the NEXT repeat's tallies, making the
+    * "bytes are deterministic" diffing premise false): [[drainListenerBus]]
+    * does that. `stageToQuery` is NOT cleared here — stage ids are unique
+    * for the SparkContext's lifetime, so a late event for a prior repeat's
+    * stage still attributes to the right query instead of falling into
+    * `_unattributed` (the map is bounded by the bench session's stage
+    * count; it dies with the process). */
   def snapshotAndReset(): Map[String, (Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val ks = (read.keySet.asScala ++ write.keySet.asScala).toSet
@@ -40,8 +51,36 @@ private final class ShuffleBytesListener extends org.apache.spark.scheduler.Spar
       k -> (Option(read.get(k)).map(_.sum).getOrElse(0L),
         Option(write.get(k)).map(_.sum).getOrElse(0L))
     }.toMap
-    read.clear(); write.clear(); stageToQuery.clear()
+    read.clear(); write.clear()
     out
+  }
+
+  /** Block until every queued listener event has been delivered.
+    * `LiveListenerBus.waitUntilEmpty` is `private[spark]` — public at the
+    * bytecode level, so plain reflection reaches it (the stable path Spark's
+    * own tests use). If the reflective route ever breaks on a Spark bump,
+    * fall back to polling the tallies until they hold still. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit = {
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m = bus.getClass.getMethods
+        .filter(_.getName == "waitUntilEmpty")
+        .minBy(_.getParameterCount)
+      if (m.getParameterCount == 0) m.invoke(bus)
+      else m.invoke(bus, java.lang.Long.valueOf(30000L))
+    } catch {
+      case _: Throwable =>
+        def total: Long = {
+          import scala.jdk.CollectionConverters._
+          read.values.asScala.map(_.sum).sum + write.values.asScala.map(_.sum).sum
+        }
+        var prev = -1L
+        var cur = total
+        var spins = 0
+        while (prev != cur && spins < 100) { // stable-for-100ms = drained
+          Thread.sleep(100); prev = cur; cur = total; spins += 1
+        }
+    }
   }
 }
 
@@ -141,7 +180,13 @@ object Bench {
     // box still loud must say so IN the record — a reader of BENCH_r{N}
     // .json alone could not tell a 2x regression from neighbor noise. The
     // snapshot protocol treats contended=true as "re-run before committing".
-    val contended = loadAvg1m >= maxLoad
+    // contended is a PRE-SESSION verdict by construction: once our own
+    // local[32] executor threads spin up, the 1-min load average measures
+    // mostly US (round-12 verdict: repeat loads of 8-19 on an otherwise
+    // quiet box are self-load), so per-repeat samples cannot distinguish
+    // external contention — they ship in `load_avg_1m` for diagnosis, with
+    // `load_note` in the record saying exactly that.
+    val contended = loadAvg1m >= maxLoad || waitedSec >= waitBudget
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -224,11 +269,16 @@ object Bench {
     // per-query seconds are the min across repeats, and all samples ship in
     // the record so a contended round is self-diagnosing.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    // quiesce the async listener bus before EVERY snapshot: trailing
+    // TaskEnd events from the batch that just returned would otherwise
+    // bleed into the next repeat's tallies (round-12 ADVICE)
+    shuffleBytes.drainListenerBus(spark.sparkContext)
     shuffleBytes.snapshotAndReset() // discard warmup tallies
     val runs = (1 to repeats).map { _ =>
       val load = loadAvg1m
       val t0 = System.nanoTime()
       val res = runAll(order, sfDir)
+      shuffleBytes.drainListenerBus(spark.sparkContext)
       ((System.nanoTime() - t0) / 1e9, load, res, shuffleBytes.snapshotAndReset())
     }
     // Per-query shuffle bytes: MAX across repeats. Deterministic plans give
@@ -269,9 +319,9 @@ object Bench {
     val shufRTotal = shuffles.valuesIterator.map(_._1).sum
     val shufWTotal = shuffles.valuesIterator.map(_._2).sum
     val summary =
-      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
     val full =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
     // full-suite record with an n=1 artifact (and a typo'd filter would
     // silently persist n=0): targeted runs only write when the caller

@@ -5,27 +5,31 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftExtensions, Md5Bucket, MinHashSignature, WordShingles}
 import graft.functions.BloomBits
-import graft.operators.{BpeLearn, ConnectedComponents, Dedup, SequencePack}
+import graft.operators.{BpeLearn, ConnectedComponents, Dedup, ExactSubstr,
+  SemDeDup, SequencePack, UnigramLM}
 
 /** The end-to-end training-corpus pipeline, composed from the library's
   * operators — the user story the catalog entries exercise one at a time:
   *
   *   quality gate → exact dedup → MinHash-LSH near-dup clustering (keep
-  *   best per cluster) → bloom decontamination against a held-out set →
-  *   BPE tokenizer training + per-doc token counts → sequence packing →
-  *   deterministic sharding
+  *   best per cluster) → ExactSubstr span scrubbing → SemDeDup embedding
+  *   dedup (when embeddings are supplied) → bloom decontamination against
+  *   a held-out set → tokenizer training (BPE or unigram-LM) + per-doc
+  *   token counts → sequence packing → deterministic sharding
   *
   * Every stage is the same machinery the oracle-gated queries check
-  * (t7/d1/d2+d8/b1/v2+v3/x8/x7 respectively), wired on arbitrary input
-  * DataFrames instead of fixture dirs, with a row-accounting manifest so
-  * corpus shrinkage is auditable per stage. Deterministic end to end: no
-  * RNG, all drop rules are hash- or id-canonical, so two runs (or two
-  * clusters) produce identical corpora.
+  * (t7/d1/d2+d8/d14/d16/b1/v2+v3 or v4+v5/x8/x7 respectively), wired on
+  * arbitrary input DataFrames instead of fixture dirs, with a
+  * row-accounting manifest so corpus shrinkage is auditable per stage.
+  * Deterministic end to end: no RNG, all drop rules are hash- or
+  * id-canonical, so two runs (or two clusters) produce identical corpora.
   *
   * Scale posture inherited from the parts: LSH banding is O(docs×bands)
   * with hot-bucket ceilings, clustering is the SoCC'14 star contraction,
-  * the bloom filter ships as a literal, BPE iterates on the vocab-sized
-  * word table, packing is NFD per hash partition.
+  * ExactSubstr is the rolling-hash window MIN (O(corpus tokens), skew-
+  * immune), SemDeDup blocks by k-means cell with a per-cell ceiling, the
+  * bloom filter ships as a literal, both tokenizers iterate on the
+  * vocab-sized word table, packing is NFD per hash partition.
   */
 object CorpusPipeline {
 
@@ -33,7 +37,8 @@ object CorpusPipeline {
 
   final case class Result(
       corpus: DataFrame,      // doc_id, lang, n_tokens, bin_id, shard
-      merges: Seq[BpeLearn.Merge],
+      merges: Seq[BpeLearn.Merge],              // BPE artifact ("bpe" path)
+      unigramVocab: Seq[(String, Long, Long)],  // (piece, usage, bits) ("unigram" path)
       manifest: Seq[Manifest])
 
   private val MaxBucket = 64
@@ -43,15 +48,30 @@ object CorpusPipeline {
 
   /** Run the pipeline over `docs` (doc_id long, lang string, text string).
     * `heldOut` supplies the decontamination reference texts (same shape).
-    */
+    * `embeddings` (doc_id long, embedding array<float|double>), when
+    * supplied, enables the SemDeDup stage; docs without an embedding row
+    * are never semantic-dropped. `tokenizer` selects "bpe" (v2/v3's merge
+    * table) or "unigram" (v4/v5's Viterbi vocabulary; words outside the
+    * MaxWord segmentation domain count as ONE UNK token — SentencePiece's
+    * unsegmentable-input behavior). */
   def run(
       docs: DataFrame,
       heldOut: DataFrame,
+      embeddings: Option[DataFrame] = None,
       minTokens: Int = 5,
       maxTokens: Int = 1000,
+      exactSubstrWindow: Int = 50,
+      tokenizer: String = "bpe",
       bpeMerges: Int = 8,
+      unigramRounds: Int = 2,
+      semK: Int = 4,
+      semIters: Int = 2,
+      semThreshold: Double = 0.45,
+      semMaxCell: Int = 256,
       packBudget: Int = 512,
       shards: Int = 8): Result = {
+    require(tokenizer == "bpe" || tokenizer == "unigram",
+      s"tokenizer must be 'bpe' or 'unigram', got '$tokenizer'")
     val spark = docs.sparkSession
     val manifest = Seq.newBuilder[Manifest]
     def record(stage: String, df: DataFrame): DataFrame = {
@@ -104,6 +124,30 @@ object CorpusPipeline {
     val deduped = record("near_dup_dedup",
       exact.join(nearDupDrops, Seq("doc_id"), "left_anti"))
 
+    // 3b. ExactSubstr scrubbing (Lee et al. 2022 — the d14 machinery):
+    // erase every duplicated >=W-token span's later occurrences and rebuild
+    // the documents; a doc that was ENTIRELY later-copied spans drops out
+    // (graft.operators.ExactSubstr's pipeline contract). Runs after the
+    // doc-level dedups so it only pays for the partial-overlap tail.
+    val scrubbed = record("exact_substring_scrub",
+      ExactSubstr.scrub(deduped, exactSubstrWindow))
+
+    // 3c. SemDeDup (Abbas et al. 2023 — the d16 centroid-distance keep),
+    // only when the caller ships embeddings: restrict the embedding table
+    // to the SURVIVING docs (the paper dedups the current corpus, and the
+    // cells should not be shaped by already-dropped members), compute the
+    // drop list, anti-join. Docs without an embedding row pass through.
+    val semDeduped = embeddings match {
+      case Some(e) =>
+        val alive = e.select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(scrubbed.select(col("doc_id").as("vec_id")), "vec_id")
+        val drops = SemDeDup.centroidKeepDrops(
+            alive, semK, semIters, semThreshold, semMaxCell)
+          .select(col("vec_id").as("doc_id"))
+        record("semantic_dedup", scrubbed.join(drops, Seq("doc_id"), "left_anti"))
+      case None => scrubbed
+    }
+
     // 4. decontamination — b1's posture: a fixed-size bloom over the
     // held-out set's shingle hashes ships as a literal; bloom suspects are
     // exact-confirmed so the drop set is identical to an exact anti-join
@@ -118,24 +162,41 @@ object CorpusPipeline {
       .filter(BloomBits.bloomMightContain(lit(bloom), col("h")))
     val contaminated = suspects.join(refHashes, "h").select("doc_id").distinct()
     val clean = record("decontaminated",
-      deduped.join(contaminated, Seq("doc_id"), "left_anti"))
+      semDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 5. tokenizer: BPE on the surviving corpus, then per-doc token counts
-    // through the vocab-sized word table (one map-only rewrite + one join)
+    // 5. tokenizer on the surviving corpus, then per-doc token counts
+    // through the vocab-sized word table (one map-only rewrite + one join).
+    // "bpe" = v2/v3's merge chain folded into one rewrite; "unigram" =
+    // v4's trained vocabulary + v5's native Viterbi segmentation.
     val wc = BpeLearn.wordCounts(clean)
-    val merges = BpeLearn.learn(wc, bpeMerges)
-    val rendered = wc.select(col("word"),
-      concat(concat_ws(" ", filter(split(col("word"), ""), s => length(s) > 0)),
-        lit(" " + BpeLearn.EndMark)).as("w"))
-    val wordTok = rendered.select(col("word"),
-      size(split(merges.foldLeft(col("w"))(
-        (c, m) => BpeLearn.applyMerge(c, m.left_sym, m.right_sym)), " ")).as("n_tok"))
+    val (merges, unigramVocab, wordTok) = tokenizer match {
+      case "bpe" =>
+        val m = BpeLearn.learn(wc, bpeMerges)
+        val rendered = wc.select(col("word"),
+          concat(concat_ws(" ", filter(split(col("word"), ""), s => length(s) > 0)),
+            lit(" " + BpeLearn.EndMark)).as("w"))
+        val wt = rendered.select(col("word"),
+          size(split(m.foldLeft(col("w"))(
+            (c, mm) => BpeLearn.applyMerge(c, mm.left_sym, mm.right_sym)), " ")).as("n_tok"))
+        (m, Seq.empty[(String, Long, Long)], wt)
+      case "unigram" =>
+        val vocabDf = UnigramLM.train(clean, unigramRounds)
+        val vocab = vocabDf.collect() // bounded: KeepK multis + the alphabet
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val vb = spark.createDataFrame(vocab).toDF("piece", "c", "bits")
+        val wt = UnigramLM.wordTokenCounts(
+          UnigramLM.substrings(UnigramLM.wordCounts(clean)), vb)
+        (Seq.empty[BpeLearn.Merge], vocab, wt)
+    }
     val docTokens = clean
       .select(col("doc_id"), col("lang"), explode(toks).as("word"))
       .filter(col("word") =!= "")
-      .join(wordTok, "word")
+      // left + coalesce(1): under "unigram", words outside the MaxWord
+      // segmentation domain have no wordTok row and count as one UNK token
+      // (under "bpe" the join always hits and the coalesce is a no-op)
+      .join(wordTok, Seq("word"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("n_tok")).cast("int").as("n_tokens"))
+      .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
 
     // 6. pack + 7. shard — x8's NFD bins, x7's deterministic buckets
     val packed = SequencePack.pack(docTokens, "doc_id", "n_tokens", packBudget)
@@ -143,6 +204,6 @@ object CorpusPipeline {
       docTokens.join(packed.select(col("doc_id"), col("bin_id")), "doc_id")
         .withColumn("shard", Md5Bucket(col("doc_id"), shards)))
 
-    Result(corpus, merges, manifest.result())
+    Result(corpus, merges, unigramVocab, manifest.result())
   }
 }

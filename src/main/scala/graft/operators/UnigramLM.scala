@@ -119,6 +119,18 @@ object UnigramLM {
       .groupBy(col("word"), col("cnt"))
       .agg(collect_list(struct(col("s"), col("k"), col("bits").as("b"))).as("hs"))
 
+  /** Per-word subword token counts under a trained vocabulary:
+    * `(word, n_tok)` — the corpus-tokenization view the pipeline's packing
+    * stage consumes (v5's per-word half, before the usage aggregate).
+    * Words outside the tokenizer's segmentation domain (> [[MaxWord]]
+    * chars, or with no vocabulary hit at all) are NOT in this frame —
+    * the caller decides their cost (CorpusPipeline counts each as one
+    * UNK token, SentencePiece's unsegmentable-input behavior). */
+  def wordTokenCounts(subs: DataFrame, scoredPieces: DataFrame): DataFrame =
+    hitLists(subs, scoredPieces).select(col("word"),
+      size(graft.functions.UnigramViterbiSegment(
+        col("word"), col("hs"), MaxWord, MaxPiece, NegInf, 21L)).as("n_tok"))
+
   /** The ORIGINAL unrolled-column form of [[viterbiUsage]] — retained as
     * the differential reference: identical semantics, ruinous plan constant
     * (see [[viterbiUsage]]'s scaladoc). Test-only; not called in main. */

@@ -330,7 +330,22 @@ object EventStreams {
 }
 
 final case class UserEventIn(user_id: Long, value: Double, ts_s: Long)
-final case class UserStats(n: Long, total: Double, lastSeenS: Long)
+
+/** Lifetime accumulator. `totalMicro` is the value sum in MICRO-UNITS
+  * (round-half-even of value·1e6, the repo's bround posture) — an INTEGER,
+  * deliberately: integer addition is associative/commutative, so the
+  * lifetime total is independent of how the input multiset is partitioned
+  * into micro-batches. That is load-bearing for kill-restart recovery: a
+  * kill that lands between the file source's metadata-log append and the
+  * offset WAL write makes the restarted query legitimately RE-PLAN the
+  * in-flight batch (Spark merges the un-WAL'd source-log entries into one
+  * batch — observed in StreamBench: 8 files in the replayed batch, 7 total
+  * batches vs the reference's 8), and a double fold then differs in the
+  * last ulps purely from summation order while exactly-once still holds.
+  * With integer micro-units the recovered result is bit-exact under ANY
+  * replay boundary. Bound: per-user lifetime micro-total < 2^63 → ~9e8
+  * events/user at value ~1e4 — far past any per-user stream. */
+final case class UserStats(n: Long, totalMicro: Long, lastSeenS: Long)
 final case class UserStatsRow(user_id: Long, n_events: Long, total_value: Double,
     last_seen_s: Long)
 
@@ -354,11 +369,13 @@ class UserLifetimeProcessor
       key: Long,
       rows: Iterator[UserEventIn],
       timerValues: TimerValues): Iterator[UserStatsRow] = {
-    var acc = Option(state.get()).getOrElse(UserStats(0L, 0.0, Long.MinValue))
+    var acc = Option(state.get()).getOrElse(UserStats(0L, 0L, Long.MinValue))
     rows.foreach { r =>
-      acc = UserStats(acc.n + 1, acc.total + r.value, math.max(acc.lastSeenS, r.ts_s))
+      acc = UserStats(acc.n + 1,
+        acc.totalMicro + math.rint(r.value * 1e6).toLong,
+        math.max(acc.lastSeenS, r.ts_s))
     }
     state.update(acc)
-    Iterator.single(UserStatsRow(key, acc.n, acc.total, acc.lastSeenS))
+    Iterator.single(UserStatsRow(key, acc.n, acc.totalMicro / 1e6, acc.lastSeenS))
   }
 }

@@ -43,6 +43,14 @@ def main():
     args = ap.parse_args()
 
     (q0, r0, w0), (q1, r1, w1) = load(args.old), load(args.new)
+    # A record without shuffle maps (pre-round-12 format) would make the
+    # byte check VACUOUSLY pass — indistinguishable from "no regressions"
+    # (round-12 ADVICE). Fail loudly instead.
+    for path, r, w in ((args.old, r0, w0), (args.new, r1, w1)):
+        if not r and not w:
+            print(f"ERROR {path}: no shuffle_read_bytes/shuffle_write_bytes "
+                  f"maps — byte check would be vacuous (pre-round-12 record?)")
+            return 2
     added = sorted(set(q1) - set(q0))
     removed = sorted(set(q0) - set(q1))
     if added:
