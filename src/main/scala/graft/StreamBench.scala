@@ -91,7 +91,8 @@ object StreamBench {
       val maxTs = statsDf.agg(max(col("ts"))).head.getTimestamp(0)
       statsDf.filter(col("ts") >= lit(maxTs) - expr("INTERVAL 2 HOURS")).count()
     }
-    val joinTailBound = (nRows * 8L * 3L) / (files.toLong * 2L) + lagWindowRows
+    def joinTailBound(fpt: Int): Long =
+      (nRows * fpt.toLong * 3L) / files.toLong + lagWindowRows
 
     def src(maxFilesPerTrigger: Int): DataFrame =
       spark.readStream.schema(schema)
@@ -150,7 +151,15 @@ object StreamBench {
     }
     run("tumbling_counts", "update", stateBound = hourTypeGroups)(
       df => EventStreams.tumblingCounts(df))
-    run("click_purchase_join", "append", stateBound = joinTailBound)(
+    run("click_purchase_join", "append", stateBound = joinTailBound(4))(
+      df => EventStreams.clickPurchaseJoin(df))
+    // round-12 verdict #7 A/B: the join's ~4.6k rows/s at 8 triggers is
+    // dominated by per-micro-batch state-store commit overhead (RocksDB
+    // changelog upload × 2 join state stores × every batch), not by the
+    // join itself — 4x larger triggers amortize it. Shipped as a permanent
+    // second measurement so the artifact carries its own evidence.
+    run("click_purchase_join_fpt16", "append", filesPerTrigger = 16,
+      stateBound = joinTailBound(16))(
       df => EventStreams.clickPurchaseJoin(df))
 
     // ---- Recovery measurement (round-9 verdict #6) --------------------------

@@ -41,8 +41,7 @@ object ParityCatalog {
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
                COUNT(*) - COUNT($c) AS n_nulls,
                ((COUNT(*) - COUNT($c)) * 1000000) // COUNT(*) AS null_frac_micro,
-               COUNT(DISTINCT $c) AS n_distinct,
-               TRUE AS nd_in_bounds,
+               approx_count_distinct($c) >= 1 AS approx_positive,
                MIN(CAST($c AS VARCHAR)) AS min_str,
                MAX(CAST($c AS VARCHAR)) AS max_str
         FROM src"""
@@ -964,18 +963,25 @@ object ParityCatalog {
       graft.operators.Profiler.profile(src, Dq3Cols)
     },
 
-    // ---- DQ5: the profiler's SKETCH path, oracle-gated ----------------------
-    // dq3 gates the exact Expand form; this entry gates the form you'd run
-    // at 100 TB — HLL distincts instead of the N-way Expand
-    // (Profiler.profileApprox). HLL internals differ across engines, so the
-    // gateable shape (round-5 verdict #4, the k1 technique) computes BOTH in
-    // one aggregate and emits exact columns value-strict plus an in-row
-    // boolean that the estimate lands within 3·rsd of exact; the pure
-    // no-Expand plan is profileApprox itself, spec-gated (ProfilerSpec) and
-    // timed next to the exact form in BENCH.md.
+    // ---- DQ5: the profiler's SKETCH path — the PRODUCTION plan --------------
+    // dq3 gates the exact Expand form; this entry runs the form you'd run
+    // at 100 TB — Profiler.profileApprox, HLL distincts, ONE aggregate, NO
+    // Expand. Rounds 5–12 gated the sketch through profileApproxGated,
+    // which computed the exact Expand NEXT to the sketch purely to emit an
+    // in-row accuracy boolean — 5.9 s of gate scaffolding sitting at #1 in
+    // the bench suite (round-12 verdict #6). The accuracy bound now lives
+    // in ProfilerSpec (|HLL − exact| <= 3·rsd·exact on the sf0.001 events
+    // fixture, the identical computation at test SF), and THIS entry
+    // hash-gates what the production plan can cross-engine-gate: the exact
+    // legs (counts, nulls, micro null fraction, lexicographic min/max)
+    // value-strict, plus `approx_positive` — the HLL estimate is >= 1 iff
+    // the column has a non-null value, the one sketch-derived predicate
+    // both engines compute identically. approx_positive is DERIVED from
+    // the HLL aggregate, so column pruning cannot drop the sketch from the
+    // timed plan: the bench suite's dq5 cost is the production plan's.
     QueryDef(
-      "dq5_profile_approx_gated",
-      "One-pass profiler, sketch path (Profiler.profileApproxGated): exact counts/nulls/min-max hash-strict plus an in-row |HLL-exact| <= 3*rsd*exact bound boolean over the same five events columns",
+      "dq5_profile_approx",
+      "One-pass profiler, sketch path (Profiler.profileApprox — the production no-Expand HLL plan): exact counts/nulls/min-max hash-strict plus the sketch-derived approx_positive predicate; the 3*rsd accuracy bound is ProfilerSpec's",
       Some(s"""
         WITH src AS (
           SELECT event_id, user_id, event_type,
@@ -986,7 +992,11 @@ object ParityCatalog {
       val src = Tables.events(spark, dir).select(
         col("event_id"), col("user_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
-      graft.operators.Profiler.profileApproxGated(src, Dq3Cols)
+      graft.operators.Profiler.profileApprox(src, Dq3Cols)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("null_frac_micro"),
+          (col("n_distinct") >= 1).as("approx_positive"),
+          col("min_str"), col("max_str"))
     },
 
     // ---- DQ4: Benford leading-digit audit -----------------------------------

@@ -59,6 +59,28 @@ class ProfilerSpec extends SparkSpec {
     assert(rows("v").getLong(4) == 2L)
   }
 
+  test("sketch accuracy bound on the events fixture: |HLL - exact| <= 3*rsd*exact") {
+    // the bound check that used to ride the dq5 catalog entry as an exact
+    // Expand next to the sketch (round-12 verdict #6: 5.9 s of gate
+    // scaffolding at #1 in the bench suite) — moved here, the identical
+    // computation (Profiler.profileApproxGated) on real fixture data at
+    // test SF; the catalog's dq5 now times the production no-Expand plan
+    import org.apache.spark.sql.functions._
+    val src = graft.io.Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
+    val out = Profiler.profileApproxGated(
+        src, Seq("event_id", "user_id", "event_type", "value_c", "props"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 5)
+    val offenders = out.collect { case (c, r) if !r.getBoolean(5) => c }
+    assert(offenders.isEmpty,
+      s"HLL estimate outside 3*rsd of exact for: ${offenders.mkString(", ")}")
+    // the cardinalities span 1e0..1e3 here — the bound is exercised on
+    // real sketch error, not the tiny-exact regime of the sample corpus
+    assert(out("event_id").getLong(4) >= 1000L)
+  }
+
   test("unknown and empty column lists are rejected") {
     intercept[IllegalArgumentException] { Profiler.profile(sample, Seq("nope")) }
     intercept[IllegalArgumentException] { Profiler.profile(sample, Seq.empty) }
