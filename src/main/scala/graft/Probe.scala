@@ -27,8 +27,8 @@ object Probe {
 
   private val DefaultHeavy = Seq(
     "d14_exact_substring_dedup", "d15_semdedup_cells", "d16_semdedup_centroid_keep",
-    "g1_pagerank", "g2_connected_components", "g4_label_propagation",
-    "g6_triangle_count", "x10_neardup_clusters", "t16_ccnet_buckets",
+    "g1_pagerank", "g2_hits", "g4_label_propagation",
+    "g6_triangle_count", "x10_cluster_shard", "t16_ccnet_buckets",
     "dq3_column_profile", "t10_tfidf_keywords", "b1_bloom_decontamination")
 
   private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
