@@ -61,6 +61,7 @@ object CorpusPipeline {
       minTokens: Int = 5,
       maxTokens: Int = 1000,
       exactSubstrWindow: Int = 50,
+      decontamShingle: Int = 3,
       tokenizer: String = "bpe",
       bpeMerges: Int = 8,
       unigramRounds: Int = 2,
@@ -74,11 +75,22 @@ object CorpusPipeline {
       s"tokenizer must be 'bpe' or 'unigram', got '$tokenizer'")
     val spark = docs.sparkSession
     val manifest = Seq.newBuilder[Manifest]
+    // Every recorded stage is MATERIALIZED (Reuse.materialize: persist +
+    // reliable checkpoint) before its manifest count: each stage output is
+    // consumed by the count, by the next stage, and often by several
+    // internal branches (near-dup reads `exact` twice, decontamination
+    // reads its input twice, the tokenizer reads `clean` twice) — without
+    // materialization every consumer re-executes the whole upstream chain
+    // and the pipeline goes quadratic in stages (measured: 108 s → 23 s at
+    // sf0.1 for the identical work). The raw ingest frame is the one
+    // exception: checkpointing the input corpus would copy it (at 100 TB,
+    // a second corpus); its count is a single scan.
     def record(stage: String, df: DataFrame): DataFrame = {
-      manifest += Manifest(stage, df.count()); df
+      val m = graft.operators.Reuse.materialize(df)
+      manifest += Manifest(stage, m.count()); m
     }
 
-    record("ingest", docs)
+    manifest += Manifest("ingest", docs.count())
 
     // 1. quality gate: token-count window (the t7 battery's load-bearing
     // core; the full Gopher rules drop in here unchanged at production)
@@ -150,13 +162,20 @@ object CorpusPipeline {
 
     // 4. decontamination — b1's posture: a fixed-size bloom over the
     // held-out set's shingle hashes ships as a literal; bloom suspects are
-    // exact-confirmed so the drop set is identical to an exact anti-join
+    // exact-confirmed so the drop set is identical to an exact anti-join.
+    // The shingle LENGTH is a parameter: 3 is the d7/b1 parity default,
+    // but on templated corpora a single shared 3-gram flags nearly
+    // everything — production decontamination (Lee et al. 2022, Gopher)
+    // matches LONG n-grams (8–13 tokens), which only near-copies of the
+    // held-out text can share; CorpusBench runs with 8. Probing happens on
+    // the CURRENT corpus (post-scrub), so a contaminating span already
+    // erased by ExactSubstr no longer flags its document.
     val refHashes = heldOut
-      .select(explode(WordShingles(col("text"), 3)).as("s"))
+      .select(explode(WordShingles(col("text"), decontamShingle)).as("s"))
       .select(shingleHash(col("s")).as("h")).distinct()
     val bloom = refHashes.agg(BloomBits.bloomBuild(col("h"))).head.getAs[Array[Byte]](0)
-    val docHashes = deduped.select(col("doc_id"),
-        explode(WordShingles(col("text"), 3)).as("s"))
+    val docHashes = semDeduped.select(col("doc_id"),
+        explode(WordShingles(col("text"), decontamShingle)).as("s"))
       .select(col("doc_id"), shingleHash(col("s")).as("h"))
     val suspects = docHashes
       .filter(BloomBits.bloomMightContain(lit(bloom), col("h")))
