@@ -343,6 +343,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("lifetime totals are micro-batch-boundary independent (bit-exact)") {
+    // the property the recovery harness made load-bearing (round 13): a
+    // kill landing before the offset WAL write makes the restart RE-PLAN
+    // the in-flight batch, so the same event multiset arrives under
+    // different batch boundaries. total_value must come out bit-identical
+    // — the reason UserStats accumulates integer micro-units instead of
+    // folding doubles. 0.1 is NOT exactly representable: a double fold of
+    // these values in different orders genuinely diverges in the low bits,
+    // so this test fails against the old accumulator under splits.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val previous = EventStreams.rocksDbStateStoreConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val evs = (1 to 97).map(i =>
+        (i.toLong, ts(f"2024-01-01 10:${i % 60}%02d:00"), 1L, "click", 0.1 * i))
+      def runSplit(name: String, chunks: Seq[Seq[(Long, Timestamp, Long, String, Double)]]): Double = {
+        val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+        val q = EventStreams.userLifetimeStats(
+            input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+          spark.table(name).collect().maxBy(_.getLong(1)).getDouble(2)
+        } finally q.stop()
+      }
+      val oneBatch = runSplit("uls_one", Seq(evs))
+      val many = runSplit("uls_many", evs.grouped(13).toSeq)
+      val reversedChunks = runSplit("uls_rev", evs.reverse.grouped(29).toSeq)
+      assert(oneBatch == many, s"1-batch $oneBatch != 8-batch $many")
+      assert(oneBatch == reversedChunks, s"1-batch $oneBatch != reversed $reversedChunks")
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dropProbablySeen filters a stream against a static corpus bloom, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
