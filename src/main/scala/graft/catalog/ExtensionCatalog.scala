@@ -1934,6 +1934,124 @@ object ExtensionCatalog {
         .select(col("doc_id"), col("lang"), col("n_toks"), col("score_sum"),
           expr("score_sum div n_toks").as("mean_micro"),
           (expr("score_sum div n_toks") >= 1000000L).as("selected"))
+    },
+
+    // ---- X15: Z-order (Morton) layout + file-skipping index ----------------
+    // A 100 TB table is pruned at the scan by per-file min/max stats; a
+    // 1-D sort makes one column's stats tight and every other's useless.
+    // Interleaving the bits of two quantized sort keys (Morton 1966 — the
+    // Delta/Iceberg OPTIMIZE ZORDER layout) gives every file a small
+    // bounding box in BOTH dimensions, so a conjunctive range predicate
+    // skips files in both axes at once. The entry lays lineitem out on a
+    // 256×256 (ship-date, partkey) grid, cuts the 16-bit morton keys into
+    // 64 files, and emits each file's bounding box plus the needs_read
+    // verdict for a fixed 2-D range query — i.e. the skipping index
+    // itself, which is what makes the layout auditable cross-engine (the
+    // production WRITE is io/Layout.writeZOrdered — repartitionByRange on
+    // the morton key — so parquet's ordinary per-file min/max BECOME these
+    // boxes; LayoutSpec measures the real-file pruning win). Everything is
+    // shift/mask/div builtins in whole-stage codegen: map-only until one
+    // partial-aggregated 64-group exchange. Quantization bounds come from
+    // a 1-row broadcast aggregate (span/max), not hardcoded constants, so
+    // the same entry is exact at every sweep scale. The oracle computes
+    // the morton key by the mask-ladder formulation while Spark runs
+    // Layout.zorder2's bit-extraction tree — the hash match proves the
+    // two formulations identical on every row.
+    QueryDef(
+      "x15_zorder_layout",
+      "Z-order layout audit (io/Layout, Morton 1966 / Delta OPTIMIZE ZORDER): lineitem on a 256x256 (ship-date, partkey) grid, 16-bit morton keys cut into 64 files; per-file bounding boxes + needs_read for a 2-D range query — pure shift/mask builtins, map-only to one 64-group aggregate",
+      Some("""
+        WITH b AS (
+          SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+                 date_diff('day', min(CAST(l_shipdate AS DATE)),
+                                  max(CAST(l_shipdate AS DATE))) AS span,
+                 max(l_partkey) AS maxpk
+          FROM lineitem),
+        q AS (
+          SELECT (date_diff('day', b.d0, CAST(l_shipdate AS DATE)) * 256) // (b.span + 1) AS xq,
+                 ((l_partkey - 1) * 256) // b.maxpk AS yq
+          FROM lineitem, b),
+        s1 AS (SELECT xq, yq, (xq | (xq << 4)) & 3855 AS sx,
+                              (yq | (yq << 4)) & 3855 AS sy FROM q),
+        s2 AS (SELECT xq, yq, (sx | (sx << 2)) & 13107 AS sx,
+                              (sy | (sy << 2)) & 13107 AS sy FROM s1),
+        s3 AS (SELECT xq, yq, (sx | (sx << 1)) & 21845 AS sx,
+                              (sy | (sy << 1)) & 21845 AS sy FROM s2),
+        f AS (SELECT (sx | (sy << 1)) >> 10 AS file_id, xq, yq FROM s3)
+        SELECT CAST(file_id AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows,
+               CAST(MIN(xq) AS BIGINT) AS min_x, CAST(MAX(xq) AS BIGINT) AS max_x,
+               CAST(MIN(yq) AS BIGINT) AS min_y, CAST(MAX(yq) AS BIGINT) AS max_y,
+               NOT (MAX(xq) < 64 OR MIN(xq) > 127 OR
+                    MAX(yq) < 32 OR MIN(yq) > 63) AS needs_read
+        FROM f GROUP BY 1
+      """)) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      // data-driven quantization bounds: one row, broadcast onto the scan
+      val bounds = li.agg(
+        min(to_date(col("l_shipdate"))).as("d0"),
+        datediff(max(to_date(col("l_shipdate"))),
+          min(to_date(col("l_shipdate")))).as("span"),
+        max(col("l_partkey")).as("maxpk"))
+      val q = li.crossJoin(broadcast(bounds)).select(
+        expr("(datediff(to_date(l_shipdate), d0) * 256) div (span + 1)").as("xq"),
+        expr("((l_partkey - 1) * 256) div maxpk").as("yq"))
+      graft.io.Layout.fileStats(q, col("xq"), col("yq"), fileBits = 6)
+        .withColumn("needs_read", graft.io.Layout.needsRead(64, 127, 32, 63))
+    },
+
+    // ---- X16: distributed small-file compaction planner --------------------
+    // Incremental ingestion leaves a table as KB-sized files; every scan
+    // then pays a task + an open per file. Compaction groups small files
+    // into rewrite bins near a target size WITHOUT crossing table
+    // partitions (a cross-partition output file would break partition
+    // pruning). io/Compaction already executes driver-side FFD compaction
+    // against a real directory (CompactionSpec); THIS entry gates its
+    // distributed twin `Compaction.planBins` — for when the file listing
+    // is itself big data (a lake catalog's metadata table lists millions
+    // of files) and driver-side planning is the collect() anti-pattern.
+    // Two windows bounded by files-per-partition, never the listing.
+    // Files here are synthesized from events as one per (event_type
+    // partition, ingest day); the 24 KB target is sized so the sweep
+    // scales exercise every regime: multi-file bins at sf0.01/0.1,
+    // oversize singleton bins (file > target, sparse bin ids) from sf1.0
+    // up — sorted-fill may overflow a bin by at most one file, the
+    // standard planner approximation (exact bin packing is NP-hard).
+    QueryDef(
+      "x16_compaction_bins",
+      "Distributed small-file compaction planner (io/Compaction.planBins, the Iceberg/Delta OPTIMIZE bin-pack planned in-engine): per-(type,day) ingest files sorted-fill into 24 KB rewrite bins within each event_type partition — deterministic (size DESC, file_id) order, bins never span partitions, windows bounded by files-per-partition",
+      Some("""
+        WITH f AS (
+          SELECT event_type AS part_key,
+                 event_type || '_' || strftime(ts, '%Y-%m-%d') AS file_id,
+                 CAST(SUM(len(props) + 16) AS BIGINT) AS size_bytes
+          FROM events GROUP BY 1, 2),
+        o AS (
+          SELECT part_key, file_id, size_bytes,
+                 COALESCE(SUM(size_bytes) OVER (PARTITION BY part_key
+                     ORDER BY size_bytes DESC, file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM f),
+        b AS (SELECT part_key, file_id, size_bytes,
+                     cum_before // 24000 AS bin FROM o)
+        SELECT part_key, file_id, size_bytes, CAST(bin AS BIGINT) AS bin,
+               CAST(SUM(size_bytes) OVER (PARTITION BY part_key, bin) AS BIGINT)
+                 AS bin_bytes,
+               COUNT(*) OVER (PARTITION BY part_key, bin) AS n_files_in_bin
+        FROM b
+      """)) { (spark, dir) =>
+      val files = Tables.events(spark, dir)
+        .groupBy(
+          col("event_type").as("part_key"),
+          concat(col("event_type"), lit("_"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("file_id"))
+        .agg(sum(length(col("props")) + lit(16)).cast("long").as("size_bytes"))
+      graft.io.Compaction.planBins(
+          files, col("part_key"), col("file_id"), col("size_bytes"),
+          target = 24000L)
+        .select(col("part_key"), col("file_id"), col("size_bytes"), col("bin"),
+          col("bin_bytes"), col("n_files_in_bin"))
     })
 
 

@@ -58,4 +58,31 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The skipping index a Z-layout produces, made explicit: per-file
+    * row count and min/max bounding box in BOTH quantized dimensions
+    * (`file_id` = the top `fileBits` bits of the 2×8-bit Morton key, i.e.
+    * a contiguous key range ≙ one output file of `writeZOrdered`). This is
+    * what parquet's ordinary per-file column stats BECOME under the
+    * layout — computing it directly is what makes the layout auditable
+    * cross-engine (catalog entry `x15_zorder_layout`). One 64-group
+    * partial-aggregated exchange; the morton key itself is map-only
+    * codegen. */
+  def fileStats(df: DataFrame, xCol: Column, yCol: Column, fileBits: Int): DataFrame = {
+    require(fileBits >= 1 && fileBits <= 16, s"fileBits must be in [1,16], got $fileBits")
+    val fid = shiftright(zorder2(xCol, yCol, 8), 16 - fileBits).cast("long").as("file_id")
+    df.select(fid, xCol.cast("long").as("xq"), yCol.cast("long").as("yq"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xq")).as("min_x"), max(col("xq")).as("max_x"),
+        min(col("yq")).as("min_y"), max(col("yq")).as("max_y"))
+  }
+
+  /** Does a file's [[fileStats]] bounding box overlap the query rectangle
+    * [x0,x1]×[y0,y1]? False = a scan with both range predicates skips the
+    * whole file. */
+  def needsRead(x0: Int, x1: Int, y0: Int, y1: Int): Column =
+    !(col("max_x") < x0 || col("min_x") > x1 ||
+      col("max_y") < y0 || col("min_y") > y1)
 }

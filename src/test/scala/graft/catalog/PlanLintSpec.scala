@@ -23,11 +23,12 @@ class PlanLintSpec extends SparkSpec {
     * join), x8 (ONE broadcast guard row carrying the in-engine invariant
     * assertion onto the output), s8 (every candidate scores against the
     * broadcast 4-entry PQ codebook — the fan-out IS the operator, and the
-    * broadcast side is fixed-size whatever the corpus). Everything else
+    * broadcast side is fixed-size whatever the corpus), x15 (ONE
+    * broadcast quantization-bounds row onto the scan). Everything else
     * must be hash/sort-merge/broadcast-HASH only. */
   private val bnljByDesign = Set(
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
-    "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc")
+    "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc", "x15_zorder_layout")
 
   /** Queries allowed to carry a forced `broadcast()` hint on a side that
     * reads table data (round-8 verdict #7's lint). A hint whose subtree is
@@ -58,6 +59,7 @@ class PlanLintSpec extends SparkSpec {
     "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants",
     "s10_ivf_adc" -> "4-row codebook + 8x4x4 cell-tagged query distance table: operator constants",
     "x14_dsir_selection" -> "64-bucket hashed n-gram ratio model: grid size is an operator constant",
+    "x15_zorder_layout" -> "ONE quantization-bounds row (min/max/span aggregate) onto the scan",
     "t16_ccnet_buckets" -> "per-(lang, score-bucket) offsets: langs x <=1001 rows, the grid is an operator constant (x11 posture)")
 
   test("forced broadcast hints only on literal or audited bounded sides") {
@@ -158,7 +160,9 @@ class PlanLintSpec extends SparkSpec {
     "t16_ccnet_buckets" -> ("Window(lang); Window(lang); Window(lang, ((sum(((count(1) * 1000000) div sum(count(1)))) div count(1)) div 1000))",
       "the x11 two-phase form itself: within-bucket rank spread over the (lang, <=1001-bucket) grid keys, offsets over the grid rows"),
     "e10_transition_matrix" -> ("Window(event_type)",
-      "row shares over the (from_type x to_type) transition grid: types^2 rows"))
+      "row shares over the (from_type x to_type) transition grid: types^2 rows"),
+    "x16_compaction_bins" -> ("Window(event_type)",
+      "compaction planner windows run over the per-(type, day) FILE LIST — table metadata, calendar-sized at any event volume (the per-bin stats windows add the non-fixed bin key and go unflagged)"))
 
   /** Fixture columns whose cardinality is a constant of the data MODEL,
     * not the data VOLUME: a window partitioned only by these sorts

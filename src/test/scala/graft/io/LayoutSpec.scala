@@ -65,6 +65,43 @@ class LayoutSpec extends SparkSpec {
     assert(zorder <= 8, s"z-order should touch at most half the blocks, got $zorder")
   }
 
+  test("fileStats: every 64th of the full 8-bit grid is a tight 32x32 box; 2-D query reads 2 files vs 16 date-sorted") {
+    // morton>>10 keeps bits 15..10 = y7 x7 y6 x6 y5 x5: each file id is one
+    // 32x32 spatial block — boxes must be exactly that block (tight in
+    // BOTH dims, the whole point of the layout)
+    val grid = (for (x <- 0 until 256; y <- 0 until 256) yield (x.toLong, y.toLong))
+      .toDF("xq", "yq")
+    val stats = Layout.fileStats(grid, col("xq"), col("yq"), fileBits = 6).collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(r.getLong(1) == 1024L, s"file ${r.getLong(0)} n_rows")
+      assert(r.getLong(3) - r.getLong(2) == 31L, s"file ${r.getLong(0)} x extent")
+      assert(r.getLong(5) - r.getLong(4) == 31L, s"file ${r.getLong(0)} y extent")
+      assert(r.getLong(2) % 32 == 0 && r.getLong(4) % 32 == 0)
+    }
+    // query rectangle xq in [64,127], yq in [32,63] — 1/4 of x, 1/8 of y.
+    // Z-layout: only the 32x32 blocks overlapping it need reading =
+    // (2 x-blocks) x (1 y-block) = 2 of 64 files.
+    val z = Layout.fileStats(grid, col("xq"), col("yq"), fileBits = 6)
+      .withColumn("needs_read", Layout.needsRead(64, 127, 32, 63))
+    val zRead = z.filter(col("needs_read")).count()
+    assert(zRead == 2)
+    // the 1-D alternative: same data sorted by xq only into the same 64
+    // files (4 consecutive xq columns each) — every file's yq box is
+    // full-range, the yq predicate skips nothing, and all 16 files
+    // overlapping the x range must be read: 8x the z-layout's I/O
+    val linear = grid
+      .select(expr("xq div 4").as("file_id"), col("xq"), col("yq"))
+      .groupBy("file_id")
+      .agg(min("xq").as("min_x"), max("xq").as("max_x"),
+        min("yq").as("min_y"), max("yq").as("max_y"))
+      .withColumn("needs_read", Layout.needsRead(64, 127, 32, 63))
+    assert(linear.filter(col("min_y") === 0 && col("max_y") === 255).count() == 64,
+      "date-sorted files carry useless full-range boxes in the other dimension")
+    val linRead = linear.filter(col("needs_read")).count()
+    assert(linRead == 16 && zRead * 8 == linRead)
+  }
+
   test("writeZOrdered round-trips the data and clusters files by rectangles") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
     val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y)).toDF("x", "y")
