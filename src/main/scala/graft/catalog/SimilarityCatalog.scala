@@ -854,5 +854,76 @@ object SimilarityCatalog {
       adc.withColumn("nn_rank", row_number().over(best))
         .filter(col("nn_rank") <= 5)
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc_dist"))
+    },
+
+    // ---- S11: index-quality evaluation — recall@10 of IVF vs exact ---------
+    // The missing piece of an ANN deployment: every approximate index
+    // (s2/s5/s8/s10) trades recall for scan cost, and the trade must be
+    // MEASURED before a 100 TB corpus is served from it — FAISS publishes
+    // recall@k curves for exactly this reason. The standard estimator is
+    // sampled-query recall: for a small probe set, compute exact top-k
+    // (one brute-force corpus scan — affordable because the probe set is
+    // tiny and broadcast) and the index's top-k, and report
+    // |approx ∩ exact| / k per query. Both legs are the already-audited s1
+    // and s2 shapes; the overlap join touches only the 8×10-row id sets,
+    // so the whole evaluation adds two bounded windows and one id-keyed
+    // left join on top of machinery the catalog already gates. At 100 TB
+    // this runs on the same sampled probe set — cost is one corpus scan,
+    // independent of index size.
+    QueryDef(
+      "s11_ivf_recall",
+      "ANN index-quality evaluation: recall@10 of the IVF cell-pruned search (s2 shape) against the exact brute-force top-10 (s1 shape) per sampled query — the FAISS-style recall curve point a 100 TB ANN deployment is gated on",
+      Some(s"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+          WHERE rk <= 10),
+        ivf AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id < 8 AND c.label = q.label AND c.vec_id <> q.vec_id)
+          WHERE rk <= 10)
+        SELECT e.query_id, COUNT(i.neighbor_id) AS n_overlap,
+               COUNT(i.neighbor_id) / 10.0 AS recall_at_10
+        FROM exact e LEFT JOIN ivf i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id
+      """)) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      val rk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val cos = (dot(col("q_emb"), col("c_emb"))
+        / (col("q_norm") * col("c_norm"))).as("cos_sim")
+      // ground truth: ONE corpus scan fanned against the broadcast probe
+      // set (the s1 plan); at any corpus size the probe set stays 8 rows
+      val exact = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos)
+        .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      // the index under test: same-cell candidates only (the s2 plan) —
+      // recall < 1 exactly when a true neighbor lives in a foreign cell
+      val ivf = c.join(broadcast(q),
+          col("label") === col("q_label") && col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos)
+        .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      // overlap over the two 8x10-row id sets: count survives the left
+      // join only where the index found the true neighbor
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          (col("n_overlap") / lit(10.0)).as("recall_at_10"))
     })
 }

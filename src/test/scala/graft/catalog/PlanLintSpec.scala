@@ -24,11 +24,13 @@ class PlanLintSpec extends SparkSpec {
     * assertion onto the output), s8 (every candidate scores against the
     * broadcast 4-entry PQ codebook — the fan-out IS the operator, and the
     * broadcast side is fixed-size whatever the corpus), x15 (ONE
-    * broadcast quantization-bounds row onto the scan). Everything else
-    * must be hash/sort-merge/broadcast-HASH only. */
+    * broadcast quantization-bounds row onto the scan), s11 (s1's exact
+    * leg reused as recall ground truth — same broadcast probe set).
+    * Everything else must be hash/sort-merge/broadcast-HASH only. */
   private val bnljByDesign = Set(
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
-    "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc", "x15_zorder_layout")
+    "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc", "x15_zorder_layout",
+    "s11_ivf_recall")
 
   /** Queries allowed to carry a forced `broadcast()` hint on a side that
     * reads table data (round-8 verdict #7's lint). A hint whose subtree is
@@ -55,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "e5_stream_static_enrich" -> "static category dim enriching the stream: dimension-sized",
     "s1_topk_cosine_bruteforce" -> "query set vec_id<8: 8 rows whatever the corpus",
     "s2_topk_cosine_ivf" -> "query set vec_id<8: 8 rows whatever the corpus",
+    "s11_ivf_recall" -> "query set vec_id<8 broadcast into both legs: 8 rows whatever the corpus",
     "s5_topk_cosine_srp" -> "8 queries x band keys: query-set-sized",
     "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants",
     "s10_ivf_adc" -> "4-row codebook + 8x4x4 cell-tagged query distance table: operator constants",
