@@ -128,13 +128,15 @@ class PlanLintSpec extends SparkSpec {
     *
     * The audit is PER WINDOW SHAPE, not per query name (round-11 ADVICE):
     * each entry pins the exact normalized flagged-window signature
-    * (detector output, exprIds stripped, sorted, "; "-joined). If an edit
+    * (detector output; exprIds, casts and zoneIds stripped — the
+    * Spark-version-sensitive toString noise — then sorted, "; "-joined).
+    * If an edit
     * adds a second fixed-cardinality window to an already-allowlisted
     * query — or changes the partition spec of the audited one — the
     * signature mismatches and the lint fails instead of pre-excusing the
     * new shape. */
   private val fixedCardWindowByDesign: Map[String, (String, String)] = Map(
-    "a5_cumulative_savings" -> ("Window(coalesce(pmod(year(cast(date_trunc(month, cast(o_orderdate as timestamp), Some(UTC)) as date)), 1), 0))",
+    "a5_cumulative_savings" -> ("Window(coalesce(pmod(year(date_trunc(month, o_orderdate)), 1), 0))",
       "windowed input = the per-month aggregate: rows = calendar months, never the corpus"),
     "w8_rank_functions" -> ("Window(o_orderpriority); Window(o_orderpriority)",
       "SQL-surface parity demo of the full rank family at reference scale; any production rank takes the x11 two-phase form"),
@@ -150,11 +152,11 @@ class PlanLintSpec extends SparkSpec {
       "exact-quartile gate machinery for percentile_approx (the production path), deliberately exact over a spillable 5-group sort — the dq5 posture"),
     "x12_stratified_sample" -> ("Window(lang); WindowGroupLimit(lang)",
       "rn<=20 pushes map-side as WindowGroupLimit: at most 20 rows per stratum per task reach the exchange"),
-    "x11_global_shuffle_rank" -> ("Window(coalesce(pmod(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 2), 16, 10, true) as int), 1), 0))",
+    "x11_global_shuffle_rank" -> ("Window(coalesce(pmod(conv(substring(md5(doc_id), 1, 2), 16, 10, true), 1), 0))",
       "THE two-phase rank: the constant-key offsets window runs over 256 bucket counts, never the corpus (the per-bucket rank window partitions by the md5 bucket expression — corpus-keyed, unflagged)"),
-    "o5_registry_history" -> ("Window(coalesce(pmod(year(cast(o_orderdate as date)), 1), 0))",
+    "o5_registry_history" -> ("Window(coalesce(pmod(year(o_orderdate), 1), 0))",
       "model-registry history: rows = training runs (fixture synthesizes a thin 1/97 orders slice)"),
-    "x14_dsir_selection" -> ("Window(coalesce(pmod((cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10, true) as bigint) % 64), 1), 0))",
+    "x14_dsir_selection" -> ("Window(coalesce(pmod((conv(substring(md5(w), 1, 15), 16, 10, true) % 64), 1), 0))",
       "ratio-model totals over the 64-bucket hashed-unigram grid: operator constant"),
     "v1_vocab_build" -> ("Window(pmod(count(1), 1))",
       "dense-id assignment over the top-1000 rows AFTER the limit: operator constant"),
@@ -215,13 +217,24 @@ class PlanLintSpec extends SparkSpec {
     // Signature rendering: partition expressions RESOLVED through the _w
     // extraction aliases (a raw `_w0` says nothing about the shape), with
     // exprIds (#123L) stripped so the string is stable across sessions —
-    // what remains is the partition-spec SHAPE, which is what the audit pins
-    def norm(s: String): String = s.replaceAll("#\\d+L?", "")
+    // what remains is the partition-spec SHAPE, which is what the audit
+    // pins. Casts are stripped at the EXPRESSION level and zoneIds
+    // (`, Some(UTC)`) at the string level before rendering (round-12
+    // ADVICE): they are exactly the toString spellings a Spark minor bump
+    // rewords, and neither changes a partition key's cardinality — without
+    // this, a version bump fails every allowlisted entry at once instead
+    // of producing at most one genuine re-audit.
+    def stripCasts(e: Expression): Expression =
+      e.transformUp { case c: Cast => c.child }
+    def norm(s: String): String =
+      s.replaceAll("#\\d+L?", "").replaceAll(", Some\\([^)]*\\)", "")
+    def render(spec: Seq[Expression]): String =
+      spec.map(p => stripCasts(resolve(p, 8))).mkString(", ")
     plan.collect {
       case w: LWindow if w.partitionSpec.forall(p => fixedCard(resolve(p, 8))) =>
-        norm(s"Window(${w.partitionSpec.map(p => resolve(p, 8)).mkString(", ")})")
+        norm(s"Window(${render(w.partitionSpec)})")
       case w: WindowGroupLimit if w.partitionSpec.forall(p => fixedCard(resolve(p, 8))) =>
-        norm(s"WindowGroupLimit(${w.partitionSpec.map(p => resolve(p, 8)).mkString(", ")})")
+        norm(s"WindowGroupLimit(${render(w.partitionSpec)})")
     }
   }
 
