@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * ("kept depends on kept") and does not distribute; for a tight duplicate
   * group exactly the paper's argmax survives, and on similarity chains
   * every local maximum does (recall-safe in the dedup direction: every
-  * dropped vector HAS a kept, more-central... rather, less-central similar
-  * representative up its chain).
+  * dropped vector HAS a kept similar representative further from the
+  * centroid up its chain).
   *
   * Blocking: the CLUSTER is the candidate block (the paper's own
   * restriction; the catalog entries add SRP banding on top because their
