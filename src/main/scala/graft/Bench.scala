@@ -124,9 +124,12 @@ private final class ShuffleBytesListener extends org.apache.spark.scheduler.Spar
   * BENCH_LOCAL.json (or SPARK_GRAFT_BENCH_OUT), never stdout. The suite
   * runs SPARK_GRAFT_BENCH_REPEATS times (default 2); the headline is the
   * best wall, and every repeat's wall + 1-min load average ships in the
-  * record (`walls`, `load_avg_1m`, plus an explicit `contended` flag when
-  * the quiet-wait budget expired with the box still loud) so box
-  * contention is self-diagnosing. Per-query shuffle read/write BYTES ship
+  * record (`walls`, `load_avg_1m`, `core_probe_sec` — a fixed
+  * single-thread integer loop timed before each repeat, the host-weather
+  * signal load/steal can't see (round-13: same-code walls moved 21→33 s
+  * at load < 0.5) — plus an explicit `contended` flag when the quiet-wait
+  * budget expired with the box still loud) so box contention is
+  * self-diagnosing. Per-query shuffle read/write BYTES ship
   * in the full record (`shuffle_read_bytes`/`shuffle_write_bytes`, max
   * across repeats — see [[ShuffleBytesListener]]): bytes are deterministic
   * where wall time is noisy, so a plan regression that adds an exchange
@@ -141,6 +144,28 @@ object Bench {
     val l = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     math.round(l * 100) / 100.0
+  }
+
+  /** Host-weather probe (round-13 lesson): a FIXED single-thread integer
+    * loop timed before each repeat. Same-code bench walls moved 21 → 33 s
+    * within one session while 1-min load stayed < 0.5, steal stayed 0 and
+    * the nominal CPU frequency never moved — per-core throughput on a
+    * shared host varies invisibly to every signal `contended`/`load_avg_1m`
+    * can see. The probe's seconds ship per repeat (`core_probe_sec`), so a
+    * reader of the record alone can tell "slow box phase" from "slow code":
+    * identical plans with probe 0.2 s vs 0.4 s is weather, not regression.
+    * JIT is paid by one unrecorded warmup call before the repeats. */
+  private def coreProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33)
+      i += 1
+    }
+    if (x == 42L) System.err.println("") // keep x live against DCE
+    math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
   }
 
   /** Round-6 verdict #6: a contended box can inflate the recorded wall
@@ -274,12 +299,14 @@ object Bench {
     // bleed into the next repeat's tallies (round-12 ADVICE)
     shuffleBytes.drainListenerBus(spark.sparkContext)
     shuffleBytes.snapshotAndReset() // discard warmup tallies
+    coreProbeSec() // unrecorded: pays the probe loop's JIT
     val runs = (1 to repeats).map { _ =>
       val load = loadAvg1m
+      val probe = coreProbeSec()
       val t0 = System.nanoTime()
       val res = runAll(order, sfDir)
       shuffleBytes.drainListenerBus(spark.sparkContext)
-      ((System.nanoTime() - t0) / 1e9, load, res, shuffleBytes.snapshotAndReset())
+      ((System.nanoTime() - t0) / 1e9, load, res, shuffleBytes.snapshotAndReset(), probe)
     }
     // Per-query shuffle bytes: MAX across repeats. Deterministic plans give
     // identical tallies every repeat (max is exact); memoized-model entries
@@ -291,7 +318,7 @@ object Bench {
         k -> (math.max(ar, br), math.max(aw, bw))
       }.toMap
     }
-    val (wall, _, _, _) = runs.minBy(_._1)
+    val (wall, _, _, _, _) = runs.minBy(_._1)
     val results = runs.map(_._3).reduce { (a, b) =>
       a.map { case (k, v) =>
         val w = b.getOrElse(k, v)
@@ -306,6 +333,7 @@ object Bench {
     val failures = results.valuesIterator.count(_ < 0)
     val walls = runs.map(_._1).mkString("[", ",", "]")
     val loads = runs.map(_._2).mkString("[", ",", "]")
+    val probes = runs.map(_._5).mkString("[", ",", "]")
     // A run with ANY failed query has no comparable wall: erroring queries
     // cost ~0 s, so the total reads as a phantom speedup (round-7 lesson —
     // 26 failures made a broken round look 1.8× faster). Emit value:null
@@ -319,9 +347,9 @@ object Bench {
     val shufRTotal = shuffles.valuesIterator.map(_._1).sum
     val shufWTotal = shuffles.valuesIterator.map(_._2).sum
     val summary =
-      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"core_probe_sec":$probes,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
     val full =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"core_probe_sec":$probes,"load_note":"contended is the pre-session verdict; per-repeat load_avg_1m samples include this bench's own local[$cpus] load","waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
     // full-suite record with an n=1 artifact (and a typo'd filter would
     // silently persist n=0): targeted runs only write when the caller
