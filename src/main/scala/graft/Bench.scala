@@ -122,7 +122,7 @@ private final class ShuffleBytesListener extends org.apache.spark.scheduler.Spar
   * build.sbt routes forked stdout through unprefixed so the driver can
   * `json.loads` the last line. The per-query seconds map goes to
   * BENCH_LOCAL.json (or SPARK_GRAFT_BENCH_OUT), never stdout. The suite
-  * runs SPARK_GRAFT_BENCH_REPEATS times (default 2); the headline is the
+  * runs SPARK_GRAFT_BENCH_REPEATS times (default 3 — the committed records are all best-of-3, and repeat 1 pays the per-dir model training); the headline is the
   * best wall, and every repeat's wall + 1-min load average ships in the
   * record (`walls`, `load_avg_1m`, `core_probe_sec` — a fixed
   * single-thread integer loop timed before each repeat, the host-weather
@@ -287,13 +287,13 @@ object Bench {
       if (warmup) runAll(queries, warmDir) else Map.empty
     val order = queries.sortBy { case (n, _) => (-warmTimes.getOrElse(n, 0.0), n) }
 
-    // Best-of-N (default 2): on a shared box one contended sample can
+    // Best-of-N (default 3): on a shared box one contended sample can
     // masquerade as a 5× regression (round-5 lesson: 82.6 s at load ~3.3 vs
     // 14.1 s at load 1.5 on identical code). Each repeat records its wall
     // and the 1-min load average at start; the headline is the BEST wall,
     // per-query seconds are the min across repeats, and all samples ship in
     // the record so a contended round is self-diagnosing.
-    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     // quiesce the async listener bus before EVERY snapshot: trailing
     // TaskEnd events from the batch that just returned would otherwise
     // bleed into the next repeat's tallies (round-12 ADVICE)
