@@ -299,7 +299,11 @@ object Bench {
     // bleed into the next repeat's tallies (round-12 ADVICE)
     shuffleBytes.drainListenerBus(spark.sparkContext)
     shuffleBytes.snapshotAndReset() // discard warmup tallies
-    coreProbeSec() // unrecorded: pays the probe loop's JIT
+    // TWO unrecorded warmup calls (round-13 ADVICE): one invocation of the
+    // 150M-iteration loop may not reach the top JIT tier, and a repeat-1
+    // probe reading high for residual compilation would masquerade as a
+    // slow-box phase — the probe must measure weather, never JIT.
+    coreProbeSec(); coreProbeSec()
     val runs = (1 to repeats).map { _ =>
       val load = loadAvg1m
       val probe = coreProbeSec()

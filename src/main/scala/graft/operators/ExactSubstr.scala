@@ -36,14 +36,27 @@ object ExactSubstr {
 
   /** Scrub `docs` (must carry `doc_id` and `textCol`; other columns pass
     * through). Returns the input columns with `textCol` rebuilt from the
-    * kept tokens; fully-erased documents are dropped. */
-  def scrub(docs: DataFrame, w: Int, textCol: String = "text"): DataFrame = {
+    * kept tokens; fully-erased documents are dropped.
+    *
+    * `preserveCase = true` keeps each surviving token's ORIGINAL casing in
+    * the rebuilt text while still MATCHING case-insensitively: window
+    * hashes are always computed over the lowercased token stream (so "The
+    * Quick Brown…" and "the quick brown…" erase each other exactly as
+    * before), only the rebuild source changes — for pipelines with a
+    * case-sensitive consumer downstream of the scrub (round-13 verdict).
+    * The default (false) remains the tokenizer's lowercased view. */
+  def scrub(docs: DataFrame, w: Int, textCol: String = "text",
+            preserveCase: Boolean = false): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val rebuildToks =
+      if (preserveCase) split(col(textCol), " ") else split(lower(col(textCol)), " ")
     val t = docs.filter(col(textCol).isNotNull)
-      .select(col("doc_id"), split(lower(col(textCol)), " ").as("_t"))
+      .select(col("doc_id"), rebuildToks.as("_t"))
       .filter(size(col("_t")) > 0)
+      // hash input is ALWAYS the lowercased token — erasure positions are
+      // identical under both rebuild modes by construction
       .withColumn("_tv",
-        transform(col("_t"), tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))
+        transform(col("_t"), tok => conv(substring(md5(lower(tok)), 1, 15), 16, 10).cast("long")))
     val wins = t.select(col("doc_id"),
         explode(graft.functions.RollingWindowHashes(col("_tv"), w)).as("x"))
       .select(col("doc_id"), col("x.pos"), col("x.h1"), col("x.h2"), col("x.h3"),

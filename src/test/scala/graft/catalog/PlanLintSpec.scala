@@ -226,8 +226,14 @@ class PlanLintSpec extends SparkSpec {
     // of producing at most one genuine re-audit.
     def stripCasts(e: Expression): Expression =
       e.transformUp { case c: Cast => c.child }
+    // zoneId strip anchored to zone-name spellings (round-13 ADVICE): a
+    // bare `, Some\([^)]*\)` stops at the FIRST `)`, so a partition
+    // expression whose toString carries a nested-paren or non-zoneId
+    // `Some(...)` would be wrongly half-stripped into a confusing
+    // signature mismatch instead of left intact for a genuine re-audit.
     def norm(s: String): String =
-      s.replaceAll("#\\d+L?", "").replaceAll(", Some\\([^)]*\\)", "")
+      s.replaceAll("#\\d+L?", "")
+        .replaceAll(", Some\\((?:UTC|GMT|Z|[A-Za-z]+(?:/[A-Za-z_\\-]+)+|[+-]\\d{2}:\\d{2})\\)", "")
     def render(spec: Seq[Expression]): String =
       spec.map(p => stripCasts(resolve(p, 8))).mkString(", ")
     plan.collect {

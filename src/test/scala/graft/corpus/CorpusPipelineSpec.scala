@@ -82,6 +82,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(scrubbed(7L) == docs.filter($"doc_id" === 7).head.getString(2))
   }
 
+  test("ExactSubstr.scrub preserveCase keeps original casing while matching case-insensitively") {
+    // doc 10 carries mixed casing AND copies doc 2's 8-token head in a
+    // DIFFERENT casing: the span must still be erased (hashes are over the
+    // lowercased stream), and the surviving tail must keep its casing.
+    val casedTail = "Followed By Nine FRESH Tail Words Never Seen ANYWHERE else"
+    val cased = docs.unionByName(Seq(
+      (10L, "en", doc2Head8.toUpperCase + " " + casedTail)).toDF("doc_id", "lang", "text"))
+    val out = graft.operators.ExactSubstr.scrub(cased, 8, preserveCase = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(10L) == casedTail, s"cased tail must survive intact: '${out(10L)}'")
+    // first occurrences keep their original text verbatim
+    assert(out(2L) == docs.filter($"doc_id" === 2).head.getString(2))
+    // and the erased positions are IDENTICAL to the lowercase mode's
+    val lowered = graft.operators.ExactSubstr.scrub(cased, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(lowered.keySet == out.keySet)
+    assert(lowered(10L) == casedTail.toLowerCase)
+  }
+
   test("full pipeline with ExactSubstr and SemDeDup stages: every victim accounted") {
     val r = CorpusPipeline.run(extendedDocs, heldOut, embeddings = Some(embeddings),
       exactSubstrWindow = 8, semK = 2, semIters = 2, packBudget = 64)

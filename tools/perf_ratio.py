@@ -62,8 +62,23 @@ def main():
         print(f"MISMATCH {q}: in duckdb record only")
 
     common = sorted(set(spark) & set(duck))
+    if not common:
+        print("MISMATCH: no common queries between the two records")
+        return 1
     median = statistics.median(spark[q] for q in common) if common else 0.0
     floor = args.outlier * median
+
+    # A failed query carries a negative sentinel in either record; a
+    # negative value yields a negative ratio/gap that silently passes the
+    # weak gate and skews the suite sum — reject it loudly instead
+    # (mirrors the bench's own phantom-speedup rule).
+    bad = [(q, spark[q], duck[q]) for q in common
+           if spark[q] <= 0 or duck[q] <= 0]
+    for q, s, d in bad:
+        print(f"MISMATCH {q}: non-positive seconds (spark {s}, duckdb {d}) "
+              f"— failed entry in a record")
+    if bad:
+        return 1
 
     rows = []
     for q in common:
@@ -82,8 +97,9 @@ def main():
           f"median {median:.2f}s, outlier floor {floor:.2f}s) --")
     for r, s, d, q in sorted(rows, key=lambda t: -t[1])[:args.top]:
         print(f"   {q}: {s:.2f}s vs {d:.2f}s = {r:.1f}x")
-    ts, td = sum(spark.values()), sum(duck.values())
-    print(f"== suite sum: spark {ts:.1f}s / duckdb {td:.1f}s = {ts / td:.2f}x "
+    ts, td = sum(spark[q] for q in common), sum(duck[q] for q in common)
+    ratio_str = f"{ts / td:.2f}x" if td > 0 else "n/a (duckdb sum 0)"
+    print(f"== suite sum: spark {ts:.1f}s / duckdb {td:.1f}s = {ratio_str} "
           f"(bench wall runs 8-way; compare walls for the headline); "
           f"weak={len(weak)} mismatched={len(only_spark) + len(only_duck)}")
     return 1 if weak or only_spark or only_duck else 0
