@@ -925,5 +925,138 @@ object SimilarityCatalog {
         .agg(count(col("hit")).as("n_overlap"))
         .select(col("query_id"), col("n_overlap"),
           (col("n_overlap") / lit(10.0)).as("recall_at_10"))
+    },
+
+    // ---- S12: the recall CURVE — recall@10 at nprobe ∈ {1, 2, 4} -----------
+    // s11 measures one point; a deployment decision needs the curve (FAISS
+    // publishes recall-vs-nprobe for exactly this trade). Here the IVF gains
+    // a real probe ranking: per-label centroids (s6's nano-quantized integer
+    // accumulators, assembled into a dim-ordered array so BOTH engines fold
+    // the same integers left-to-right), each query ranks cells by the
+    // EXACT-integer-input distance  Σ_d (n·q_d − s_d)²  (≡ n²·‖q − s/n‖²,
+    // rank-equivalent to L2-to-centroid; products in double but from
+    // integers, same IEEE ops in the same dim order on both engines — no
+    // float-mean nondeterminism can flip a probe rank), then scans the top
+    // `nprobe` cells. Recall is monotone in nprobe BY CONSTRUCTION (a true
+    // top-10 member in the candidate set can never be pushed below rank 10
+    // — at most 9 vectors score above it), so the emitted curve is also a
+    // correctness gate. Cost: the ground-truth corpus scan is shared across
+    // legs; the probe side stays queries × Σnprobe ≤ 56 rows broadcast —
+    // at 100 TB the curve costs one corpus scan plus the s2-shaped pruned
+    // scans it is evaluating anyway.
+    QueryDef(
+      "s12_ivf_recall_curve",
+      "ANN recall curve: recall@10 of centroid-ranked IVF probing at nprobe in {1,2,4} vs exact top-10 — per-label nano-quantized integer centroids rank the cells deterministically on both engines; monotone in nprobe by construction",
+      Some(s"""
+        WITH cent AS (
+          SELECT label, i AS pos,
+                 SUM(CAST(round_even(CAST(embedding[i + 1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+          GROUP BY 1, 2),
+        centv AS (
+          SELECT label, list(s ORDER BY pos) AS cs, MAX(n) AS n
+          FROM cent GROUP BY label),
+        q AS (
+          SELECT vec_id AS query_id, embedding,
+                 list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS qn
+          FROM embeddings WHERE vec_id < 8),
+        probes AS (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdist ASC, label) AS pr
+          FROM (
+            SELECT q.query_id, c.label,
+                   list_sum(list_transform(list_zip(q.qn, c.cs),
+                     x -> (CAST(x[1] AS DOUBLE) * c.n - CAST(x[2] AS DOUBLE))
+                        * (CAST(x[1] AS DOUBLE) * c.n - CAST(x[2] AS DOUBLE)))) AS pdist
+            FROM q CROSS JOIN centv c)),
+        np AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+          WHERE rk <= 10),
+        ivf AS (
+          SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT n.nprobe, p.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.nprobe, p.query_id
+                                      ORDER BY ${cosineSql("qq.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+            FROM np n
+            JOIN probes p ON p.pr <= n.nprobe
+            JOIN embeddings qq ON qq.vec_id = p.query_id
+            JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id)
+          WHERE rk <= 10)
+        SELECT n.nprobe, e.query_id, COUNT(i.neighbor_id) AS n_overlap,
+               COUNT(i.neighbor_id) / 10.0 AS recall_at_10
+        FROM np n CROSS JOIN exact e
+        LEFT JOIN ivf i ON i.nprobe = n.nprobe AND e.query_id = i.query_id
+                       AND e.neighbor_id = i.neighbor_id
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      // s6's centroid accumulators, per label: nano-quantized integer sums
+      // assembled into a pos-ordered array + the member count — exact and
+      // partition-order-independent, so the probe ranking below cannot be
+      // flipped by float-mean summation order on either engine
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(bround(col("v").cast("double") * lit(1e9), 0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x("s")).as("cs"), max(col("n")).as("n"))
+      val q = e.filter(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"),
+        transform(col("embedding"),
+          x => bround(x.cast("double") * lit(1e9), 0).cast("long")).as("qn"))
+      // rank the cells per query: Σ_d (n·q_d − s_d)² over exact integer
+      // inputs, folded left-to-right in double exactly like the oracle's
+      // list_sum — 8 queries × |labels| rows, all tiny and broadcast
+      val probeRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("pdist").asc, col("label"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("pdist", aggregate(
+          zip_with(col("qn"), col("cs"),
+            (a, b) => (a.cast("double") * col("n") - b.cast("double"))
+              * (a.cast("double") * col("n") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("pr", row_number().over(probeRank))
+        .select(col("query_id"), col("q_emb"), col("q_norm"), col("label"), col("pr"))
+      val np = spark.range(1)
+        .select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      // probe legs: (nprobe, query, probed label) ≤ 8 × (1+2+4) rows
+      val legs = probes.crossJoin(broadcast(np)).filter(col("pr") <= col("nprobe"))
+        .select(col("nprobe"), col("query_id"), col("q_emb"), col("q_norm"), col("label"))
+      val cos = (dot(col("q_emb"), col("c_emb"))
+        / (col("q_norm") * col("c_norm"))).as("cos_sim")
+      val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      val rkIvf = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val ivf = c.join(broadcast(legs),
+          c("label") === legs("label") && col("neighbor_id") =!= col("query_id"))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"), cos)
+        .withColumn("rk", row_number().over(rkIvf)).filter(col("rk") <= 10)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      // ground truth: the s1/s11 single corpus scan against the broadcast
+      // probe set, shared across every nprobe leg
+      val rkEx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val exact = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos)
+        .withColumn("rk", row_number().over(rkEx)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.crossJoin(broadcast(np))
+        .join(ivf, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(count(col("hit")).as("n_overlap"))
+        .select(col("nprobe"), col("query_id"), col("n_overlap"),
+          (col("n_overlap") / lit(10.0)).as("recall_at_10"))
     })
 }

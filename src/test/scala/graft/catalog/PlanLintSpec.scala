@@ -30,7 +30,7 @@ class PlanLintSpec extends SparkSpec {
   private val bnljByDesign = Set(
     "p2_exclusion_antijoin", "s1_topk_cosine_bruteforce", "x2_range_band_join",
     "x8_sequence_pack", "s8_pq_adc", "s10_ivf_adc", "x15_zorder_layout",
-    "s11_ivf_recall")
+    "s11_ivf_recall", "s12_ivf_recall_curve")
 
   /** Queries allowed to carry a forced `broadcast()` hint on a side that
     * reads table data (round-8 verdict #7's lint). A hint whose subtree is
@@ -58,6 +58,7 @@ class PlanLintSpec extends SparkSpec {
     "s1_topk_cosine_bruteforce" -> "query set vec_id<8: 8 rows whatever the corpus",
     "s2_topk_cosine_ivf" -> "query set vec_id<8: 8 rows whatever the corpus",
     "s11_ivf_recall" -> "query set vec_id<8 broadcast into both legs: 8 rows whatever the corpus",
+    "s12_ivf_recall_curve" -> "8-query probe set, |labels|-row centroid table, and <=56-row probe legs: all fixed-size whatever the corpus",
     "s5_topk_cosine_srp" -> "8 queries x band keys: query-set-sized",
     "s8_pq_adc" -> "4-row codebook + 8x4x4 query distance table: operator constants",
     "s10_ivf_adc" -> "4-row codebook + 8x4x4 cell-tagged query distance table: operator constants",

@@ -46,6 +46,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(approx.values.forall(_.size == 10))
   }
 
+  test("recall@10 curve is monotone in nProbe and saturates on clustered data") {
+    // recall is monotone BY CONSTRUCTION (a true top-10 member in the
+    // candidate set is never pushed below rank 10 — at most 9 corpus
+    // vectors score above it), so a non-monotone curve means the probe
+    // ranking or candidate pruning broke; the s12 catalog entry emits the
+    // same curve oracle-hashed, this gates the real-KMeans operator form.
+    val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = AnnIndex.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val curve = Seq(1, 2, 4).map { np =>
+      val approx = AnnIndex.searchTopK(idx, queries, "vec_id", "embedding", k = 10, nProbe = np)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val r = exact.keys.toSeq.map { q =>
+        (approx.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
+      np -> r
+    }
+    val recalls = curve.map(_._2)
+    assert(recalls == recalls.sorted, s"recall must be monotone in nProbe: $curve")
+    assert(recalls.last >= 0.9, s"nProbe=4 on 8 well-separated clusters must near-saturate: $curve")
+    assert(recalls.head > 0.0, s"nProbe=1 must find the home cell's neighbors: $curve")
+  }
+
   test("partitioned round-trip + static cell prune return the same neighbors") {
     val idx = AnnIndex.build(corpus, "embedding", nCells = 8, seed = 42L)
     val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
