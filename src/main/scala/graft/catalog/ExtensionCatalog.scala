@@ -2005,9 +2005,12 @@ object ExtensionCatalog {
     // then pays a task + an open per file. Compaction groups small files
     // into rewrite bins near a target size WITHOUT crossing table
     // partitions (a cross-partition output file would break partition
-    // pruning). io/Compaction already executes driver-side FFD compaction
-    // against a real directory (CompactionSpec); THIS entry gates its
-    // distributed twin `Compaction.planBins` — for when the file listing
+    // pruning). io/Compaction executes compaction against a real directory
+    // two ways, both CompactionSpec-gated: driver-side FFD (`compact`) and
+    // the one-job distributed rewrite (`compactDistributed` — one shuffle
+    // keyed on the planned bin, exactly one output file per bin, same
+    // staged-swap/_COMMITTED protocol). THIS entry gates their shared
+    // distributed planner `Compaction.planBins` — for when the file listing
     // is itself big data (a lake catalog's metadata table lists millions
     // of files) and driver-side planning is the collect() anti-pattern.
     // Two windows bounded by files-per-partition, never the listing.

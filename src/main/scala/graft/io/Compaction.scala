@@ -139,6 +139,21 @@ object Compaction {
       s"Compaction: rename $src -> $dst failed (Hadoop returned false); " +
         "aborting before any destructive step")
 
+  /** Phases 2+3 shared by [[compact]] and [[compactDistributed]]: write the
+    * `_COMMITTED` marker into the complete staged layout, then the checked
+    * three-rename swap. Everything before this call must leave the source
+    * directory untouched — that invariant is what makes [[recover]] safe. */
+  private def commitAndSwap(fs: FileSystem, dir: String, staged: Path): Unit = {
+    fs.create(new Path(staged, Marker), true).close()
+    val p = new Path(dir)
+    val old = oldPath(dir)
+    mustRename(fs, p, old)
+    mustRename(fs, staged, p)
+    fs.delete(new Path(dir, Marker), false)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Repair the debris of a crashed run. Safe in every reachable state
     * because phase 1 never mutates the source:
     *  - source present + unmarked staging → staging is garbage, drop it
@@ -199,15 +214,89 @@ object Compaction {
       }
     }
 
-    // ---- phase 2: commit marker -------------------------------------------
-    fs.create(new Path(staged, Marker), true).close()
+    // ---- phases 2+3: marker, then checked swap ----------------------------
+    commitAndSwap(fs, dir, staged)
+    Stats(files.size, listDataFiles(spark, dir).size, files.map(_.bytes).sum)
+  }
 
-    // ---- phase 3: checked swap --------------------------------------------
-    val old = oldPath(dir)
-    mustRename(fs, p, old)
-    mustRename(fs, staged, p)
-    fs.delete(new Path(dir, Marker), false)
-    fs.delete(old, true)
+  /** In-engine execution of [[planBins]]'s plan over one partition
+    * directory — x16's execution half. [[compact]] runs a DRIVER loop of
+    * per-group jobs (fine for one directory's worth of files); at lake
+    * scale the plan is itself a table and the rewrite must be ONE job:
+    * here every bin is materialized concurrently — a single shuffle keyed
+    * on the planned bin id moves each row to its bin's reducer, and the
+    * writer emits exactly one file per bin. The shuffle moves the same
+    * bytes any rewrite must move; what changes is scheduling: thousands
+    * of bins become one stage, not thousands of sequential driver jobs.
+    *
+    * Deliberate deltas from [[compact]], both documented trade-offs:
+    *  - oversize singletons are REWRITTEN, not copied — uniform output
+    *    encoding (fresh row groups, stats, one file per bin) for bounded
+    *    extra write amplification;
+    *  - output rows are the same multiset but not byte-order-identical
+    *    within a file (shuffle order) — parquet consumers never depend on
+    *    intra-file order, and the spec gates the multiset.
+    *
+    * Crash safety is IDENTICAL to [[compact]]: the whole new layout is
+    * built in the staging sibling (the Spark job writes under it; the
+    * source is only ever read), then the same `_COMMITTED` marker +
+    * checked swap, so [[recover]] handles every crash state unchanged. */
+  def compactDistributed(spark: SparkSession, dir: String, targetBytes: Long): Stats = {
+    import org.apache.spark.sql.functions._
+    recover(spark, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"Compaction: $dir does not exist")
+    val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"Compaction: $dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+        "a partitioned layout is compacted per partition directory")
+    val files = listDataFiles(spark, dir)
+    if (files.isEmpty) return Stats(0, 0, 0L)
+
+    // the plan, in-engine: planBins over the listing (one directory = one
+    // table partition, so partCol is a constant; the window is bounded by
+    // files-per-directory — planBins' contract)
+    val listing = spark.createDataFrame(files)
+    val plan = planBins(listing, lit(0), col("path"), col("bytes"), targetBytes)
+      .select(
+        // normalize to a bare path so it joins input_file_name()'s URI
+        // spelling ("file:///x" and "file:/x" both become "/x")
+        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/").as("_src"),
+        col("bin").as("_bin"))
+    val nBins = plan.select("_bin").distinct().count().toInt
+
+    // ---- phase 1: one job builds the complete new layout ------------------
+    val staged = stagedPath(dir)
+    fs.mkdirs(staged)
+    val dataDir = new Path(staged, "data")
+    spark.read.parquet(files.map(_.path): _*)
+      .withColumn("_src",
+        regexp_replace(input_file_name(), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(broadcast(plan), Seq("_src"))
+      .drop("_src")
+      // all of a bin's rows land on one reducer; partitionBy then emits
+      // exactly one file per bin (a reducer holding several bins still
+      // writes them to separate files)
+      .repartition(math.max(nBins, 1), col("_bin"))
+      .write.partitionBy("_bin").parquet(dataDir.toString)
+
+    // flatten bin directories into the flat compacted layout
+    val binDirs = fs.listStatus(dataDir).filter(_.isDirectory)
+    binDirs.foreach { bd =>
+      val parts = fs.listStatus(bd.getPath).filter(_.isFile)
+        .filter(s => !s.getPath.getName.startsWith("_"))
+      require(parts.length == 1,
+        s"Compaction: bin ${bd.getPath.getName} wrote ${parts.length} files — " +
+          "one-file-per-bin invariant broken; aborting before commit (source untouched)")
+      val binId = bd.getPath.getName.stripPrefix("_bin=").toLong
+      mustRename(fs, parts.head.getPath,
+        new Path(staged, f"bin-$binId%05d-${parts.head.getPath.getName}"))
+    }
+    fs.delete(dataDir, true)
+
+    // ---- phases 2+3: marker, then checked swap ----------------------------
+    commitAndSwap(fs, dir, staged)
     Stats(files.size, listDataFiles(spark, dir).size, files.map(_.bytes).sum)
   }
 }

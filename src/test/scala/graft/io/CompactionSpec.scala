@@ -133,6 +133,51 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("compactDistributed: one job materializes the planBins plan — file count = bin count, row multiset identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("compaction_dist").toString + "/t"
+    (0 until 12).foreach { i =>
+      Seq.tabulate(50)(j => (i.toLong * 50 + j, s"row-$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    Seq.tabulate(20000)(j => (100000L + j, s"big-$j")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val before = Compaction.listDataFiles(spark, dir)
+    assert(before.size == 13)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val bigBytes = before.map(_.bytes).max
+    val target = before.filter(_.bytes < bigBytes).map(_.bytes).sum / 3
+
+    // the plan the execution must realize (same inputs, same planner)
+    val expectedBins = Compaction.planBins(
+        spark.createDataFrame(before),
+        org.apache.spark.sql.functions.lit(0), col("path"), col("bytes"), target)
+      .select("bin").distinct().count()
+
+    val stats = Compaction.compactDistributed(spark, dir, target)
+    assert(stats.filesBefore == 13)
+    val after = Compaction.listDataFiles(spark, dir)
+    assert(after.size.toLong == expectedBins,
+      s"file count ${after.size} != planned bin count $expectedBins")
+    assert(after.size < 13)
+    assert(after.forall(_.path.split("/").last.startsWith("bin-")))
+    // byte-identical row multiset (order within a file may differ)
+    val afterRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // no staging scaffolding left behind
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(_.contains("_compact"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // and it self-recovers on entry exactly like compact(): state A debris
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "._compact_tmp"))
+    val stats2 = Compaction.compactDistributed(spark, dir, target * 10)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == beforeRows)
+    assert(stats2.filesAfter <= stats.filesAfter)
+  }
+
   test("recover: unmarked staging is dropped, a stranded swap is rolled back") {
     import org.apache.hadoop.fs.Path
     val base = java.nio.file.Files.createTempDirectory("compaction_rec").toString
