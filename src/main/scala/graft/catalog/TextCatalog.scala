@@ -14,7 +14,9 @@ object TextCatalog {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  // shared with graft.corpus.Quality (the capstone's production gate must
+  // score with the SAME seed lists t1/t7 are oracle-gated on)
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),

@@ -11,40 +11,185 @@ import graft.operators.{BpeLearn, ConnectedComponents, Dedup, ExactSubstr,
 /** The end-to-end training-corpus pipeline, composed from the library's
   * operators — the user story the catalog entries exercise one at a time:
   *
-  *   quality gate → exact dedup → MinHash-LSH near-dup clustering (keep
-  *   best per cluster) → ExactSubstr span scrubbing → SemDeDup embedding
-  *   dedup (when embeddings are supplied) → bloom decontamination against
-  *   a held-out set → tokenizer training (BPE or unigram-LM) + per-doc
-  *   token counts → sequence packing → deterministic sharding
+  *   quality gate (pluggable rule battery) → exact dedup → MinHash-LSH
+  *   near-dup clustering (keep best per cluster) → ExactSubstr span
+  *   scrubbing → SemDeDup embedding dedup (when embeddings are supplied) →
+  *   bloom decontamination against a held-out set → tokenizer training
+  *   (BPE or unigram-LM) + per-doc token counts → sequence packing →
+  *   deterministic sharding
   *
   * Every stage is the same machinery the oracle-gated queries check
-  * (t7/d1/d2+d8/d14/d16/b1/v2+v3 or v4+v5/x8/x7 respectively), wired on
-  * arbitrary input DataFrames instead of fixture dirs, with a
-  * row-accounting manifest so corpus shrinkage is auditable per stage.
-  * Deterministic end to end: no RNG, all drop rules are hash- or
-  * id-canonical, so two runs (or two clusters) produce identical corpora.
+  * (t1/t6/t7/t14/d1/d2+d8/d14/d16/b1/v2+v3 or v4+v5/x8/x7 respectively),
+  * wired on arbitrary input DataFrames instead of fixture dirs, with a
+  * row-accounting manifest so corpus shrinkage is auditable per stage —
+  * and, for the quality gate, per RULE. Deterministic end to end: no RNG,
+  * all drop rules are hash- or id-canonical, so two runs (or two
+  * clusters) produce identical corpora.
   *
-  * Scale posture inherited from the parts: LSH banding is O(docs×bands)
-  * with hot-bucket ceilings, clustering is the SoCC'14 star contraction,
-  * ExactSubstr is the rolling-hash window MIN (O(corpus tokens), skew-
-  * immune), SemDeDup blocks by k-means cell with a per-cell ceiling, the
-  * bloom filter ships as a literal, both tokenizers iterate on the
-  * vocab-sized word table, packing is NFD per hash partition.
+  * TWO OPERATING MODES:
+  *  - [[run]] — the full rebuild: raw documents in, training corpus out,
+  *    optionally capturing a [[CorpusState]] (`captureState = true`);
+  *  - [[runIncremental]] — the daily 100 TB mode: dedup/decontaminate a
+  *    NEW document slice against the existing corpus's persisted state
+  *    (content hashes, band index, window-hash index, bloom filter,
+  *    tokenizer artifacts) at O(slice) cost, never recomputing or
+  *    mutating the corpus, then append-pack (the i1 posture). Under the
+  *    append-only id contract the result equals a full rebuild of
+  *    corpus ∪ slice (CorpusPipelineSpec proves it on a crafted corpus),
+  *    with three documented divergence surfaces inherent to incremental
+  *    posture: LSH bucket caps straddling MaxBucket across the boundary,
+  *    a slice doc BRIDGING two existing corpus near-dup clusters (the
+  *    d10 posture: the corpus is immutable, so the bridged clusters'
+  *    members stay), and the tokenizer, which is REUSED from state, not
+  *    retrained (nobody retrains BPE per crawl slice).
+  *
+  * Scale posture inherited from the parts: the quality battery is a
+  * map-only scan-side gate, LSH banding is O(docs×bands) with hot-bucket
+  * ceilings, clustering is the SoCC'14 star contraction, ExactSubstr is
+  * the rolling-hash window MIN (O(corpus tokens), skew-immune), SemDeDup
+  * blocks by k-means cell with a per-cell ceiling, the bloom filter ships
+  * as a literal, both tokenizers iterate on the vocab-sized word table,
+  * packing is NFD per hash partition. Every piece of [[CorpusState]] is
+  * either a DataFrame (a persistable table — at warehouse scale these are
+  * bucketed tables the incremental probes co-locate against) or a small
+  * artifact, and the index pieces are MERGEABLE (min/sum semantics), so
+  * [[runIncremental]] can also roll the state forward for the next slice.
   */
 object CorpusPipeline {
 
   final case class Manifest(stage: String, rows: Long)
 
+  /** The persisted knowledge a built corpus leaves behind for incremental
+    * ingestion. DataFrame members are tables (persist them bucketed by
+    * their join keys at scale); the rest are small artifacts. */
+  final case class CorpusState(
+      exactSubstrWindow: Int,
+      decontamShingle: Int,
+      tokenizer: String,
+      maxDocId: Long,
+      maxBinId: Long,
+      contentHashes: DataFrame,  // (content_hash) of the gated corpus docs
+      bandIndex: DataFrame,      // (b, band_key, min_doc, cnt<=MaxBucket)
+      windowIndex: DataFrame,    // (h1, h2, h3, first_pk, n) over stage-3 survivors
+      bloom: Array[Byte],
+      refHashes: DataFrame,      // (h) — the held-out set's shingle hashes
+      merges: Seq[BpeLearn.Merge],
+      unigramVocab: Seq[(String, Long, Long)],
+      corpus: DataFrame)         // the packed corpus rows
+
   final case class Result(
       corpus: DataFrame,      // doc_id, lang, n_tokens, bin_id, shard
       merges: Seq[BpeLearn.Merge],              // BPE artifact ("bpe" path)
       unigramVocab: Seq[(String, Long, Long)],  // (piece, usage, bits) ("unigram" path)
-      manifest: Seq[Manifest])
+      manifest: Seq[Manifest],
+      state: Option[CorpusState] = None)
 
   private val MaxBucket = 64
 
   private def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def toks: Column = split(lower(col("text")), " ")
+
+  private def contentHash: Column = md5(lower(trim(col("text"))))
+
+  // ---- shared stage builders (full + incremental) ---------------------------
+
+  /** Apply the rule battery with first-failing-rule drop attribution.
+    * Returns (kept frame, ingest count, per-rule drop counts in rule
+    * order). ONE aggregation scan computes ingest and every drop count
+    * together (no per-rule passes, no materialized copy of the raw
+    * input); the kept frame re-filters the input — the same two scans of
+    * the raw corpus the single-rule gate always paid. */
+  private def qualityGate(docs: DataFrame, rules: Seq[QualityRule])
+      : (DataFrame, Long, Seq[(String, Long)], Long) = {
+    require(rules.nonEmpty, "quality gate needs at least one rule")
+    val withToks = docs.withColumn("_toks", toks)
+    // null-text/null-signal docs fail the first rule that cannot score
+    // them (coalesce false), matching the historical filter behavior
+    val dropRule = coalesce(
+      rules.map(r => when(!coalesce(r.keep, lit(false)), lit(r.name)))
+        :+ lit(null).cast("string"): _*)
+    // ingest count, per-rule drop counts, AND the high-water doc id (over
+    // EVERY ingested doc — a quality-dropped id is still an id the
+    // append-only contract must clear) in one aggregation scan
+    val grouped = withToks
+      .select(dropRule.as("_drop_rule"), col("doc_id"))
+      .groupBy(col("_drop_rule"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ingest = grouped.values.map(_._1).sum
+    val maxDocId =
+      if (grouped.isEmpty) Long.MinValue else grouped.values.map(_._2).max
+    val drops = rules.map(r => r.name -> grouped.get(Some(r.name)).map(_._1).getOrElse(0L))
+    val kept = withToks.filter(dropRule.isNull).drop("_toks")
+    (kept, ingest, drops, maxDocId)
+  }
+
+  /** The d2 band chain on arbitrary docs: shingles → minhash → 3 LSH
+    * bands → (doc_id, b, band_key). */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), WordShingles(col("text"), 3).as("shingles"))
+    val mhs = sh.select(col("doc_id"),
+      MinHashSignature(col("shingles"),
+        GraftExtensions.DefaultCoeffs, GraftExtensions.DefaultModulus).as("mhs"))
+    mhs.select(col("doc_id"),
+        posexplode(when(col("mhs").isNotNull,
+          transform(sequence(lit(0), lit(2)),
+            b => concat_ws("|",
+              element_at(col("mhs"), b * 3 + 1),
+              element_at(col("mhs"), b * 3 + 2),
+              element_at(col("mhs"), b * 3 + 3))))))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
+  }
+
+  /** Bounded-bucket candidate pairs from a band frame (never all-pairs). */
+  private def pairsOf(bands: DataFrame): DataFrame =
+    Dedup.boundedDocLists(bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
+      .select(explode(flatten(
+        transform(col("docs"), (x, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))),
+            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+
+  /** Per-word token counts under a FIXED tokenizer artifact (state reuse
+    * path and the post-training path of [[run]] share it): "bpe" folds the
+    * merge table into one column rewrite over the word table; "unigram"
+    * runs the native Viterbi against the supplied vocabulary. */
+  private def wordTokOf(
+      wc: DataFrame,
+      tokenizer: String,
+      merges: Seq[BpeLearn.Merge],
+      unigramVocab: Seq[(String, Long, Long)]): DataFrame = tokenizer match {
+    case "bpe" =>
+      val rendered = wc.select(col("word"),
+        concat(concat_ws(" ", filter(split(col("word"), ""), s => length(s) > 0)),
+          lit(" " + BpeLearn.EndMark)).as("w"))
+      rendered.select(col("word"),
+        size(split(merges.foldLeft(col("w"))(
+          (c, mm) => BpeLearn.applyMerge(c, mm.left_sym, mm.right_sym)), " ")).as("n_tok"))
+    case "unigram" =>
+      val spark = wc.sparkSession
+      val vb = spark.createDataFrame(unigramVocab).toDF("piece", "c", "bits")
+      // MaxWord cap as in UnigramLM.wordCounts: longer words get no row
+      // here and fall to the UNK path of docTokensOf
+      UnigramLM.wordTokenCounts(
+        UnigramLM.substrings(wc.filter(length(col("word")) <= UnigramLM.MaxWord)), vb)
+  }
+
+  /** Per-doc token counts through the vocab-sized word table (one
+    * map-only rewrite + one join). left + coalesce(1): under "unigram",
+    * words outside the MaxWord segmentation domain have no wordTok row
+    * and count as ONE UNK token — SentencePiece's unsegmentable-input
+    * behavior (under "bpe" the join always hits; coalesce is a no-op). */
+  private def docTokensOf(clean: DataFrame, wordTok: DataFrame): DataFrame =
+    clean.select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordTok, Seq("word"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
 
   /** Run the pipeline over `docs` (doc_id long, lang string, text string).
     * `heldOut` supplies the decontamination reference texts (same shape).
@@ -53,7 +198,12 @@ object CorpusPipeline {
     * are never semantic-dropped. `tokenizer` selects "bpe" (v2/v3's merge
     * table) or "unigram" (v4/v5's Viterbi vocabulary; words outside the
     * MaxWord segmentation domain count as ONE UNK token — SentencePiece's
-    * unsegmentable-input behavior). */
+    * unsegmentable-input behavior). `quality` overrides the gate's rule
+    * battery ([[Quality.production]] is the full t7+t6/t14+t1 preset);
+    * empty means [[Quality.minimal]] over (minTokens, maxTokens).
+    * `captureState = true` additionally assembles the [[CorpusState]] the
+    * incremental mode consumes — the index pieces are computed ONCE and
+    * shared with the stages that need them anyway. */
   def run(
       docs: DataFrame,
       heldOut: DataFrame,
@@ -70,7 +220,10 @@ object CorpusPipeline {
       semThreshold: Double = 0.45,
       semMaxCell: Int = 256,
       packBudget: Int = 512,
-      shards: Int = 8): Result = {
+      shards: Int = 8,
+      quality: Seq[QualityRule] = Nil,
+      captureState: Boolean = false,
+      pinnedTokenizer: Option[(Seq[BpeLearn.Merge], Seq[(String, Long, Long)])] = None): Result = {
     require(tokenizer == "bpe" || tokenizer == "unigram",
       s"tokenizer must be 'bpe' or 'unigram', got '$tokenizer'")
     val spark = docs.sparkSession
@@ -78,54 +231,37 @@ object CorpusPipeline {
     // Every recorded stage is MATERIALIZED (Reuse.materialize: persist +
     // reliable checkpoint) before its manifest count: each stage output is
     // consumed by the count, by the next stage, and often by several
-    // internal branches (near-dup reads `exact` twice, decontamination
-    // reads its input twice, the tokenizer reads `clean` twice) — without
-    // materialization every consumer re-executes the whole upstream chain
-    // and the pipeline goes quadratic in stages (measured: 108 s → 23 s at
-    // sf0.1 for the identical work). The raw ingest frame is the one
-    // exception: checkpointing the input corpus would copy it (at 100 TB,
-    // a second corpus); its count is a single scan.
+    // internal branches — without materialization every consumer
+    // re-executes the whole upstream chain and the pipeline goes quadratic
+    // in stages (measured: 108 s → 23 s at sf0.1 for the identical work).
+    // The raw ingest frame is the one exception: checkpointing the input
+    // corpus would copy it (at 100 TB, a second corpus); its manifest
+    // count falls out of the quality gate's attribution aggregate.
     def record(stage: String, df: DataFrame): DataFrame = {
       val m = graft.operators.Reuse.materialize(df)
       manifest += Manifest(stage, m.count()); m
     }
 
-    manifest += Manifest("ingest", docs.count())
-
-    // 1. quality gate: token-count window (the t7 battery's load-bearing
-    // core; the full Gopher rules drop in here unchanged at production)
-    val toks = split(lower(col("text")), " ")
-    val gated = record("quality_gate",
-      docs.filter(size(toks).between(minTokens, maxTokens)))
+    // 1. quality gate: the rule battery (minimal = the t7 battery's
+    // load-bearing token-count core; Quality.production = the full
+    // Gopher + repetition + langid battery), with per-rule drop counts
+    val rules = if (quality.nonEmpty) quality else Quality.minimal(minTokens, maxTokens)
+    val (kept, ingest, drops, maxDocId) = qualityGate(docs, rules)
+    manifest += Manifest("ingest", ingest)
+    drops.foreach { case (name, n) => manifest += Manifest(s"quality_drop:$name", n) }
+    val gated = record("quality_gate", kept)
 
     // 2. exact dedup — d1's canonical rule: min doc_id per content hash
     val exact = record("exact_dedup",
       gated.withColumn("rk", row_number().over(
-          Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))))
+          Window.partitionBy(contentHash).orderBy(col("doc_id"))))
         .filter(col("rk") === 1).drop("rk"))
 
     // 3. near-dup clustering: shingles → minhash → LSH bands → bucket
     // pairs (bounded, never all-pairs) → connected components → keep the
     // min doc per cluster (the d2 → d8 → x10 chain)
-    val sh = exact.select(col("doc_id"), WordShingles(col("text"), 3).as("shingles"))
-    val mhs = sh.select(col("doc_id"),
-      MinHashSignature(col("shingles"),
-        GraftExtensions.DefaultCoeffs, GraftExtensions.DefaultModulus).as("mhs"))
-    val bands = mhs.select(col("doc_id"),
-      posexplode(when(col("mhs").isNotNull,
-        transform(sequence(lit(0), lit(2)),
-          b => concat_ws("|",
-            element_at(col("mhs"), b * 3 + 1),
-            element_at(col("mhs"), b * 3 + 2),
-            element_at(col("mhs"), b * 3 + 3))))))
-      .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
-    val pairs = Dedup.boundedDocLists(bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
-      .select(explode(flatten(
-        transform(col("docs"), (x, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))),
-            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-      .distinct()
+    val bands = bandsOf(exact)
+    val pairs = pairsOf(bands)
     val keepPerCluster = ConnectedComponents.label(pairs, "doc1", "doc2")
       .groupBy(col("component")).agg(min(col("node")).as("keep"))
       .select(col("keep"))
@@ -140,9 +276,16 @@ object CorpusPipeline {
     // erase every duplicated >=W-token span's later occurrences and rebuild
     // the documents; a doc that was ENTIRELY later-copied spans drops out
     // (graft.operators.ExactSubstr's pipeline contract). Runs after the
-    // doc-level dedups so it only pays for the partial-overlap tail.
+    // doc-level dedups so it only pays for the partial-overlap tail. When
+    // state is captured, the window index is computed ONCE and shared
+    // between the scrub and the state.
+    val winIdx =
+      if (captureState)
+        Some(graft.operators.Reuse.materialize(
+          ExactSubstr.windowIndex(deduped, exactSubstrWindow)))
+      else None
     val scrubbed = record("exact_substring_scrub",
-      ExactSubstr.scrub(deduped, exactSubstrWindow))
+      ExactSubstr.scrub(deduped, exactSubstrWindow, index = winIdx))
 
     // 3c. SemDeDup (Abbas et al. 2023 — the d16 centroid-distance keep),
     // only when the caller ships embeddings: restrict the embedding table
@@ -153,10 +296,10 @@ object CorpusPipeline {
       case Some(e) =>
         val alive = e.select(col("doc_id").as("vec_id"), col("embedding"))
           .join(scrubbed.select(col("doc_id").as("vec_id")), "vec_id")
-        val drops = SemDeDup.centroidKeepDrops(
+        val drops2 = SemDeDup.centroidKeepDrops(
             alive, semK, semIters, semThreshold, semMaxCell)
           .select(col("vec_id").as("doc_id"))
-        record("semantic_dedup", scrubbed.join(drops, Seq("doc_id"), "left_anti"))
+        record("semantic_dedup", scrubbed.join(drops2, Seq("doc_id"), "left_anti"))
       case None => scrubbed
     }
 
@@ -183,39 +326,24 @@ object CorpusPipeline {
     val clean = record("decontaminated",
       semDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 5. tokenizer on the surviving corpus, then per-doc token counts
-    // through the vocab-sized word table (one map-only rewrite + one join).
+    // 5. tokenizer on the surviving corpus, then per-doc token counts.
     // "bpe" = v2/v3's merge chain folded into one rewrite; "unigram" =
     // v4's trained vocabulary + v5's native Viterbi segmentation.
+    // `pinnedTokenizer` skips training and counts under the supplied
+    // artifacts instead — rebuilding a corpus VERSION under the frozen
+    // production tokenizer (retokenizing every downstream consumer on
+    // each rebuild is not an option once a model trains against a vocab).
     val wc = BpeLearn.wordCounts(clean)
-    val (merges, unigramVocab, wordTok) = tokenizer match {
-      case "bpe" =>
-        val m = BpeLearn.learn(wc, bpeMerges)
-        val rendered = wc.select(col("word"),
-          concat(concat_ws(" ", filter(split(col("word"), ""), s => length(s) > 0)),
-            lit(" " + BpeLearn.EndMark)).as("w"))
-        val wt = rendered.select(col("word"),
-          size(split(m.foldLeft(col("w"))(
-            (c, mm) => BpeLearn.applyMerge(c, mm.left_sym, mm.right_sym)), " ")).as("n_tok"))
-        (m, Seq.empty[(String, Long, Long)], wt)
+    val (merges, unigramVocab) = pinnedTokenizer.getOrElse(tokenizer match {
+      case "bpe" => (BpeLearn.learn(wc, bpeMerges), Seq.empty[(String, Long, Long)])
       case "unigram" =>
-        val vocabDf = UnigramLM.train(clean, unigramRounds)
-        val vocab = vocabDf.collect() // bounded: KeepK multis + the alphabet
+        val vocab = UnigramLM.train(clean, unigramRounds)
+          .collect() // bounded: KeepK multis + the alphabet
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-        val vb = spark.createDataFrame(vocab).toDF("piece", "c", "bits")
-        val wt = UnigramLM.wordTokenCounts(
-          UnigramLM.substrings(UnigramLM.wordCounts(clean)), vb)
-        (Seq.empty[BpeLearn.Merge], vocab, wt)
-    }
-    val docTokens = clean
-      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
-      .filter(col("word") =!= "")
-      // left + coalesce(1): under "unigram", words outside the MaxWord
-      // segmentation domain have no wordTok row and count as one UNK token
-      // (under "bpe" the join always hits and the coalesce is a no-op)
-      .join(wordTok, Seq("word"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(coalesce(col("n_tok"), lit(1))).cast("int").as("n_tokens"))
+        (Seq.empty[BpeLearn.Merge], vocab)
+    })
+    val wordTok = wordTokOf(wc, tokenizer, merges, unigramVocab)
+    val docTokens = docTokensOf(clean, wordTok)
 
     // 6. pack + 7. shard — x8's NFD bins, x7's deterministic buckets
     val packed = SequencePack.pack(docTokens, "doc_id", "n_tokens", packBudget)
@@ -223,6 +351,186 @@ object CorpusPipeline {
       docTokens.join(packed.select(col("doc_id"), col("bin_id")), "doc_id")
         .withColumn("shard", Md5Bucket(col("doc_id"), shards)))
 
-    Result(corpus, merges, unigramVocab, manifest.result())
+    val state =
+      if (!captureState) None
+      else {
+        // every piece derives from an already-materialized stage output
+        // (or, for maxDocId, from the gate's own aggregation pass), so
+        // assembling state re-reads cached frames, not the raw corpus
+        val binRow = corpus.agg(max(col("bin_id"))).head
+        val maxBinId = if (binRow.isNullAt(0)) -1L else binRow.getLong(0)
+        Some(CorpusState(
+          exactSubstrWindow = exactSubstrWindow,
+          decontamShingle = decontamShingle,
+          tokenizer = tokenizer,
+          maxDocId = maxDocId,
+          maxBinId = maxBinId,
+          contentHashes = graft.operators.Reuse.materialize(
+            exact.select(contentHash.as("content_hash"))),
+          bandIndex = graft.operators.Reuse.materialize(
+            bands.groupBy(col("b"), col("band_key"))
+              .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+              .filter(col("cnt") <= MaxBucket)),
+          windowIndex = winIdx.get,
+          bloom = bloom,
+          refHashes = graft.operators.Reuse.materialize(refHashes),
+          merges = merges,
+          unigramVocab = unigramVocab,
+          corpus = corpus))
+      }
+
+    Result(corpus, merges, unigramVocab, manifest.result(), state)
+  }
+
+  /** Ingest a NEW document `slice` against an existing corpus's `state`:
+    * quality-gate the slice, dedup it exactly (intra-slice canonical +
+    * anti-join on the corpus's content hashes), near-dup it (intra-slice
+    * LSH clustering where any cluster touching the corpus's band index
+    * drops WHOLE — the full-rebuild-equivalent rule, see below),
+    * ExactSubstr-scrub it against the corpus's window-hash index,
+    * bloom-decontaminate against the stored filter, token-count it with
+    * the STORED tokenizer artifacts (never retrained per slice), then
+    * append-pack into fresh bins above the corpus's high-water bin id and
+    * shard deterministically. The existing corpus is never recomputed or
+    * mutated — O(slice) work against prebuilt indexes, the d10/b1/d14/i1
+    * postures composed.
+    *
+    * CONTRACT: every slice doc_id must exceed `state.maxDocId`
+    * (append-only id discipline, asserted). Under it the full-rebuild
+    * keep rules collapse to pure slice-side decisions: an exact collision
+    * keeps the (earlier) corpus doc; a near-dup cluster containing ANY
+    * corpus-matched member would, in a rebuild, contain a corpus doc with
+    * a smaller id — so the whole slice cluster drops; a window hash known
+    * to the corpus is always an earlier first occurrence — every slice
+    * occurrence is erased. CorpusPipelineSpec's equivalence case proves
+    * slice+corpus ≡ full rebuild on a crafted corpus covering every rule.
+    *
+    * NOT run incrementally: SemDeDup (its cells are corpus-global k-means
+    * structure — the batch d15/d16 operators own that; rerun it on the
+    * next full rebuild) and tokenizer training (reused from state by
+    * design). `quality` must be the battery the corpus was built with for
+    * rebuild equivalence; it defaults like [[run]]'s.
+    *
+    * Returns the APPENDED corpus (state.corpus ∪ new rows) and a
+    * slice-side manifest; `state` in the result is the input state ROLLED
+    * FORWARD (hashes/indexes merged — min/sum semantics make every index
+    * mergeable; capped band buckets stay capped, the documented d10
+    * divergence), ready for the next slice. */
+  def runIncremental(
+      slice: DataFrame,
+      state: CorpusState,
+      minTokens: Int = 5,
+      maxTokens: Int = 1000,
+      packBudget: Int = 512,
+      shards: Int = 8,
+      quality: Seq[QualityRule] = Nil): Result = {
+    val manifest = Seq.newBuilder[Manifest]
+    def record(stage: String, df: DataFrame): DataFrame = {
+      val m = graft.operators.Reuse.materialize(df)
+      manifest += Manifest(stage, m.count()); m
+    }
+
+    // append-only id contract (an empty slice passes trivially)
+    val minIdRow = slice.agg(min(col("doc_id"))).head
+    if (!minIdRow.isNullAt(0))
+      require(minIdRow.getLong(0) > state.maxDocId,
+        s"runIncremental: slice doc_ids must exceed the corpus high-water id " +
+          s"${state.maxDocId} (append-only contract); slice min = ${minIdRow.getLong(0)}")
+
+    // 1. quality gate — same battery as the base run (caller's duty)
+    val rules = if (quality.nonEmpty) quality else Quality.minimal(minTokens, maxTokens)
+    val (kept, ingest, drops, sliceMaxId) = qualityGate(slice, rules)
+    manifest += Manifest("ingest", ingest)
+    drops.foreach { case (name, n) => manifest += Manifest(s"quality_drop:$name", n) }
+    val gated = record("quality_gate", kept)
+
+    // 2. exact dedup: intra-slice canonical, then anti-join the corpus's
+    // content hashes (the corpus doc is always the earlier canonical)
+    val intraCanon = gated.withColumn("rk", row_number().over(
+        Window.partitionBy(contentHash).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    val exact = record("exact_dedup",
+      intraCanon.withColumn("_h", contentHash)
+        .join(state.contentHashes.withColumnRenamed("content_hash", "_h"),
+          Seq("_h"), "left_anti")
+        .drop("_h"))
+
+    // 3. near-dup: probe the corpus band index (d10's O(batch) posture)
+    // AND cluster intra-slice; a cluster with ANY corpus-matched member
+    // drops whole (in a rebuild that cluster contains a corpus doc with a
+    // smaller id), otherwise the min member survives
+    val bands = bandsOf(exact)
+    val matched = bands
+      .join(state.bandIndex.select(col("b"), col("band_key")), Seq("b", "band_key"))
+      .select(col("doc_id")).distinct()
+    val pairs = pairsOf(bands)
+    val comp = ConnectedComponents.label(pairs, "doc1", "doc2") // (node, component)
+    val tainted = comp
+      .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
+      .select(col("component")).distinct()
+    val keepPerCluster = comp.join(tainted, Seq("component"), "left_anti")
+      .groupBy(col("component")).agg(min(col("node")).as("keep"))
+      .select(col("keep"))
+    val inAnyCluster = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+    val clusterDrops = inAnyCluster.join(keepPerCluster,
+      inAnyCluster("doc_id") === keepPerCluster("keep"), "left_anti")
+    val nearDupDrops = clusterDrops.select(col("doc_id"))
+      .union(matched).distinct()
+    val deduped = record("near_dup_dedup",
+      exact.join(nearDupDrops, Seq("doc_id"), "left_anti"))
+
+    // 3b. ExactSubstr against the corpus's window index + intra-slice
+    val sliceWinIdx = graft.operators.Reuse.materialize(
+      ExactSubstr.windowIndex(deduped, state.exactSubstrWindow))
+    val scrubbed = record("exact_substring_scrub",
+      ExactSubstr.scrubAgainst(deduped, state.windowIndex, state.exactSubstrWindow))
+
+    // 4. decontamination with the STORED bloom + reference hashes
+    val docHashes = scrubbed.select(col("doc_id"),
+        explode(WordShingles(col("text"), state.decontamShingle)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val suspects = docHashes
+      .filter(BloomBits.bloomMightContain(lit(state.bloom), col("h")))
+    val contaminated = suspects.join(state.refHashes, "h").select("doc_id").distinct()
+    val clean = record("decontaminated",
+      scrubbed.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // 5. token counts with the CORPUS's tokenizer artifacts — both
+    // tokenizers apply to unseen words (BPE folds its merge table over
+    // any rendering; unigram Viterbi counts out-of-domain words as UNK)
+    val wordTok = wordTokOf(BpeLearn.wordCounts(clean),
+      state.tokenizer, state.merges, state.unigramVocab)
+    val docTokens = docTokensOf(clean, wordTok)
+
+    // 6+7. append-pack above the corpus's high-water bin, then shard
+    val packed = SequencePack.pack(docTokens, "doc_id", "n_tokens", packBudget)
+    val newRows = record("packed_sharded",
+      docTokens.join(packed.select(col("doc_id"), col("bin_id")), "doc_id")
+        .withColumn("bin_id", col("bin_id") + lit(state.maxBinId + 1L))
+        .withColumn("shard", Md5Bucket(col("doc_id"), shards)))
+    val appended = state.corpus.unionByName(newRows)
+
+    // roll the state forward: all index pieces are mergeable
+    val newMaxDocId = math.max(state.maxDocId, sliceMaxId)
+    val binRow = newRows.agg(max(col("bin_id"))).head
+    val newMaxBinId = if (binRow.isNullAt(0)) state.maxBinId else binRow.getLong(0)
+    val rolled = state.copy(
+      maxDocId = newMaxDocId,
+      maxBinId = newMaxBinId,
+      contentHashes = state.contentHashes.union(
+        exact.select(contentHash.as("content_hash"))),
+      bandIndex = state.bandIndex
+        .unionByName(bands.groupBy(col("b"), col("band_key"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc")))
+        .groupBy(col("b"), col("band_key"))
+        .agg(sum(col("cnt")).as("cnt"), min(col("min_doc")).as("min_doc"))
+        .filter(col("cnt") <= MaxBucket),
+      windowIndex = state.windowIndex.unionByName(sliceWinIdx)
+        .groupBy(col("h1"), col("h2"), col("h3"))
+        .agg(min(col("first_pk")).as("first_pk"), sum(col("n")).as("n")),
+      corpus = appended)
+
+    Result(appended, state.merges, state.unigramVocab, manifest.result(), Some(rolled))
   }
 }

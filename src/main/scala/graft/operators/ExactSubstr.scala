@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   * Pipeline-shape differences from the catalog entry (both deliberate):
   *  - the rebuilt `text` is the whitespace-normalized LOWERCASE token
   *    stream — the tokenizer's view of the document, which is what every
-  *    downstream corpus stage consumes;
+  *    downstream corpus stage consumes (`preserveCase = true` keeps
+  *    original casing in the rebuild while still matching
+  *    case-insensitively);
   *  - a document whose EVERY token was erased (it is entirely a later copy
   *    of spans seen elsewhere) is DROPPED, not kept as an empty row — the
   *    manifest-visible outcome a corpus pipeline wants.
+  *
+  * The per-window-hash MIN table ([[windowIndex]]) doubles as the
+  * operator's INCREMENTAL state: persist it once for a built corpus, and
+  * [[scrubAgainst]] scrubs a new document slice against the corpus without
+  * recomputing anything over the corpus — the daily 100 TB operating mode.
   *
   * Contract inherited from d14: doc ids must fit in 31 bits and token
   * positions in 32 (the pk packing); shuffles are keyed on window hashes
@@ -33,6 +40,42 @@ import org.apache.spark.sql.functions._
   * the position fan-out to duplicated windows only.
   */
 object ExactSubstr {
+
+  /** Tokenized view used by both scrub forms: `_t` = rebuild tokens
+    * (original or lowercased), `_tv` = per-token hash over the LOWERCASED
+    * token — erasure positions are casing-independent by construction. */
+  private def tokenized(docs: DataFrame, textCol: String,
+                        preserveCase: Boolean): DataFrame = {
+    val rebuildToks =
+      if (preserveCase) split(col(textCol), " ") else split(lower(col(textCol)), " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), rebuildToks.as("_t"))
+      .filter(size(col("_t")) > 0)
+      .withColumn("_tv",
+        transform(col("_t"), tok => conv(substring(md5(lower(tok)), 1, 15), 16, 10).cast("long")))
+  }
+
+  /** Every stride-1 `w`-token window of every document:
+    * (doc_id, pos, h1, h2, h3, pk) with pk = doc_id·2³² + pos — the packed
+    * first-occurrence key the MIN aggregates over. */
+  def windowHashes(docs: DataFrame, w: Int, textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    tokenized(docs, textCol, preserveCase = false)
+      .select(col("doc_id"),
+        explode(graft.functions.RollingWindowHashes(col("_tv"), w)).as("x"))
+      .select(col("doc_id"), col("x.pos"), col("x.h1"), col("x.h2"), col("x.h3"),
+        (col("doc_id").cast("long") * lit(4294967296L) + col("x.pos")).as("pk"))
+  }
+
+  /** The per-window-hash state table: (h1, h2, h3, first_pk, n) — global
+    * first occurrence and occurrence count per distinct window hash. One
+    * map-side-combined aggregate keyed on the (uniform) hashes. [[scrub]]
+    * derives its duplicate set from it (n > 1); persisted, it is the side
+    * input [[scrubAgainst]] probes a new slice against. */
+  def windowIndex(docs: DataFrame, w: Int, textCol: String = "text"): DataFrame =
+    windowHashes(docs, w, textCol)
+      .groupBy(col("h1"), col("h2"), col("h3"))
+      .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
 
   /** Scrub `docs` (must carry `doc_id` and `textCol`; other columns pass
     * through). Returns the input columns with `textCol` rebuilt from the
@@ -44,25 +87,16 @@ object ExactSubstr {
     * Quick Brown…" and "the quick brown…" erase each other exactly as
     * before), only the rebuild source changes — for pipelines with a
     * case-sensitive consumer downstream of the scrub (round-13 verdict).
-    * The default (false) remains the tokenizer's lowercased view. */
+    *
+    * `index`, when supplied, must be [[windowIndex]] of these same docs —
+    * lets a caller that also wants the index as persisted state (the
+    * corpus capstone's `captureState`) compute it once for both uses. */
   def scrub(docs: DataFrame, w: Int, textCol: String = "text",
-            preserveCase: Boolean = false): DataFrame = {
+            preserveCase: Boolean = false,
+            index: Option[DataFrame] = None): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val rebuildToks =
-      if (preserveCase) split(col(textCol), " ") else split(lower(col(textCol)), " ")
-    val t = docs.filter(col(textCol).isNotNull)
-      .select(col("doc_id"), rebuildToks.as("_t"))
-      .filter(size(col("_t")) > 0)
-      // hash input is ALWAYS the lowercased token — erasure positions are
-      // identical under both rebuild modes by construction
-      .withColumn("_tv",
-        transform(col("_t"), tok => conv(substring(md5(lower(tok)), 1, 15), 16, 10).cast("long")))
-    val wins = t.select(col("doc_id"),
-        explode(graft.functions.RollingWindowHashes(col("_tv"), w)).as("x"))
-      .select(col("doc_id"), col("x.pos"), col("x.h1"), col("x.h2"), col("x.h3"),
-        (col("doc_id").cast("long") * lit(4294967296L) + col("x.pos")).as("pk"))
-    val dups = wins.groupBy(col("h1"), col("h2"), col("h3"))
-      .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
+    val wins = windowHashes(docs, w, textCol)
+    val dups = index.getOrElse(windowIndex(docs, w, textCol))
       .filter(col("n") > 1)
       .select(col("h1"), col("h2"), col("h3"), col("first_pk"))
     val removed = wins.join(dups, Seq("h1", "h2", "h3"))
@@ -70,7 +104,65 @@ object ExactSubstr {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tokpos"))
       .distinct()
-    val tokens = t.select(col("doc_id"), posexplode(col("_t")).as(Seq("p0", "w")))
+    rebuild(docs, removed, textCol, preserveCase)
+  }
+
+  /** Incremental scrub — the operator's 100 TB daily mode: erase from a
+    * NEW document `slice` every ≥`w`-token span that already occurs in the
+    * built corpus (probe of `corpusIndex` = the corpus's persisted
+    * [[windowIndex]]) or earlier within the slice itself (the standard
+    * intra-slice rule), rebuilding documents and dropping fully-erased
+    * ones — without touching a byte of the corpus.
+    *
+    * CONTRACT: every slice doc_id must exceed every corpus doc_id
+    * (append-only id discipline — the caller asserts it; CorpusPipeline
+    * does). Under that ordering any slice window matching a corpus hash is
+    * a LATER occurrence by construction, so the combined-first-occurrence
+    * rule collapses to: corpus-matched windows erase ALL their slice
+    * occurrences; slice-only windows follow [[scrub]]'s n>1 rule among
+    * themselves. The result is then identical to what a full rebuild over
+    * corpus ∪ slice would produce for the slice docs (and the corpus docs
+    * are untouched in both — their windows are all first occurrences
+    * relative to the slice), at O(slice) cost.
+    *
+    * Work shape: one windowHashes pass over the slice, one hash-keyed
+    * probe of the index (at warehouse scale: a bucketed table, so the
+    * probe is a co-located join), one intra-slice MIN aggregate. */
+  def scrubAgainst(slice: DataFrame, corpusIndex: DataFrame, w: Int,
+                   textCol: String = "text",
+                   preserveCase: Boolean = false): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val wins = windowHashes(slice, w, textCol)
+    val probed = wins.join(
+      corpusIndex.select(col("h1"), col("h2"), col("h3"), lit(1).as("_in_corpus")),
+      Seq("h1", "h2", "h3"), "left")
+    // corpus-matched: every slice occurrence is later than the corpus's
+    // first — all erased
+    val corpusMatched = probed.filter(col("_in_corpus").isNotNull)
+      .select(col("doc_id"), col("pos"))
+    // slice-only windows: the standard first-occurrence rule among the
+    // slice's own occurrences
+    val sliceOnly = probed.filter(col("_in_corpus").isNull)
+    val sliceDups = sliceOnly.groupBy(col("h1"), col("h2"), col("h3"))
+      .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h1"), col("h2"), col("h3"), col("first_pk"))
+    val intraRemoved = sliceOnly.join(sliceDups, Seq("h1", "h2", "h3"))
+      .filter(col("pk") =!= col("first_pk"))
+      .select(col("doc_id"), col("pos"))
+    val removed = corpusMatched.union(intraRemoved)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tokpos"))
+      .distinct()
+    rebuild(slice, removed, textCol, preserveCase)
+  }
+
+  /** Shared tail: drop the erased token positions, rebuild each document
+    * from its kept tokens (inner join drops fully-erased docs). */
+  private def rebuild(docs: DataFrame, removed: DataFrame, textCol: String,
+                      preserveCase: Boolean): DataFrame = {
+    val tokens = tokenized(docs, textCol, preserveCase)
+      .select(col("doc_id"), posexplode(col("_t")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("tokpos"), col("w"))
     val rebuilt = tokens.join(removed, Seq("doc_id", "tokpos"), "left_anti")
       .groupBy(col("doc_id"))

@@ -134,6 +134,177 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.corpus.collect().forall(_.getAs[Int]("n_tokens") > 0))
   }
 
+  // ---- round-14: pluggable quality battery --------------------------------
+
+  // one victim per production rule, in attribution order; all later-rule
+  // victims PASS every earlier rule so the first-failing attribution is
+  // exactly the rule under test
+  private def wordsDoc(ws: Seq[String]) = ws.mkString(" ")
+  private val fillers = (1 to 60).map(i => s"word$i")
+  private def batteryDocs = Seq(
+    // 101: token_count (2 tokens)
+    (101L, "en", "tiny doc"),
+    // 102: gopher_word_count (10 tokens — passes the 5..1000 core)
+    (102L, "en", wordsDoc(fillers.take(10))),
+    // 103: gopher_mean_word_len (60 single-char words)
+    (103L, "en", wordsDoc(Seq.fill(60)("a"))),
+    // 104: gopher_symbol_ratio (10 '#' among 55 tokens; alpha 45/55 >= 0.8)
+    (104L, "en", wordsDoc(Seq("the", "of") ++ fillers.take(43) ++ Seq.fill(10)("#"))),
+    // 105: gopher_alpha_frac (13 numeric tokens of 55: alpha 42/55 < 0.8)
+    (105L, "en", wordsDoc(Seq("the", "of") ++ fillers.take(40) ++ (1 to 13).map(i => s"$i$i$i"))),
+    // 106: gopher_stopwords (55 content words, zero en stopword hits)
+    (106L, "en", wordsDoc((1 to 55).map(i => s"content$i"))),
+    // 107: rep_3gram (periodic filler: 3 distinct 3-grams over 60 tokens)
+    (107L, "en", wordsDoc(Seq("the", "of") ++
+      Seq.fill(20)(Seq("xray", "yellow", "zebra")).flatten)),
+    // 108: rep_top_bigram (13 instances of one bigram among 54 tokens,
+    // separated by unique long words so no 3-gram ever repeats)
+    (108L, "en", wordsDoc(Seq("the", "of") ++
+      (1 to 13).flatMap(i => Seq("wonderful", "elephants", s"under$i", s"water$i")))),
+    // 109: rep_dup_sentence (one 8-token sentence x4 + three unique ones)
+    (109L, "en", (Seq.fill(4)("every single morning the harbour lights " +
+      "flicker twice") ++ Seq(
+      "meanwhile the fishing boats of the northern fleet depart slowly",
+      "seagulls trail the wake hoping for discarded morning catch",
+      "by noon the quay settles into its usual drowsy rhythm")).mkString(". ")),
+    // 110: langid_agree (claims es, written with English stopwords)
+    (110L, "es", wordsDoc(Seq("the", "of", "and", "to") ++ fillers.take(50))),
+    // 111: survivor (plenty of varied words + stopwords, no repetition)
+    (111L, "en", wordsDoc(Seq("the", "of") ++ (1 to 55).map(i => s"varied$i")))
+  ).toDF("doc_id", "lang", "text")
+
+  test("production quality battery: each rule drops its victim and the manifest names it") {
+    val r = CorpusPipeline.run(batteryDocs, heldOut,
+      quality = Quality.production(), packBudget = 64)
+    val m = r.manifest.map(x => x.stage -> x.rows).toMap
+    assert(m("ingest") == 11)
+    assert(m("quality_drop:token_count") == 1, m.toString)
+    assert(m("quality_drop:gopher_word_count") == 1, m.toString)
+    assert(m("quality_drop:gopher_mean_word_len") == 1, m.toString)
+    assert(m("quality_drop:gopher_symbol_ratio") == 1, m.toString)
+    assert(m("quality_drop:gopher_alpha_frac") == 1, m.toString)
+    assert(m("quality_drop:gopher_stopwords") == 1, m.toString)
+    assert(m("quality_drop:rep_3gram") == 1, m.toString)
+    assert(m("quality_drop:rep_top_bigram") == 1, m.toString)
+    assert(m("quality_drop:rep_dup_sentence") == 1, m.toString)
+    assert(m("quality_drop:langid_agree") == 1, m.toString)
+    assert(m("quality_gate") == 1)
+    val ids = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(111L), s"only the survivor should remain: $ids")
+  }
+
+  test("minimal preset is the historical gate: identical manifest and corpus") {
+    val a = CorpusPipeline.run(docs, heldOut, packBudget = 64)
+    val b = CorpusPipeline.run(docs, heldOut, packBudget = 64,
+      quality = Quality.minimal(5, 1000))
+    assert(a.manifest.filterNot(_.stage.startsWith("quality_drop:")) ==
+      b.manifest.filterNot(_.stage.startsWith("quality_drop:")))
+    assert(a.corpus.collect().map(_.toString).sorted.toSeq ==
+      b.corpus.collect().map(_.toString).sorted.toSeq)
+  }
+
+  // ---- round-14: incremental mode -----------------------------------------
+
+  // the slice: every incremental rule has a victim, ids all above the
+  // corpus high-water mark (append-only contract)
+  private val doc24Text = "fresh arrival describing entirely novel topics " +
+    "around tidal energy storage and grid balancing economics"
+  private def sliceDocs = Seq(
+    // exact duplicate of corpus doc 2 -> exact_dedup vs corpus hashes
+    (20L, "en", "completely different content about distributed query engines " +
+      "processing immense volumes of training data every single day"),
+    // near-duplicate of corpus doc 1 -> band probe match, dropped
+    (21L, "en", base + " tomorrow"),
+    // copies corpus doc 7's 8-token head + unique tail -> scrubbed to tail
+    (22L, "en", doc7Span8 + " " + doc22Tail),
+    // carries a 5-token fragment of the held-out text (below the 8-token
+    // scrub window, above the 3-gram decontam shingle) -> decontaminated
+    (23L, "en", "leading filler content then held out evaluation passage that " +
+      "closes with harmless trailing words"),
+    // clean survivor
+    (24L, "en", doc24Text),
+    // intra-slice near-dup of 24 -> cluster keeps the min id (24)
+    (25L, "en", doc24Text + " tonight"),
+    // quality victim
+    (26L, "en", "tiny doc")
+  ).toDF("doc_id", "lang", "text")
+  private val doc22Tail = "followed by nine fresh tail words never seen anywhere else"
+
+  test("incremental slice against captured state ≡ full rebuild of corpus ∪ slice") {
+    val base = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+    val state = base.state.get
+    assert(state.maxDocId == 7L)
+
+    val inc = CorpusPipeline.runIncremental(sliceDocs, state, packBudget = 64)
+    val m = inc.manifest.map(x => x.stage -> x.rows).toMap
+    assert(m("ingest") == 7)
+    assert(m("quality_gate") == 6)           // 26 gone
+    assert(m("exact_dedup") == 5, m.toString)            // 20 gone (dup of corpus 2)
+    assert(m("near_dup_dedup") == 3, m.toString)         // 21 (corpus match), 25 (intra) gone
+    assert(m("exact_substring_scrub") == 3, m.toString)  // 22 rewritten, none fully erased
+    assert(m("decontaminated") == 2, m.toString)         // 23 gone
+    assert(m("packed_sharded") == 2, m.toString)         // 22 (tail), 24
+
+    // THE equivalence gate (the i7 incremental ≡ recompute technique):
+    // a full rebuild over corpus ∪ slice must agree row-for-row on
+    // (doc_id, lang, n_tokens, shard). The rebuild runs under the BASE
+    // corpus's PINNED tokenizer — the same artifact the incremental mode
+    // reuses (retraining per slice is the documented divergence: a
+    // rebuild that retrains shifts merge ranks and with them every
+    // n_tokens, which is exactly why production pins tokenizers across
+    // corpus versions). bin_id is layout (the appended bins pack the
+    // slice alone above the high-water bin; a rebuild packs globally)
+    // and is gated structurally below.
+    val full = CorpusPipeline.run(docs.unionByName(sliceDocs), heldOut,
+      exactSubstrWindow = 8, packBudget = 64,
+      pinnedTokenizer = Some((base.merges, base.unigramVocab)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "shard")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(inc.corpus) == rows(full.corpus))
+
+    // append-only structure: corpus rows untouched, slice bins above the
+    // high-water mark, exactly-once packing, budget respected
+    assert(rows(inc.corpus.filter($"doc_id" <= 7)) == rows(base.corpus))
+    val newRows = inc.corpus.filter($"doc_id" > 7).collect()
+    assert(newRows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(22L, 24L))
+    assert(newRows.forall(_.getAs[Long]("bin_id") > state.maxBinId))
+    assert(newRows.map(_.getAs[Long]("doc_id")).distinct.length == newRows.length)
+
+    // 22 was scrubbed to its tail: its token count must equal a fresh
+    // count of the tail under the corpus tokenizer, not the full text
+    val full22 = full.corpus.filter($"doc_id" === 22).head.getAs[Int]("n_tokens")
+    val inc22 = inc.corpus.filter($"doc_id" === 22).head.getAs[Int]("n_tokens")
+    assert(inc22 == full22)
+  }
+
+  test("rolled state: a second slice dedups against the first slice's survivors") {
+    val base = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+    val inc1 = CorpusPipeline.runIncremental(sliceDocs, base.state.get, packBudget = 64)
+    val rolled = inc1.state.get
+    assert(rolled.maxDocId == 26L)
+
+    val slice2 = Seq(
+      (30L, "en", doc24Text), // exact dup of slice-1 survivor 24
+      (31L, "en", "genuinely new final document mentioning geothermal " +
+        "district heating pilots across several northern municipalities")
+    ).toDF("doc_id", "lang", "text")
+    val inc2 = CorpusPipeline.runIncremental(slice2, rolled, packBudget = 64)
+    val m = inc2.manifest.map(x => x.stage -> x.rows).toMap
+    assert(m("exact_dedup") == 1, m.toString) // 30 gone via rolled contentHashes
+    assert(m("packed_sharded") == 1)
+    val ids = inc2.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 7L, 22L, 24L, 31L), ids.toString)
+    // and the id contract is enforced
+    val bad = Seq((5L, "en", "id below the high-water mark " + doc24Text))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException](
+      CorpusPipeline.runIncremental(bad, inc2.state.get, packBudget = 64))
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("token counts, packing, and shards are consistent") {
     val r = CorpusPipeline.run(docs, heldOut, packBudget = 64)
     val rows = r.corpus.collect()
