@@ -11,8 +11,22 @@ two sides is a failure even when the strings happen to agree. Array/list
 cells are a failure outright (the driver's sort crashes on ndarray).
 
 Usage: python3 tools/check_strict.py <sfDir> <verifyOutDir>
+
+Env knobs (all optional):
+  CHECK_THREADS=k        cap DuckDB threads (sharded runs)
+  CHECK_SHARD=i/N        run shard i of N only (0-based)
+  CHECK_COST_FILE=path   per-query cost table (JSON name->seconds): shards
+                         are then assigned by greedy LPT over the costs
+                         (deterministic — every shard process computes the
+                         same assignment) instead of round-robin, so one
+                         expensive oracle (the unrolled v4/v5/graph CTE
+                         chains) can't make one shard the gate's wall.
+                         Unknown names get the table's median cost.
+  CHECK_COSTS_OUT=path   write this run's measured per-query seconds
+                         (oracle execution + compare) as JSON — feed it
+                         back as the next CHECK_COST_FILE.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import math
 import numpy as np
 import pandas as pd
@@ -97,9 +111,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    # CHECK_SHARD=i/N: run names[i::N] only — a wall-clock wrapper, not a
+    # CHECK_SHARD=i/N: run shard i only — a wall-clock wrapper, not a
     # semantics change (every query still runs the identical compare in
-    # exactly one shard; the caller sums the per-shard tallies).
+    # exactly one shard; the caller sums the per-shard tallies). Default
+    # assignment is round-robin names[i::N]; with CHECK_COST_FILE it is
+    # greedy LPT over measured per-query costs — deterministic, so the N
+    # independent shard processes agree on the partition.
     if os.environ.get("CHECK_SHARD"):
         i, n = (int(x) for x in os.environ["CHECK_SHARD"].split("/"))
         # Shards are 0-based: a 1-based spec (1/4..4/4) would silently drop
@@ -107,62 +124,86 @@ def main(sf_dir, out_dir):
         if not (0 <= i < n):
             raise SystemExit(
                 f"CHECK_SHARD out of range: {i}/{n} (expected 0 <= i < n; shards are 0-based)")
-        names = names[i::n]
-    n_pass = n_fail = n_rowsonly = 0
-    for name in names:
+        cost_file = os.environ.get("CHECK_COST_FILE")
+        if cost_file and os.path.exists(cost_file):
+            costs = json.load(open(cost_file))
+            known = sorted(v for v in costs.values() if isinstance(v, (int, float)))
+            med = known[len(known) // 2] if known else 1.0
+            # LPT: heaviest first onto the least-loaded shard; ties broken
+            # by shard index, input order fixed by (cost desc, name) — all
+            # deterministic, so every process computes the same partition
+            loads = [0.0] * n
+            assign = {}
+            for nm in sorted(names, key=lambda x: (-float(costs.get(x, med)), x)):
+                s = min(range(n), key=lambda j: (loads[j], j))
+                assign[nm] = s
+                loads[s] += float(costs.get(nm, med))
+            names = [nm for nm in names if assign[nm] == i]
+        else:
+            names = names[i::n]
+    def check_one(name):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL  {name}: no spark output parquet")
-            n_fail += 1
-            continue
+            return "fail"
         try:
             sdf = pd.concat([pd.read_parquet(f) for f in files])
             s_cols, s_rows, s_kinds = frame_rows(sdf)
         except TypeError as e:
             print(f"FAIL  {name}: spark side: {e}")
-            n_fail += 1
-            continue
+            return "fail"
         if name not in oracle:
             # rows-only: the driver still sorts by all columns, so array
             # cells are fatal even without an oracle (k2 round-1 lesson)
             print(f"ROWS  {name}: rows={len(s_rows)} (no oracle)")
-            n_rowsonly += 1
-            continue
+            return "rows"
         try:
             odf = con.execute(oracle[name]).fetchdf()
             o_cols, o_rows, o_kinds = frame_rows(odf)
         except TypeError as e:
             print(f"FAIL  {name}: oracle side: {e}")
-            n_fail += 1
-            continue
+            return "fail"
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+            return "fail"
         if s_cols != o_cols:
             print(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
-            n_fail += 1
-            continue
+            return "fail"
         bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
                     if sk and ok and sk != ok]
         if bad_kind:
             print(f"FAIL  {name}: dtype mismatch: " + "; ".join(
                 f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
                 for c, sk, ok in bad_kind))
-            n_fail += 1
-            continue
+            return "fail"
         if s_rows == o_rows:
             print(f"PASS  {name}: {len(s_rows)} rows")
+            return "pass"
+        print(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+        sa, sb = set(s_rows), set(o_rows)
+        for r in list(sa - sb)[:3]:
+            print(f"      spark-only:  {r}")
+        for r in list(sb - sa)[:3]:
+            print(f"      oracle-only: {r}")
+        return "fail"
+
+    n_pass = n_fail = n_rowsonly = 0
+    t_start = time.monotonic()
+    q_secs = {}
+    for name in names:
+        t_q = time.monotonic()
+        status = check_one(name)
+        q_secs[name] = round(time.monotonic() - t_q, 3)
+        if status == "pass":
             n_pass += 1
+        elif status == "rows":
+            n_rowsonly += 1
         else:
             n_fail += 1
-            print(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
-            sa, sb = set(s_rows), set(o_rows)
-            for r in list(sa - sb)[:3]:
-                print(f"      spark-only:  {r}")
-            for r in list(sb - sa)[:3]:
-                print(f"      oracle-only: {r}")
-    print(f"== pass={n_pass} fail={n_fail} rows-only={n_rowsonly}")
+    wall = round(time.monotonic() - t_start, 1)
+    if os.environ.get("CHECK_COSTS_OUT"):
+        json.dump(q_secs, open(os.environ["CHECK_COSTS_OUT"], "w"), indent=0)
+    print(f"== pass={n_pass} fail={n_fail} rows-only={n_rowsonly} wall={wall}")
     return 1 if n_fail else 0
 
 

@@ -62,9 +62,18 @@ EOF
     continue
   fi
   echo "=== sf$SF gate start $(date +%T)"
+  # Cost-balanced shards (round-13 verdict #5): with the committed
+  # per-oracle cost table, check_strict assigns shards by greedy LPT so
+  # the expensive oracles (unrolled v4/v5/graph CTE chains) spread across
+  # shards instead of stacking the gate wall on one. Each shard also
+  # writes its measured per-query seconds — refresh tools/oracle_costs.json
+  # from them when the catalog's cost profile shifts.
+  COST_FILE=${CHECK_COST_FILE:-tools/oracle_costs.json}
   pids=()
   for i in 0 1 2 3 4 5 6 7; do
-    CHECK_SHARD=$i/8 python3 tools/check_strict.py $SRC $OUT \
+    CHECK_SHARD=$i/8 CHECK_COST_FILE=$COST_FILE \
+      CHECK_COSTS_OUT=/tmp/gate_costs_${SF}_$i.json \
+      python3 tools/check_strict.py $SRC $OUT \
       > /tmp/gate_${SF}_$i.log 2>&1 &
     pids+=($!)
   done
@@ -96,11 +105,14 @@ EOF
 import glob, json, re, sys
 frag, sf, src, vwall, gwall, crashed, summaries, gen = sys.argv[1:9]
 p = f = r = 0
+shard_walls = {}
 for log in glob.glob(f"/tmp/gate_{sf}_*.log"):
     for line in open(log):
-        m = re.match(r"^== pass=(\d+) fail=(\d+) rows-only=(\d+)", line)
+        m = re.match(r"^== pass=(\d+) fail=(\d+) rows-only=(\d+)(?: wall=([0-9.]+))?", line)
         if m:
             p += int(m.group(1)); f += int(m.group(2)); r += int(m.group(3))
+            if m.group(4):
+                shard_walls[log.rsplit("_", 1)[1].split(".")[0]] = float(m.group(4))
 rows = {}
 try:
     import duckdb
@@ -114,6 +126,7 @@ except Exception as e:
 valid = crashed == "0" and summaries == "8"
 json.dump({"sf": sf, "valid": valid, "pass": p, "fail": f, "rows_only": r,
            "verify_wall_sec": int(vwall), "gate_wall_sec": int(gwall),
+           "gate_shard_walls_sec": {k: shard_walls[k] for k in sorted(shard_walls)},
            "shards_crashed": int(crashed), "shard_summaries": int(summaries),
            "gen_scale": gen, "fixture_rows": rows}, open(frag, "w"))
 EOF
