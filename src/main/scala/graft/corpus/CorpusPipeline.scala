@@ -61,7 +61,11 @@ object CorpusPipeline {
 
   /** The persisted knowledge a built corpus leaves behind for incremental
     * ingestion. DataFrame members are tables (persist them bucketed by
-    * their join keys at scale); the rest are small artifacts. */
+    * their join keys at scale); the rest are small artifacts.
+    * [[CorpusState.write]]/[[CorpusState.load]] round-trip the whole
+    * thing through a parquet directory layout, so the daily slice job is
+    * a FRESH Spark application reading yesterday's state tables — the
+    * actual deployment shape, not a same-JVM handoff. */
   final case class CorpusState(
       exactSubstrWindow: Int,
       decontamShingle: Int,
@@ -76,6 +80,62 @@ object CorpusPipeline {
       merges: Seq[BpeLearn.Merge],
       unigramVocab: Seq[(String, Long, Long)],
       corpus: DataFrame)         // the packed corpus rows
+
+  object CorpusState {
+    // one subdirectory per table, one 1-row meta table for the scalars
+    // (the bloom filter rides meta as a binary column — it is KBs)
+
+    /** Persist every piece under `dir` (overwrite). At warehouse scale
+      * the table writes would add `bucketBy` on their probe keys; the
+      * layout here is plain parquet so [[load]] works anywhere. */
+    def write(state: CorpusState, dir: String): Unit = {
+      val spark = state.corpus.sparkSession
+      import spark.implicits._
+      def put(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+      put("content_hashes", state.contentHashes)
+      put("band_index", state.bandIndex)
+      put("window_index", state.windowIndex)
+      put("ref_hashes", state.refHashes)
+      put("corpus", state.corpus)
+      put("merges", state.merges.toDF())
+      put("unigram_vocab", state.unigramVocab.toDF("piece", "c", "bits"))
+      put("meta", Seq((state.exactSubstrWindow, state.decontamShingle,
+        state.tokenizer, state.maxDocId, state.maxBinId, state.bloom))
+        .toDF("exact_substr_window", "decontam_shingle", "tokenizer",
+          "max_doc_id", "max_bin_id", "bloom"))
+    }
+
+    /** Reopen a [[write]] layout. The DataFrame members come back as
+      * plain parquet scans — exactly what [[runIncremental]] probes. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusState = {
+      def get(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+      val meta = get("meta").head
+      CorpusState(
+        exactSubstrWindow = meta.getAs[Int]("exact_substr_window"),
+        decontamShingle = meta.getAs[Int]("decontam_shingle"),
+        tokenizer = meta.getAs[String]("tokenizer"),
+        maxDocId = meta.getAs[Long]("max_doc_id"),
+        maxBinId = meta.getAs[Long]("max_bin_id"),
+        contentHashes = get("content_hashes"),
+        bandIndex = get("band_index"),
+        windowIndex = get("window_index"),
+        bloom = meta.getAs[Array[Byte]]("bloom"),
+        refHashes = get("ref_hashes"),
+        merges = get("merges")
+          .select("merge_rank", "left_sym", "right_sym", "pair_count")
+          .collect()
+          .map(r => BpeLearn.Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .sortBy(_.merge_rank).toSeq,
+        // merges MUST come back rank-ordered (the BPE fold applies them in
+        // order); the vocab is join-looked-up but sorted anyway so a
+        // reloaded state is bit-stable regardless of parquet read order
+        unigramVocab = get("unigram_vocab").select("piece", "c", "bits")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq,
+        corpus = get("corpus"))
+    }
+  }
 
   final case class Result(
       corpus: DataFrame,      // doc_id, lang, n_tokens, bin_id, shard

@@ -279,6 +279,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(inc22 == full22)
   }
 
+  test("CorpusState round-trips through parquet: a loaded state drives an identical incremental run") {
+    val base = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_state").toString
+    try {
+      CorpusPipeline.CorpusState.write(base.state.get, dir)
+      val loaded = CorpusPipeline.CorpusState.load(spark, dir)
+      assert(loaded.exactSubstrWindow == 8)
+      assert(loaded.tokenizer == "bpe")
+      assert(loaded.maxDocId == base.state.get.maxDocId)
+      assert(loaded.maxBinId == base.state.get.maxBinId)
+      assert(loaded.merges == base.merges)
+      assert(java.util.Arrays.equals(loaded.bloom, base.state.get.bloom))
+      val viaMem = CorpusPipeline.runIncremental(sliceDocs, base.state.get, packBudget = 64)
+      val viaDisk = CorpusPipeline.runIncremental(sliceDocs, loaded, packBudget = 64)
+      assert(viaDisk.manifest == viaMem.manifest)
+      assert(viaDisk.corpus.collect().map(_.toString).sorted.toSeq ==
+        viaMem.corpus.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("rolled state: a second slice dedups against the first slice's survivors") {
     val base = CorpusPipeline.run(docs, heldOut,
       exactSubstrWindow = 8, packBudget = 64, captureState = true)
