@@ -37,11 +37,15 @@ import graft.operators.{BpeLearn, ConnectedComponents, Dedup, ExactSubstr,
   *    append-only id contract the result equals a full rebuild of
   *    corpus ∪ slice (CorpusPipelineSpec proves it on a crafted corpus),
   *    with three documented divergence surfaces inherent to incremental
-  *    posture: LSH bucket caps straddling MaxBucket across the boundary,
-  *    a slice doc BRIDGING two existing corpus near-dup clusters (the
-  *    d10 posture: the corpus is immutable, so the bridged clusters'
-  *    members stay), and the tokenizer, which is REUSED from state, not
-  *    retrained (nobody retrains BPE per crawl slice).
+  *    posture: hot LSH buckets (the band index keeps over-cap buckets as
+  *    frozen membership rows — cnt saturated at MaxBucket — so a slice
+  *    doc matching a hot template DROPS, where a rebuild's pair
+  *    generation skips over-cap buckets and may keep it: one-directional,
+  *    the dedup-conservative direction for exactly the templates that
+  *    duplicate most), a slice doc BRIDGING two existing corpus near-dup
+  *    clusters (the d10 posture: the corpus is immutable, so the bridged
+  *    clusters' members stay), and the tokenizer, which is REUSED from
+  *    state, not retrained (nobody retrains BPE per crawl slice).
   *
   * Scale posture inherited from the parts: the quality battery is a
   * map-only scan-side gate, LSH banding is O(docs×bands) with hot-bucket
@@ -85,17 +89,53 @@ object CorpusPipeline {
     // one subdirectory per table, one 1-row meta table for the scalars
     // (the bloom filter rides meta as a binary column — it is KBs)
 
-    /** Persist every piece under `dir` (overwrite). At warehouse scale
-      * the table writes would add `bucketBy` on their probe keys; the
-      * layout here is plain parquet so [[load]] works anywhere. */
+    /** Persist every piece under `dir` (overwrite). The layout here is
+      * plain parquet so [[load]] works anywhere; [[writeBucketed]] is the
+      * warehouse-scale variant that persists the probe-index tables
+      * bucketed by their join keys.
+      *
+      * `dir` must NOT be a directory any of the state's own DataFrames
+      * read from (round-14 ADVICE): a rolled-forward state's tables are
+      * LAZY unions over yesterday's parquet, and mode(overwrite) into the
+      * load directory would delete those inputs mid-read — the natural
+      * roll-forward call pattern writes each day's state to a FRESH
+      * directory and retires the old one after the job commits. Guarded
+      * here by inspecting every table's input files, not just documented. */
     def write(state: CorpusState, dir: String): Unit = {
-      val spark = state.corpus.sparkSession
-      import spark.implicits._
+      writeGuard(state, dir)
       def put(name: String, df: DataFrame): Unit =
         df.write.mode("overwrite").parquet(s"$dir/$name")
       put("content_hashes", state.contentHashes)
       put("band_index", state.bandIndex)
       put("window_index", state.windowIndex)
+      writeSmall(state, dir)
+    }
+
+    /** Refuse a target directory any of the state's own tables read from
+      * (round-14 ADVICE): mode(overwrite) into a lazy input deletes it
+      * mid-read. Detection is by the tables' actual input files, so an
+      * in-memory (never-persisted) state passes trivially. */
+    private def writeGuard(state: CorpusState, dir: String): Unit = {
+      val dirPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        .stripSuffix("/")
+      val overlap = Seq(state.contentHashes, state.bandIndex,
+          state.windowIndex, state.refHashes, state.corpus)
+        .flatMap(df => scala.util.Try(df.inputFiles.toSeq).getOrElse(Nil))
+        .filter(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
+          .startsWith(dirPath + "/"))
+      require(overlap.isEmpty,
+        s"CorpusState.write: target '$dir' is an INPUT of the state being " +
+          s"written (e.g. ${overlap.head}) — mode(overwrite) would delete " +
+          "inputs mid-read and corrupt the write. Write each day's state " +
+          "to a fresh directory and retire the old one after the job commits.")
+    }
+
+    /** The non-index pieces shared by [[write]] and [[writeBucketed]]. */
+    private def writeSmall(state: CorpusState, dir: String): Unit = {
+      val spark = state.corpus.sparkSession
+      import spark.implicits._
+      def put(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name")
       put("ref_hashes", state.refHashes)
       put("corpus", state.corpus)
       put("merges", state.merges.toDF())
@@ -105,6 +145,15 @@ object CorpusPipeline {
         .toDF("exact_substr_window", "decontam_shingle", "tokenizer",
           "max_doc_id", "max_bin_id", "bloom"))
     }
+
+    /** The probe-index tables and their bucket keys — each key list is
+      * EXACTLY the join key set the matching [[runIncremental]] probe
+      * uses, which is the condition for Spark to plan the probe with no
+      * Exchange on the index side. */
+    private[graft] val BucketedTables: Seq[(String, Seq[String])] = Seq(
+      "content_hashes" -> Seq("content_hash"),
+      "band_index" -> Seq("b", "band_key"),
+      "window_index" -> Seq("h1", "h2", "h3"))
 
     /** Reopen a [[write]] layout. The DataFrame members come back as
       * plain parquet scans — exactly what [[runIncremental]] probes. */
@@ -135,6 +184,52 @@ object CorpusPipeline {
           .sortBy(_._1).toSeq,
         corpus = get("corpus"))
     }
+
+    /** Warehouse-scale persistence (round-14 verdict #1): same directory
+      * layout as [[write]], but the three PROBE-INDEX tables persist as
+      * BUCKETED catalog tables — `bucketBy` on exactly their probe join
+      * keys ([[BucketedTables]]), `saveAsTable` under `tablePrefix`, data
+      * files in the same `$dir/<name>` subdirectories (bucketed parquet is
+      * plain parquet plus catalog metadata, so [[load]] still opens the
+      * layout anywhere, just without the bucketing). This is what makes
+      * the daily mode's economics hold at 100 TB: loaded via
+      * [[loadBucketed]], every [[runIncremental]] probe is a CO-LOCATED
+      * join — the index side scans pre-partitioned by the join key and
+      * needs NO Exchange, so each slice pays one shuffle of the SLICE
+      * only, never a re-shuffle of the corpus-sized index
+      * (CorpusStateBucketedSpec gates the no-Exchange plan shape). The
+      * reference's B-tree indexes (ui/backend/init_db.py:79-87) are the
+      * same trade re-expressed for a lake: pay at write time so every
+      * probe afterwards is free of the scan. */
+    def writeBucketed(state: CorpusState, dir: String, tablePrefix: String,
+        buckets: Int = 32): Unit = {
+      writeGuard(state, dir)
+      val byName = Map(
+        "content_hashes" -> state.contentHashes,
+        "band_index" -> state.bandIndex,
+        "window_index" -> state.windowIndex)
+      BucketedTables.foreach { case (name, keys) =>
+        byName(name).write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .option("path", s"$dir/$name")
+          .saveAsTable(s"${tablePrefix}_$name")
+      }
+      writeSmall(state, dir)
+    }
+
+    /** Reopen a [[writeBucketed]] layout: like [[load]], but the three
+      * probe-index tables come back as bucketed catalog scans, so the
+      * incremental probe joins co-locate against them (no index-side
+      * Exchange). The catalog entries carry the bucket spec; everything
+      * else reads from the same parquet directory layout. */
+    def loadBucketed(spark: org.apache.spark.sql.SparkSession, dir: String,
+        tablePrefix: String): CorpusState = {
+      val plain = load(spark, dir)
+      plain.copy(
+        contentHashes = spark.table(s"${tablePrefix}_content_hashes"),
+        bandIndex = spark.table(s"${tablePrefix}_band_index"),
+        windowIndex = spark.table(s"${tablePrefix}_window_index"))
+    }
   }
 
   final case class Result(
@@ -144,7 +239,7 @@ object CorpusPipeline {
       manifest: Seq[Manifest],
       state: Option[CorpusState] = None)
 
-  private val MaxBucket = 64
+  private[graft] val MaxBucket = 64
 
   private def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -189,7 +284,7 @@ object CorpusPipeline {
 
   /** The d2 band chain on arbitrary docs: shingles → minhash → 3 LSH
     * bands → (doc_id, b, band_key). */
-  private def bandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), WordShingles(col("text"), 3).as("shingles"))
     val mhs = sh.select(col("doc_id"),
       MinHashSignature(col("shingles"),
@@ -204,9 +299,29 @@ object CorpusPipeline {
       .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_key")
   }
 
+  /** The exact-dedup probe of [[runIncremental]] stage 2: anti-join the
+    * slice's canonical rows against the corpus's content-hash index.
+    * Exposed for the bucketed-state plan gate: with `state.contentHashes`
+    * loaded via [[CorpusState.loadBucketed]], this join must plan with NO
+    * Exchange on the index side (the index scan is pre-partitioned by
+    * content_hash — the bucket key). */
+  private[graft] def exactProbe(intraCanon: DataFrame, state: CorpusState): DataFrame =
+    intraCanon.withColumn("_h", contentHash)
+      .join(state.contentHashes.withColumnRenamed("content_hash", "_h"),
+        Seq("_h"), "left_anti")
+      .drop("_h")
+
+  /** The band-index probe of [[runIncremental]] stage 3: slice doc_ids
+    * whose LSH band touches any corpus bucket. Exposed for the
+    * bucketed-state plan gate — (b, band_key) is band_index's bucket key,
+    * so the bucketed scan joins with no index-side Exchange. */
+  private[graft] def bandProbe(bands: DataFrame, state: CorpusState): DataFrame =
+    bands.join(state.bandIndex.select(col("b"), col("band_key")), Seq("b", "band_key"))
+      .select(col("doc_id")).distinct()
+
   /** Bounded-bucket candidate pairs from a band frame (never all-pairs). */
-  private def pairsOf(bands: DataFrame): DataFrame =
-    Dedup.boundedDocLists(bands, Seq("b", "band_key"), col("doc_id"), MaxBucket)
+  private def pairsOf(bands: DataFrame, maxBucket: Int): DataFrame =
+    Dedup.boundedDocLists(bands, Seq("b", "band_key"), col("doc_id"), maxBucket)
       .select(explode(flatten(
         transform(col("docs"), (x, i) =>
           transform(slice(col("docs"), i + 2, size(col("docs"))),
@@ -281,6 +396,7 @@ object CorpusPipeline {
       semMaxCell: Int = 256,
       packBudget: Int = 512,
       shards: Int = 8,
+      maxBucket: Int = MaxBucket,
       quality: Seq[QualityRule] = Nil,
       captureState: Boolean = false,
       pinnedTokenizer: Option[(Seq[BpeLearn.Merge], Seq[(String, Long, Long)])] = None): Result = {
@@ -321,7 +437,7 @@ object CorpusPipeline {
     // pairs (bounded, never all-pairs) → connected components → keep the
     // min doc per cluster (the d2 → d8 → x10 chain)
     val bands = bandsOf(exact)
-    val pairs = pairsOf(bands)
+    val pairs = pairsOf(bands, maxBucket)
     val keepPerCluster = ConnectedComponents.label(pairs, "doc1", "doc2")
       .groupBy(col("component")).agg(min(col("node")).as("keep"))
       .select(col("keep"))
@@ -427,10 +543,17 @@ object CorpusPipeline {
           maxBinId = maxBinId,
           contentHashes = graft.operators.Reuse.materialize(
             exact.select(contentHash.as("content_hash"))),
+          // Over-cap buckets are KEPT as frozen membership rows (cnt
+          // saturated at MaxBucket, min_doc retained) — round-14 verdict
+          // #2: deleting them made every future slice stop near-dup-
+          // matching against exactly the templates that duplicate most,
+          // and let a later slice-side count "restart" a hot bucket below
+          // the cap. Membership is what the incremental probe needs; the
+          // cap only ever bounded PAIR fan-out, which the probe never does.
           bandIndex = graft.operators.Reuse.materialize(
             bands.groupBy(col("b"), col("band_key"))
-              .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
-              .filter(col("cnt") <= MaxBucket)),
+              .agg(least(count(lit(1)), lit(maxBucket.toLong)).as("cnt"),
+                min(col("doc_id")).as("min_doc"))),
           windowIndex = winIdx.get,
           bloom = bloom,
           refHashes = graft.operators.Reuse.materialize(refHashes),
@@ -474,8 +597,9 @@ object CorpusPipeline {
     * Returns the APPENDED corpus (state.corpus ∪ new rows) and a
     * slice-side manifest; `state` in the result is the input state ROLLED
     * FORWARD (hashes/indexes merged — min/sum semantics make every index
-    * mergeable; capped band buckets stay capped, the documented d10
-    * divergence), ready for the next slice. */
+    * mergeable; band-bucket counts merge SATURATING at MaxBucket, so a
+    * bucket that crosses the cap stays a frozen membership row forever —
+    * the documented hot-template divergence), ready for the next slice. */
   def runIncremental(
       slice: DataFrame,
       state: CorpusState,
@@ -483,6 +607,7 @@ object CorpusPipeline {
       maxTokens: Int = 1000,
       packBudget: Int = 512,
       shards: Int = 8,
+      maxBucket: Int = MaxBucket,
       quality: Seq[QualityRule] = Nil): Result = {
     val manifest = Seq.newBuilder[Manifest]
     def record(stage: String, df: DataFrame): DataFrame = {
@@ -509,21 +634,17 @@ object CorpusPipeline {
     val intraCanon = gated.withColumn("rk", row_number().over(
         Window.partitionBy(contentHash).orderBy(col("doc_id"))))
       .filter(col("rk") === 1).drop("rk")
-    val exact = record("exact_dedup",
-      intraCanon.withColumn("_h", contentHash)
-        .join(state.contentHashes.withColumnRenamed("content_hash", "_h"),
-          Seq("_h"), "left_anti")
-        .drop("_h"))
+    val exact = record("exact_dedup", exactProbe(intraCanon, state))
 
     // 3. near-dup: probe the corpus band index (d10's O(batch) posture)
     // AND cluster intra-slice; a cluster with ANY corpus-matched member
     // drops whole (in a rebuild that cluster contains a corpus doc with a
-    // smaller id), otherwise the min member survives
+    // smaller id), otherwise the min member survives. The probe joins the
+    // WHOLE index — over-cap buckets are frozen membership rows, so hot
+    // templates keep matching (see the saturating merge below).
     val bands = bandsOf(exact)
-    val matched = bands
-      .join(state.bandIndex.select(col("b"), col("band_key")), Seq("b", "band_key"))
-      .select(col("doc_id")).distinct()
-    val pairs = pairsOf(bands)
+    val matched = bandProbe(bands, state)
+    val pairs = pairsOf(bands, maxBucket)
     val comp = ConnectedComponents.label(pairs, "doc1", "doc2") // (node, component)
     val tainted = comp
       .join(matched.withColumnRenamed("doc_id", "node"), Seq("node"))
@@ -580,12 +701,17 @@ object CorpusPipeline {
       maxBinId = newMaxBinId,
       contentHashes = state.contentHashes.union(
         exact.select(contentHash.as("content_hash"))),
+      // saturating merge: a bucket that crosses MaxBucket stays in the
+      // index as a frozen membership row (cnt pinned at the cap) — never
+      // deleted, so later slices keep near-dup-matching the heaviest
+      // templates and a hot bucket's count can never "restart" from the
+      // slice-side value (round-14 verdict #2 / ADVICE)
       bandIndex = state.bandIndex
         .unionByName(bands.groupBy(col("b"), col("band_key"))
           .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc")))
         .groupBy(col("b"), col("band_key"))
-        .agg(sum(col("cnt")).as("cnt"), min(col("min_doc")).as("min_doc"))
-        .filter(col("cnt") <= MaxBucket),
+        .agg(least(sum(col("cnt")), lit(maxBucket.toLong)).as("cnt"),
+          min(col("min_doc")).as("min_doc")),
       windowIndex = state.windowIndex.unionByName(sliceWinIdx)
         .groupBy(col("h1"), col("h2"), col("h3"))
         .agg(min(col("first_pk")).as("first_pk"), sum(col("n")).as("n")),

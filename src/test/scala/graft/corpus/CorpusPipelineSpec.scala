@@ -332,6 +332,104 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  // ---- round-15: hot-bucket freezing + write-into-load-dir guard ----------
+
+  test("a bucket that crosses the cap during a slice stays a frozen membership row " +
+      "and later slices still near-dup-match its template") {
+    // maxBucket = 3. Base corpus holds TWO near-dup variants of the
+    // template (bucket cnt = 2, under the cap); slice 1 adds two more
+    // (merged cnt 4 -> frozen at 3 — the cap crossing happens DURING the
+    // slice merge, the exact scenario the round-14 code deleted the
+    // bucket in); slice 2's variant must still match and drop, under both
+    // the in-memory rolled state and a parquet round-trip of it.
+    val cap = 3
+    val templated = docs.unionByName(Seq(
+      (8L, "en", base + " yesterday")).toDF("doc_id", "lang", "text"))
+    val b = CorpusPipeline.run(templated, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, maxBucket = cap, captureState = true)
+    val state = b.state.get
+
+    val slice1 = Seq(
+      (20L, "en", base + " tomorrow"),
+      (21L, "en", base + " someday")).toDF("doc_id", "lang", "text")
+    val inc1 = CorpusPipeline.runIncremental(slice1, state,
+      packBudget = 64, maxBucket = cap)
+    val m1 = inc1.manifest.map(x => x.stage -> x.rows).toMap
+    assert(m1("near_dup_dedup") == 0, m1.toString) // both variants match the corpus
+    val rolled = inc1.state.get
+    // the template's bucket crossed the cap in the merge (2 corpus + 2
+    // slice) and must now be FROZEN at the cap, not deleted
+    val frozen = rolled.bandIndex.filter(col("cnt") === cap).count()
+    assert(frozen > 0, "expected a saturated (frozen) bucket after the cap crossing")
+
+    val slice2 = Seq(
+      (30L, "en", base + " perhaps"), // near-dup of the now-hot template
+      (31L, "en", "an unrelated survivor document about volcanic soil " +
+        "composition across island chains and their farming impact")
+    ).toDF("doc_id", "lang", "text")
+
+    val inc2 = CorpusPipeline.runIncremental(slice2, rolled,
+      packBudget = 64, maxBucket = cap)
+    val ids2 = inc2.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(30L),
+      "slice-2 near-dup of the hot template must drop via the frozen bucket")
+    assert(ids2.contains(31L))
+
+    // identical behavior when the rolled state round-trips through parquet
+    val dir = java.nio.file.Files.createTempDirectory("rolled_state").toString
+    try {
+      CorpusPipeline.CorpusState.write(rolled, dir)
+      val loaded = CorpusPipeline.CorpusState.load(spark, dir)
+      val viaDisk = CorpusPipeline.runIncremental(slice2, loaded,
+        packBudget = 64, maxBucket = cap)
+      assert(viaDisk.corpus.collect().map(_.toString).sorted.toSeq ==
+        inc2.corpus.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("CorpusState.write refuses a directory the state itself reads from") {
+    val b = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+    val dirA = java.nio.file.Files.createTempDirectory("state_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("state_b").toString
+    try {
+      CorpusPipeline.CorpusState.write(b.state.get, dirA)
+      val loaded = CorpusPipeline.CorpusState.load(spark, dirA)
+      // writing a LOADED state back over its own inputs is the daily-roll
+      // corruption pattern (round-14 ADVICE): overwrite deletes the lazy
+      // scans' source files mid-read
+      val e = intercept[IllegalArgumentException](
+        CorpusPipeline.CorpusState.write(loaded, dirA))
+      assert(e.getMessage.contains("INPUT of the state"))
+      // a rolled-forward state derived from the loaded one is equally lazy
+      // over dirA and must be refused too
+      val slice = Seq((20L, "en", "a fresh slice document about offshore " +
+        "wind maintenance logistics and crew transfer scheduling"))
+        .toDF("doc_id", "lang", "text")
+      val rolled = CorpusPipeline.runIncremental(slice, loaded, packBudget = 64)
+        .state.get
+      val e2 = intercept[IllegalArgumentException](
+        CorpusPipeline.CorpusState.write(rolled, dirA))
+      assert(e2.getMessage.contains("INPUT of the state"))
+      // a fresh directory is the supported path
+      CorpusPipeline.CorpusState.write(rolled, dirB)
+      val reloaded = CorpusPipeline.CorpusState.load(spark, dirB)
+      assert(reloaded.maxDocId == rolled.maxDocId)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
+
   test("token counts, packing, and shards are consistent") {
     val r = CorpusPipeline.run(docs, heldOut, packBudget = 64)
     val rows = r.corpus.collect()
