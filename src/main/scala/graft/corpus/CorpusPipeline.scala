@@ -83,6 +83,12 @@ object CorpusPipeline {
       refHashes: DataFrame,      // (h) — the held-out set's shingle hashes
       merges: Seq[BpeLearn.Merge],
       unigramVocab: Seq[(String, Long, Long)],
+      semThreshold: Double,      // cosine threshold the corpus was built with
+      semMaxCell: Int,           // per-cell member ceiling
+      semCentroids: DataFrame,   // KMeansQuantized.fit rows; EMPTY when the
+                                 // build had no embeddings (probe then skips)
+      semCellMembers: DataFrame, // (cid, vec_id, d2, embedding) — final
+                                 // corpus docs' vectors, capped per cell
       corpus: DataFrame)         // the packed corpus rows
 
   object CorpusState {
@@ -119,7 +125,8 @@ object CorpusPipeline {
       val dirPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
         .stripSuffix("/")
       val overlap = Seq(state.contentHashes, state.bandIndex,
-          state.windowIndex, state.refHashes, state.corpus)
+          state.windowIndex, state.refHashes, state.corpus,
+          state.semCentroids, state.semCellMembers)
         .flatMap(df => scala.util.Try(df.inputFiles.toSeq).getOrElse(Nil))
         .filter(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
           .startsWith(dirPath + "/"))
@@ -138,12 +145,15 @@ object CorpusPipeline {
         df.write.mode("overwrite").parquet(s"$dir/$name")
       put("ref_hashes", state.refHashes)
       put("corpus", state.corpus)
+      put("sem_centroids", state.semCentroids)
+      put("sem_cell_members", state.semCellMembers)
       put("merges", state.merges.toDF())
       put("unigram_vocab", state.unigramVocab.toDF("piece", "c", "bits"))
       put("meta", Seq((state.exactSubstrWindow, state.decontamShingle,
-        state.tokenizer, state.maxDocId, state.maxBinId, state.bloom))
+        state.tokenizer, state.maxDocId, state.maxBinId, state.bloom,
+        state.semThreshold, state.semMaxCell))
         .toDF("exact_substr_window", "decontam_shingle", "tokenizer",
-          "max_doc_id", "max_bin_id", "bloom"))
+          "max_doc_id", "max_bin_id", "bloom", "sem_threshold", "sem_max_cell"))
     }
 
     /** The probe-index tables and their bucket keys — each key list is
@@ -182,6 +192,10 @@ object CorpusPipeline {
         unigramVocab = get("unigram_vocab").select("piece", "c", "bits")
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           .sortBy(_._1).toSeq,
+        semThreshold = meta.getAs[Double]("sem_threshold"),
+        semMaxCell = meta.getAs[Int]("sem_max_cell"),
+        semCentroids = get("sem_centroids"),
+        semCellMembers = get("sem_cell_members"),
         corpus = get("corpus"))
     }
 
@@ -240,6 +254,25 @@ object CorpusPipeline {
       state: Option[CorpusState] = None)
 
   private[graft] val MaxBucket = 64
+
+  // empty semantic-state frames (builds without embeddings): pinned
+  // schemas so write/load round-trips them like any other state table
+  private def emptyCentroids(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cluster_id", IntegerType, nullable = false),
+        StructField("pos", LongType, nullable = false),
+        StructField("centroid_q", LongType, nullable = false),
+        StructField("n_points", LongType, nullable = false))))
+  }
+  private def emptyCellMembers(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("d2", LongType, nullable = false),
+        StructField("embedding", ArrayType(DoubleType), nullable = true))))
+  }
 
   private def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -468,12 +501,18 @@ object CorpusPipeline {
     // to the SURVIVING docs (the paper dedups the current corpus, and the
     // cells should not be shaped by already-dropped members), compute the
     // drop list, anti-join. Docs without an embedding row pass through.
-    val semDeduped = embeddings match {
-      case Some(e) =>
-        val alive = e.select(col("doc_id").as("vec_id"), col("embedding"))
-          .join(scrubbed.select(col("doc_id").as("vec_id")), "vec_id")
-        val drops2 = SemDeDup.centroidKeepDrops(
-            alive, semK, semIters, semThreshold, semMaxCell)
+    // The centroid table is fit ONCE and shared with the captured state
+    // (the incremental probe assigns slice vectors to THESE centroids).
+    val semCent = embeddings.map { e =>
+      val alive = graft.operators.Reuse.materialize(
+        e.select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(scrubbed.select(col("doc_id").as("vec_id")), "vec_id"))
+      (alive, graft.operators.KMeansQuantized.fit(
+        SemDeDup.quantize(alive), semK, semIters))
+    }
+    val semDeduped = semCent match {
+      case Some((alive, cent)) =>
+        val drops2 = SemDeDup.dropsUnder(alive, cent, semThreshold, semMaxCell)
           .select(col("vec_id").as("doc_id"))
         record("semantic_dedup", scrubbed.join(drops2, Seq("doc_id"), "left_anti"))
       case None => scrubbed
@@ -559,6 +598,19 @@ object CorpusPipeline {
           refHashes = graft.operators.Reuse.materialize(refHashes),
           merges = merges,
           unigramVocab = unigramVocab,
+          semThreshold = semThreshold,
+          semMaxCell = semMaxCell,
+          // the semantic state the incremental probe assigns against:
+          // THE centroids the stage used (never refit per slice) and the
+          // FINAL corpus docs' vectors capped per cell — a doc dropped by
+          // a later stage (decontam) must not semantic-drop future slices
+          semCentroids = semCent.map(_._2)
+            .getOrElse(emptyCentroids(spark)),
+          semCellMembers = semCent.map { case (alive, cent) =>
+            graft.operators.Reuse.materialize(SemDeDup.cellMembers(
+              alive.join(corpus.select(col("doc_id").as("vec_id")), "vec_id"),
+              cent, semMaxCell))
+          }.getOrElse(emptyCellMembers(spark)),
           corpus = corpus))
       }
 
@@ -588,10 +640,17 @@ object CorpusPipeline {
     * occurrence is erased. CorpusPipelineSpec's equivalence case proves
     * slice+corpus ≡ full rebuild on a crafted corpus covering every rule.
     *
-    * NOT run incrementally: SemDeDup (its cells are corpus-global k-means
-    * structure — the batch d15/d16 operators own that; rerun it on the
-    * next full rebuild) and tokenizer training (reused from state by
-    * design). `quality` must be the battery the corpus was built with for
+    * SemDeDup runs as a PROBE when the caller ships `embeddings` and the
+    * corpus state carries semantic state (built with embeddings +
+    * captureState): slice vectors are assigned to the STORED centroids
+    * (never refit per slice — cells are corpus-global k-means structure;
+    * rebuilds own refitting) and the d16 keep rule runs within touched
+    * cells against the stored capped members plus the slice's own
+    * same-cell vectors; only slice docs can drop (corpus immutability).
+    * Divergences from a rebuild are documented on
+    * [[graft.operators.SemDeDup.probeDrops]] — the same treatment as the
+    * LSH bucket caps. Tokenizer training stays reused from state by
+    * design. `quality` must be the battery the corpus was built with for
     * rebuild equivalence; it defaults like [[run]]'s.
     *
     * Returns the APPENDED corpus (state.corpus ∪ new rows) and a
@@ -608,7 +667,8 @@ object CorpusPipeline {
       packBudget: Int = 512,
       shards: Int = 8,
       maxBucket: Int = MaxBucket,
-      quality: Seq[QualityRule] = Nil): Result = {
+      quality: Seq[QualityRule] = Nil,
+      embeddings: Option[DataFrame] = None): Result = {
     val manifest = Seq.newBuilder[Manifest]
     def record(stage: String, df: DataFrame): DataFrame = {
       val m = graft.operators.Reuse.materialize(df)
@@ -667,15 +727,35 @@ object CorpusPipeline {
     val scrubbed = record("exact_substring_scrub",
       ExactSubstr.scrubAgainst(deduped, state.windowIndex, state.exactSubstrWindow))
 
+    // 3c. semantic probe against the corpus's STORED centroids + capped
+    // cell members (round-14 verdict item 4) — only when the slice ships
+    // embeddings; requires the corpus build to have captured semantic
+    // state. Only slice docs can drop; divergences from a rebuild are
+    // documented on SemDeDup.probeDrops.
+    val semDeduped = embeddings match {
+      case Some(e) =>
+        require(!state.semCentroids.isEmpty,
+          "runIncremental: slice embeddings supplied but the corpus state " +
+            "carries no semantic state — build the corpus with embeddings " +
+            "and captureState = true (or omit the slice embeddings)")
+        val alive = e.select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(scrubbed.select(col("doc_id").as("vec_id")), "vec_id")
+        val drops2 = SemDeDup.probeDrops(alive, state.semCentroids,
+            state.semCellMembers, state.semThreshold, state.semMaxCell)
+          .select(col("vec_id").as("doc_id"))
+        record("semantic_dedup", scrubbed.join(drops2, Seq("doc_id"), "left_anti"))
+      case None => scrubbed
+    }
+
     // 4. decontamination with the STORED bloom + reference hashes
-    val docHashes = scrubbed.select(col("doc_id"),
+    val docHashes = semDeduped.select(col("doc_id"),
         explode(WordShingles(col("text"), state.decontamShingle)).as("s"))
       .select(col("doc_id"), shingleHash(col("s")).as("h"))
     val suspects = docHashes
       .filter(BloomBits.bloomMightContain(lit(state.bloom), col("h")))
     val contaminated = suspects.join(state.refHashes, "h").select("doc_id").distinct()
     val clean = record("decontaminated",
-      scrubbed.join(contaminated, Seq("doc_id"), "left_anti"))
+      semDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5. token counts with the CORPUS's tokenizer artifacts — both
     // tokenizers apply to unseen words (BPE folds its merge table over
@@ -715,6 +795,21 @@ object CorpusPipeline {
       windowIndex = state.windowIndex.unionByName(sliceWinIdx)
         .groupBy(col("h1"), col("h2"), col("h3"))
         .agg(min(col("first_pk")).as("first_pk"), sum(col("n")).as("n")),
+      // semantic members roll forward too: surviving slice vectors join
+      // their cells (assigned under the STORED centroids) and the per-cell
+      // cap re-applies by vec_id — corpus members have smaller ids, so
+      // they keep their slots and slice vectors fill what remains
+      semCellMembers = embeddings match {
+        case Some(e) =>
+          val survivors = e.select(col("doc_id").as("vec_id"), col("embedding"))
+            .join(newRows.select(col("doc_id").as("vec_id")), "vec_id")
+          state.semCellMembers.unionByName(
+              SemDeDup.cellMembers(survivors, state.semCentroids, state.semMaxCell))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+            .filter(col("rn") <= state.semMaxCell).drop("rn")
+        case None => state.semCellMembers
+      },
       corpus = appended)
 
     Result(appended, state.merges, state.unigramVocab, manifest.result(), Some(rolled))

@@ -52,6 +52,103 @@ object SemDeDup {
       transform(col(embCol),
         x => bround(x.cast("double") * lit(1e6), 0).cast("long")).as("q"))
 
+  /** Own cell of each point under FIXED centroids: argmin (d2, cid) —
+    * d15/d16's assignment, carrying d2 (the keep rank) for free. `pts` is
+    * [[quantize]] output; `cent` is KMeansQuantized.fit output (broadcast
+    * here: k·d rows). Returns (vec_id, cid, d2). */
+  def assign(pts: DataFrame, cent: DataFrame): DataFrame = {
+    val pe = pts.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
+    pe.join(
+        broadcast(cent.select(col("cluster_id").as("cid"), col("pos"),
+          col("centroid_q").as("cval"))), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+  }
+
+  /** Capped per-cell member table `(cid, vec_id, d2, embedding)` — the
+    * persistable semantic state of a built corpus: each cell keeps its
+    * first `maxCell` members by vec_id (the same cap [[centroidKeepDrops]]
+    * applies to its pair fan-out, so state size is bounded by k·maxCell
+    * whatever the corpus). `e` must carry vec_id + embCol. */
+  def cellMembers(
+      e: DataFrame,
+      cent: DataFrame,
+      maxCell: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val own = assign(quantize(e, embCol), cent)
+    own
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= maxCell)
+      .select(col("cid"), col("vec_id"), col("d2"))
+      .join(e.select(col("vec_id"), col(embCol).as("embedding")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("d2"), col("embedding"))
+  }
+
+  /** Incremental SemDeDup (round-14 verdict item 4): the slice vec_ids
+    * DROPPED when probed against a built corpus's STORED semantic state —
+    * centroids are never refit (cells are corpus-global k-means structure;
+    * rebuilds own that), slice vectors are assigned to the stored
+    * centroids and the d16 keep rule runs within TOUCHED cells against
+    * the stored members plus the slice's own same-cell vectors. Only
+    * slice vectors can drop (the corpus is immutable — d10 posture).
+    *
+    * Divergence from a full rebuild, documented like the LSH bucket caps:
+    *  - when the keep rule would prefer the SLICE doc (slice vector sits
+    *    farther from the centroid than its corpus duplicate), a rebuild
+    *    drops the corpus doc; here both survive (under-dropping, the only
+    *    direction corpus immutability allows);
+    *  - stored members are capped at maxCell per cell, so a slice doc
+    *    whose only similar neighbor was capped out survives (the same
+    *    recall trade [[centroidKeepDrops]] makes at build time);
+    *  - a rebuild refits centroids over corpus ∪ slice; drift between the
+    *    stored and refit cells can re-block pairs across cell boundaries
+    *    (the reason rebuilds rerun the batch operator).
+    *
+    * `members` is [[cellMembers]] output (possibly rolled forward);
+    * corpus members always have smaller vec_ids than the slice (the
+    * append-only contract), so rank ties break toward the corpus. */
+  def probeDrops(
+      sliceE: DataFrame,
+      cent: DataFrame,
+      members: DataFrame,
+      threshold: Double,
+      maxCell: Int = 256,
+      embCol: String = "embedding"): DataFrame = {
+    val own = assign(quantize(sliceE, embCol), cent)
+    // slice-side cap mirrors the build-side cell ceiling
+    val sliceCapped = own
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= maxCell)
+      .select(col("cid"), col("vec_id"), col("d2"))
+      .join(sliceE.select(col("vec_id"), col(embCol).as("embedding")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("d2"), col("embedding"))
+    // candidate droppers: stored corpus members ∪ the slice's own vectors
+    val uSide = members.select(col("cid"), col("vec_id").as("u"),
+        col("d2").as("d2_u"), col("embedding").as("emb_u"))
+      .unionByName(sliceCapped.select(col("cid"), col("vec_id").as("u"),
+        col("d2").as("d2_u"), col("embedding").as("emb_u")))
+      .withColumn("n_u", norm(col("emb_u")))
+    val vSide = sliceCapped.select(col("cid"), col("vec_id").as("v"),
+        col("d2").as("d2_v"), col("embedding").as("emb_v"))
+      .withColumn("n_v", norm(col("emb_v")))
+    uSide.join(vSide, "cid")
+      .filter(col("u") =!= col("v"))
+      // d16's outrank rule: u drops v iff u is FARTHER from the centroid
+      // (anti-memorization keep), vec_id tiebreak — corpus ids are smaller,
+      // so an exact tie keeps the corpus doc
+      .filter(col("d2_u") > col("d2_v") ||
+        (col("d2_u") === col("d2_v") && col("u") < col("v")))
+      .filter(dot(col("emb_u"), col("emb_v")) / (col("n_u") * col("n_v")) >= threshold)
+      .select(col("v").as("vec_id")).distinct()
+  }
+
   /** The vec_ids DROPPED by the centroid-distance keep rule.
     *
     * `e` must carry `vec_id: long` and `embCol: array` (float or double).
@@ -65,21 +162,21 @@ object SemDeDup {
       threshold: Double,
       maxCell: Int = 256,
       embCol: String = "embedding"): DataFrame = {
-    val pts = quantize(e, embCol)
-    val cent = KMeansQuantized.fit(pts, k, iterations)
-    val pe = pts.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("v"))
-    // own cell under the FINAL centroids: argmin (d2, cid) — d15/d16's
-    // assignment, carrying d2 (the keep rank) for free
-    val own = pe.join(
-        broadcast(cent.select(col("cluster_id").as("cid"), col("pos"),
-          col("centroid_q").as("cval"))), "pos")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("v") - col("cval")) * (col("v") - col("cval"))).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("d2"))
+    val cent = KMeansQuantized.fit(quantize(e, embCol), k, iterations)
+    dropsUnder(e, cent, threshold, maxCell, embCol)
+  }
+
+  /** [[centroidKeepDrops]] under FIXED (already-fit) centroids — the
+    * shared core that lets the corpus pipeline fit once and reuse the
+    * centroid table for the drop rule, the persisted state, and the
+    * incremental probe. */
+  def dropsUnder(
+      e: DataFrame,
+      cent: DataFrame,
+      threshold: Double,
+      maxCell: Int = 256,
+      embCol: String = "embedding"): DataFrame = {
+    val own = assign(quantize(e, embCol), cent)
     // capped within-cell candidates (u, v), u != v, both directions —
     // the symmetrized pair list d16 builds from its v1<v2 pairs
     val capped = own

@@ -332,6 +332,90 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  // ---- round-15: incremental semantic probe --------------------------------
+
+  test("incremental semantic probe: a slice doc semantically duplicating a corpus " +
+      "doc drops via the stored centroids and cell members, and the members roll forward") {
+    val b = CorpusPipeline.run(extendedDocs, heldOut, embeddings = Some(embeddings),
+      exactSubstrWindow = 8, semK = 2, semIters = 2, packBudget = 64,
+      captureState = true)
+    val state = b.state.get
+    // captured semantic state: centroids + the FINAL corpus docs' vectors
+    // (corpus = {1,7,8}; embeddings exist for {1,7})
+    assert(!state.semCentroids.isEmpty)
+    val memberIds = state.semCellMembers.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(memberIds == Set(1L, 7L), memberIds.toString)
+
+    val slice = Seq(
+      (40L, "en", "wholly different wording yet covering the very same " +
+        "underlying semantic topic as the canonical first document"),
+      (41L, "en", "an orthogonal subject matter piece exploring deep sea " +
+        "cartography instruments and their calibration routines"),
+      (42L, "en", "a document carrying no embedding row which must always " +
+        "pass the semantic stage untouched")).toDF("doc_id", "lang", "text")
+    val sliceEmb = Seq(
+      (40L, Seq(0.999, 0.045, 0.0, 0.0)), // cosine ≈ 1 with corpus doc 1
+      (41L, Seq(0.0, 0.0, 1.0, 0.0))      // similar to nothing stored
+    ).toDF("doc_id", "embedding")
+
+    val inc = CorpusPipeline.runIncremental(slice, state, packBudget = 64,
+      embeddings = Some(sliceEmb))
+    val m = inc.manifest.map(x => x.stage -> x.rows).toMap
+    assert(m("exact_substring_scrub") == 3, m.toString)
+    assert(m("semantic_dedup") == 2, m.toString) // 40 gone (dup of corpus 1)
+    val ids = inc.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(40L) && ids.contains(41L) && ids.contains(42L), ids.toString)
+
+    // without slice embeddings the probe stage is off (no manifest row)
+    val noEmb = CorpusPipeline.runIncremental(slice, state, packBudget = 64)
+    assert(!noEmb.manifest.exists(_.stage == "semantic_dedup"))
+    assert(noEmb.corpus.filter($"doc_id" === 40L).count() == 1)
+
+    // the survivor's vector rolled into the members, so a second slice
+    // doc semantically duplicating IT drops too
+    val rolled = inc.state.get
+    val rolledIds = rolled.semCellMembers.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rolledIds == Set(1L, 7L, 41L), rolledIds.toString)
+    val slice2 = Seq(
+      (50L, "en", "fresh phrasing that semantically mirrors the deep sea " +
+        "cartography piece from the previous slice entirely")).toDF("doc_id", "lang", "text")
+    val slice2Emb = Seq((50L, Seq(0.001, 0.0, 0.999, 0.0))).toDF("doc_id", "embedding")
+    val inc2 = CorpusPipeline.runIncremental(slice2, rolled, packBudget = 64,
+      embeddings = Some(slice2Emb))
+    assert(inc2.corpus.filter($"doc_id" === 50L).count() == 0,
+      "slice-2 semantic dup of the rolled-in slice-1 survivor must drop")
+
+    // a parquet round-trip of the state drives the identical probe
+    val dir = java.nio.file.Files.createTempDirectory("sem_state").toString
+    try {
+      CorpusPipeline.CorpusState.write(state, dir)
+      val loaded = CorpusPipeline.CorpusState.load(spark, dir)
+      assert(loaded.semThreshold == state.semThreshold)
+      assert(loaded.semMaxCell == state.semMaxCell)
+      val viaDisk = CorpusPipeline.runIncremental(slice, loaded, packBudget = 64,
+        embeddings = Some(sliceEmb))
+      assert(viaDisk.corpus.collect().map(_.toString).sorted.toSeq ==
+        inc.corpus.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // shipping slice embeddings against a semantic-state-less corpus is
+    // a caller error, not a silent skip
+    val plainState = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true).state.get
+    val e = intercept[IllegalArgumentException](
+      CorpusPipeline.runIncremental(slice, plainState, packBudget = 64,
+        embeddings = Some(sliceEmb)))
+    assert(e.getMessage.contains("no semantic state"))
+  }
+
   // ---- round-15: hot-bucket freezing + write-into-load-dir guard ----------
 
   test("a bucket that crosses the cap during a slice stays a frozen membership row " +

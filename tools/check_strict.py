@@ -13,6 +13,15 @@ cells are a failure outright (the driver's sort crashes on ndarray).
 Usage: python3 tools/check_strict.py <sfDir> <verifyOutDir>
 
 Env knobs (all optional):
+  CHECK_HASH=0           disable the digest fast path (default on: compare
+                         order-independent multiset digests of the rendered
+                         rows — identical verdict semantics, no per-row
+                         Python strings and no O(n log n) sort; digest
+                         mismatches rerun the render compare for the
+                         authoritative verdict + diagnostics)
+  CHECK_DIFFERENTIAL_HASH=1  run BOTH the digest and render compares on
+                         every query and fail on any verdict disagreement
+                         (the hash-mode proof harness)
   CHECK_THREADS=k        cap DuckDB threads (sharded runs)
   CHECK_SHARD=i/N        run shard i of N only (0-based)
   CHECK_COST_FILE=path   per-query cost table (JSON name->seconds): shards
@@ -31,6 +40,21 @@ import math
 import numpy as np
 import pandas as pd
 import duckdb
+
+# glibc munmaps every >128KB block on free, so each large numpy/pandas
+# temporary is a FRESH mmap whose first touch page-faults — and this
+# host's fault path runs at ~10-15 MB/s in its slow weather phases
+# (measured: an allocating 120MB elementwise op = 8-37s on first touch,
+# 0.04s once pages are warm). Raising M_MMAP_THRESHOLD keeps big blocks
+# on the heap, so the process pays first-touch once at its high-water
+# mark and every later query reuses warm pages. RSS then holds at the
+# peak single-query footprint per shard — the same transient peak the
+# compare always needed, just retained.
+try:
+    import ctypes
+    ctypes.CDLL("libc.so.6").mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD = -3
+except Exception:
+    pass  # non-glibc platform: only costs the warm-page reuse
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -161,6 +185,136 @@ def render_column(ser):
     return None
 
 
+def column_hashes(ser):
+    """uint64 hash per cell + kindset for one column, or None → caller
+    falls back to the render path. Hash identity == render identity,
+    argued per KIND (the kind check runs before any digest compare, so
+    only same-kind column pairs ever reach it):
+      - datelike → int64 ns-since-epoch (equal instants render equal and
+        hash equal; unequal instants differ in both — str(Timestamp)
+        prints fractional seconds at full resolution);
+      - float → the IEEE bit pattern (repr(float) is injective on bit
+        patterns modulo NaN, and every NaN is null-masked; -0.0/0.0
+        differ in both renderings and bits);
+      - int/bool → the integer value (render str(v) is injective on
+        values; object-side Python ints overflowing int64 fall back to
+        the string path for the whole column, which at worst costs a
+        digest mismatch and a render-path rerun — never a wrong verdict);
+      - everything else → exactly render_column's strings.
+    Nulls of every representation (None/NaN/NaT) hash as NULLH on every
+    path, as they all render as the one NULL sentinel. `categorize=False`
+    everywhere: factorizing 15M mostly-unique values first is pure
+    overhead (measured 3-4x on the sf2.0 gate's row-heavy columns)."""
+    import datetime
+    dt = str(ser.dtype)
+    n = len(ser)
+    if dt.startswith("datetime64"):
+        mask = ser.isna().to_numpy()
+        ints = ser.to_numpy(dtype="datetime64[ns]").view("int64").copy()
+        h = pd.util.hash_array(ints, categorize=False)
+        h[mask] = NULLH
+        return h, ({"datelike"} if (~mask).any() else set())
+    if dt in ("float64", "float32"):
+        mask = ser.isna().to_numpy()
+        bits = ser.to_numpy(dtype=np.float64).view(np.int64).copy()
+        h = pd.util.hash_array(bits, categorize=False)
+        h[mask] = NULLH
+        return h, ({"float"} if (~mask).any() else set())
+    if dt in ("int64", "int32", "int16", "int8"):
+        h = pd.util.hash_array(ser.to_numpy(dtype=np.int64), categorize=False)
+        return h, ({"int"} if n else set())
+    if dt == "bool":
+        h = pd.util.hash_array(ser.to_numpy(dtype=np.int64), categorize=False)
+        return h, ({"bool"} if n else set())
+    if dt == "object":
+        # infer_dtype is the C-speed type probe (a Python set over the
+        # values costs seconds per 15M-row column); it is EXACT, not
+        # sampled, so each branch below sees a homogeneous column.
+        # Homogeneity matters: a mixed bool+int column value-hashing
+        # True==1 where the render path distinguishes "True" from "1"
+        # must take the string path ("mixed*" kinds fall through).
+        inferred = pd.api.types.infer_dtype(ser, skipna=True)
+        if inferred in ("date", "datetime", "datetime64"):
+            try:
+                conv = pd.to_datetime(ser, errors="raise")
+                if str(conv.dtype).startswith("datetime64"):
+                    return column_hashes(conv)
+            except Exception:
+                pass  # odd datelikes (tz mixtures): the proven string path
+        if inferred == "string":
+            vals = ser.to_numpy()
+            mask = pd.isna(vals)
+            if mask.any():
+                vals = vals.copy()
+                vals[mask] = NULL
+            return (pd.util.hash_array(vals, categorize=False),
+                    {"str"} if (~mask).any() else set())
+        if inferred in ("integer", "boolean"):
+            kind_set = {"bool"} if inferred == "boolean" else {"int"}
+            vals = ser.to_numpy()
+            mask = pd.isna(vals)
+            try:
+                ints = np.fromiter(
+                    (0 if m else int(v) for v, m in zip(vals, mask)),
+                    dtype=np.int64, count=n)
+                h = pd.util.hash_array(ints, categorize=False)
+                h[mask] = NULLH
+                return h, (kind_set if (~mask).any() else set())
+            except OverflowError:
+                pass  # beyond-int64 Python ints: string path
+    r = render_column(ser)
+    if r is None:
+        return None
+    strs, kinds = r
+    return pd.util.hash_array(np.array(strs, dtype=object), categorize=False), kinds
+
+
+def frame_digest(df):
+    """Hash-mode twin of [[frame_rows]]: (cols, kinds, n, digest) where
+    digest is an ORDER-INDEPENDENT multiset fingerprint of the rows —
+    per-row uint64 (columns folded in sorted-name order, the same total
+    order both sides use), combined by wrap-around sum, a mixed sum, and
+    xor. Equal row multisets → equal digests exactly; unequal → unequal
+    with probability 1 - O(2^-64) per comparison. No per-row Python
+    strings, no O(n log n) sort — the two costs that made the strict gate
+    compare-bound at sf2.0 (render+encode+sort ≈ 100 s/side on p1's 15M
+    rows; the digest is a handful of vectorized passes). Returns None if
+    any column needs the per-cell fallback (caller uses the render path).
+    CHECK_DIFFERENTIAL_HASH=1 proves digest-verdict ≡ render-verdict per
+    query on real outputs."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    n = len(df)
+    acc = np.zeros(n, dtype=np.uint64)
+    kinds = []
+    P1 = np.uint64(1099511628211)
+    for c in range(len(cols)):
+        r = column_hashes(df.iloc[:, c])
+        if r is None:
+            return None
+        h, ks = r
+        with np.errstate(over="ignore"):
+            np.multiply(acc, P1, out=acc)
+            np.add(acc, h.astype(np.uint64, copy=False), out=acc)
+        kinds.append(ks)
+    if n:
+        with np.errstate(over="ignore"):
+            mixed = acc ^ (acc >> np.uint64(33))
+            mixed = mixed * np.uint64(0xFF51AFD7ED558CCD)
+            mixed = mixed ^ (mixed >> np.uint64(33))
+            digest = (n, int(acc.sum(dtype=np.uint64)),
+                      int(mixed.sum(dtype=np.uint64)),
+                      int(np.bitwise_xor.reduce(acc)))
+    else:
+        digest = (0, 0, 0, 0)
+    return cols, kinds, digest
+
+
+# the NULL sentinel's hash — every path maps a null cell to this value,
+# so null representation (None vs NaT vs NaN) never splits the hashes
+NULLH = pd.util.hash_array(np.array([NULL], dtype=object))[0]
+
+
 def encode_rows(col_strings):
     """Rows as ONE string each: every cell length-prefixed ('7:content')
     and joined — an INJECTIVE encoding (no separator collision can make
@@ -253,51 +407,136 @@ def main(sf_dir, out_dir):
             names = [nm for nm in names if assign[nm] == i]
         else:
             names = names[i::n]
-    def check_one(name):
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not files:
-            print(f"FAIL  {name}: no spark output parquet")
-            return "fail"
+    # CHECK_HASH=1 (the default): compare order-independent multiset
+    # DIGESTS instead of rendering + sorting every row — identical
+    # pass/fail semantics (equal multisets give equal digests EXACTLY;
+    # unequal collide with probability ~2^-64), a fraction of the cost on
+    # row-heavy entries (the sf2.0 gate was compare-bound on exactly
+    # this). On a digest mismatch the render path reruns for the
+    # authoritative verdict + row-level diagnostics, so failures lose
+    # nothing. CHECK_HASH=0 restores pure render compare;
+    # CHECK_DIFFERENTIAL_HASH=1 runs BOTH paths on every query and
+    # asserts their verdicts agree — the proof harness.
+    hash_mode = os.environ.get("CHECK_HASH", "1") != "0"
+    differential = bool(os.environ.get("CHECK_DIFFERENTIAL_HASH"))
+
+    def hash_verdict(sdf, odf, name):
+        """('pass'|'fail', reported) or (None, False) when a column needs
+        the per-cell fallback. Prints its own FAIL lines for column/kind
+        mismatches (identical content to the render path's)."""
         try:
-            sdf = pd.concat([pd.read_parquet(f) for f in files])
-            s_cols, s_rows, s_kinds = frame_rows(sdf)
+            ds = frame_digest(sdf)
         except TypeError as e:
             print(f"FAIL  {name}: spark side: {e}")
-            return "fail"
-        if name not in oracle:
-            # rows-only: the driver still sorts by all columns, so array
-            # cells are fatal even without an oracle (k2 round-1 lesson)
-            print(f"ROWS  {name}: rows={len(s_rows)} (no oracle)")
-            return "rows"
+            return "fail", True
         try:
-            odf = con.execute(oracle[name]).fetchdf()
-            o_cols, o_rows, o_kinds = frame_rows(odf)
+            do = frame_digest(odf)
         except TypeError as e:
             print(f"FAIL  {name}: oracle side: {e}")
-            return "fail"
-        except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
-            return "fail"
+            return "fail", True
+        if ds is None or do is None:
+            return None, False
+        s_cols, s_kinds, s_dig = ds
+        o_cols, o_kinds, o_dig = do
         if s_cols != o_cols:
             print(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
-            return "fail"
+            return "fail", True
         bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
                     if sk and ok and sk != ok]
         if bad_kind:
             print(f"FAIL  {name}: dtype mismatch: " + "; ".join(
                 f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
                 for c, sk, ok in bad_kind))
+            return "fail", True
+        if s_dig == o_dig:
+            return "pass", False
+        return "fail", False  # render path reports the row diff
+
+    def render_verdict(sdf, odf, name, quiet=False):
+        def out(msg):
+            if not quiet:
+                print(msg)
+        try:
+            s_cols, s_rows, s_kinds = frame_rows(sdf)
+        except TypeError as e:
+            out(f"FAIL  {name}: spark side: {e}")
+            return "fail"
+        try:
+            o_cols, o_rows, o_kinds = frame_rows(odf)
+        except TypeError as e:
+            out(f"FAIL  {name}: oracle side: {e}")
+            return "fail"
+        if s_cols != o_cols:
+            out(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
+            return "fail"
+        bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
+                    if sk and ok and sk != ok]
+        if bad_kind:
+            out(f"FAIL  {name}: dtype mismatch: " + "; ".join(
+                f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
+                for c, sk, ok in bad_kind))
             return "fail"
         if s_rows == o_rows:
-            print(f"PASS  {name}: {len(s_rows)} rows")
+            out(f"PASS  {name}: {len(s_rows)} rows")
             return "pass"
-        print(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
-        sa, sb = set(s_rows), set(o_rows)
-        for r in list(sa - sb)[:3]:
-            print(f"      spark-only:  {r}")
-        for r in list(sb - sa)[:3]:
-            print(f"      oracle-only: {r}")
+        out(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not quiet:
+            sa, sb = set(s_rows), set(o_rows)
+            for r in list(sa - sb)[:3]:
+                print(f"      spark-only:  {r}")
+            for r in list(sb - sa)[:3]:
+                print(f"      oracle-only: {r}")
         return "fail"
+
+    def check_one(name):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no spark output parquet")
+            return "fail"
+        # date_as_object=False: DATE32 loads as datetime64[ns] instead of
+        # 15M boxed datetime.date objects (a ~27 s/col to_datetime or
+        # str() wall either way). Verdict-equivalent by construction: the
+        # compare already equates a date with its midnight timestamp
+        # (cell() pads dates; kind() calls both "datelike"), which is how
+        # round-1 driver results behave. Everything else keeps the exact
+        # pd.read_parquet dtypes (strings/decimals → object, ints/floats
+        # native).
+        import pyarrow.parquet as pq
+        sdf = pd.concat(
+            [pq.read_table(f).to_pandas(date_as_object=False) for f in files])
+        if name not in oracle:
+            # rows-only: the driver still sorts by all columns, so array
+            # cells are fatal even without an oracle (k2 round-1 lesson)
+            try:
+                d = frame_digest(sdf) if hash_mode else None
+                nrows = d[2][0] if d is not None else len(frame_rows(sdf)[1])
+            except TypeError as e:
+                print(f"FAIL  {name}: spark side: {e}")
+                return "fail"
+            print(f"ROWS  {name}: rows={nrows} (no oracle)")
+            return "rows"
+        try:
+            odf = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            return "fail"
+        if differential:
+            hv, _ = hash_verdict(sdf, odf, name)
+            rv = render_verdict(sdf, odf, name)
+            if hv is not None and hv != rv:
+                print(f"DIFFERENTIAL-MISMATCH  {name}: hash={hv} render={rv}")
+                return "fail"
+            return rv
+        if hash_mode:
+            hv, reported = hash_verdict(sdf, odf, name)
+            if hv == "pass":
+                print(f"PASS  {name}: {len(sdf)} rows (digest)")
+                return "pass"
+            if hv == "fail" and reported:
+                return "fail"
+            # digest mismatch (or per-cell fallback): the render path is
+            # the authoritative verdict and carries the diagnostics
+        return render_verdict(sdf, odf, name)
 
     n_pass = n_fail = n_rowsonly = 0
     t_start = time.monotonic()
