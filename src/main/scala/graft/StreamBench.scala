@@ -151,15 +151,20 @@ object StreamBench {
     }
     run("tumbling_counts", "update", stateBound = hourTypeGroups)(
       df => EventStreams.tumblingCounts(df))
-    run("click_purchase_join", "append", stateBound = joinTailBound(4))(
-      df => EventStreams.clickPurchaseJoin(df))
-    // round-12 verdict #7 A/B: the join's ~4.6k rows/s at 8 triggers is
-    // dominated by per-micro-batch state-store commit overhead (RocksDB
-    // changelog upload × 2 join state stores × every batch), not by the
-    // join itself — 4x larger triggers amortize it. Shipped as a permanent
-    // second measurement so the artifact carries its own evidence.
-    run("click_purchase_join_fpt16", "append", filesPerTrigger = 16,
+    // 16 files/trigger is the join's DEFAULT as of round 15 (round-14
+    // verdict #7): the round-12 A/B showed the join's throughput at 4
+    // files/trigger is dominated by per-micro-batch state-store commit
+    // overhead (RocksDB changelog upload × 2 join state stores × every
+    // batch), not by the join itself — 4x larger triggers amortize it to
+    // ~2x the rows/s with identical results (trigger granularity is an
+    // execution knob, not semantics: EventStreamsSpec asserts the emitted
+    // rows are invariant to micro-batch splits). The 4-file leg ships as
+    // the permanent A/B evidence.
+    run("click_purchase_join", "append", filesPerTrigger = 16,
       stateBound = joinTailBound(16))(
+      df => EventStreams.clickPurchaseJoin(df))
+    run("click_purchase_join_fpt4", "append", filesPerTrigger = 4,
+      stateBound = joinTailBound(4))(
       df => EventStreams.clickPurchaseJoin(df))
 
     // ---- Recovery measurement (round-9 verdict #6) --------------------------
