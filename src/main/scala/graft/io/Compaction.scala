@@ -258,11 +258,17 @@ object Compaction {
     // table partition, so partCol is a constant; the window is bounded by
     // files-per-directory — planBins' contract)
     val listing = spark.createDataFrame(files)
+    // Join key spelling (round-14 ADVICE): input_file_name() returns the
+    // URI-ENCODED path (Spark's PartitionedFile spelling — a space is
+    // %20), while FileStatus.getPath.toString is decoded. Encode the
+    // listing side the same way Spark does (Path.toUri percent-encodes
+    // illegal characters exactly like SparkPath, which wraps it) so a
+    // directory with spaces/%/# in its name joins correctly; the scheme
+    // prefix is then normalized off both sides ("file:///x" vs "file:/x").
+    val encode = udf((p: String) => new Path(p).toUri.toString)
     val plan = planBins(listing, lit(0), col("path"), col("bytes"), targetBytes)
       .select(
-        // normalize to a bare path so it joins input_file_name()'s URI
-        // spelling ("file:///x" and "file:/x" both become "/x")
-        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/").as("_src"),
+        regexp_replace(encode(col("path")), "^[a-z][a-zA-Z0-9+.-]*:/+", "/").as("_src"),
         col("bin").as("_bin"))
     val nBins = plan.select("_bin").distinct().count().toInt
 
@@ -294,6 +300,29 @@ object Compaction {
         new Path(staged, f"bin-$binId%05d-${parts.head.getPath.getName}"))
     }
     fs.delete(dataDir, true)
+
+    // ---- completeness invariant BEFORE the destructive swap ---------------
+    // Rows reach their bins via the input_file_name() join above; any
+    // path-spelling mismatch between that column and the listing would
+    // silently DROP every row of the affected file, and the swap would
+    // then replace the source with an incomplete layout (round-14
+    // ADVICE). Gate on exact row counts — both sides are parquet
+    // footer-metadata counts, no data re-read — and abort with the
+    // source untouched on any loss.
+    val rawCount = spark.read.parquet(files.map(_.path): _*).count()
+    val stagedFiles = fs.listStatus(staged).filter(_.isFile)
+      .filter(s => !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    val stagedCount =
+      if (stagedFiles.isEmpty) 0L
+      else spark.read.parquet(stagedFiles.toSeq: _*).count()
+    if (stagedCount != rawCount) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"Compaction: staged layout holds $stagedCount rows but the source " +
+          s"holds $rawCount — a plan/row join mismatch dropped data; " +
+          "aborted before the swap, source untouched")
+    }
 
     // ---- phases 2+3: marker, then checked swap ----------------------------
     commitAndSwap(fs, dir, staged)

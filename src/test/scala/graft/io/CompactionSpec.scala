@@ -178,6 +178,33 @@ class CompactionSpec extends SparkSpec {
     assert(stats2.filesAfter <= stats.filesAfter)
   }
 
+  test("compactDistributed: path spellings with spaces and percents survive, " +
+      "and the completeness invariant guards the swap") {
+    // Round-14 ADVICE: the row→bin join runs on input_file_name(), whose
+    // URI-encoded spelling ("%20" for a space) differed from the
+    // listing's decoded FileStatus spelling — a directory with such
+    // characters silently dropped every row of every file before the
+    // destructive swap. The directory name here carries a space AND a
+    // percent; the row multiset must survive compaction bit-identically
+    // (and the new pre-swap row-count invariant would abort, source
+    // untouched, if any spelling ever diverges again).
+    val base = java.nio.file.Files.createTempDirectory("compaction enc%odd").toString
+    val dir = base + "/t able 5%"
+    (0 until 6).foreach { i =>
+      Seq.tabulate(40)(j => (i.toLong * 40 + j, s"enc-$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val files = Compaction.listDataFiles(spark, dir)
+    assert(files.size == 6)
+    val stats = Compaction.compactDistributed(spark, dir, files.map(_.bytes).sum)
+    assert(stats.filesBefore == 6)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before, s"rows changed under an encoded path: ${after.size} vs ${before.size}")
+    assert(Compaction.listDataFiles(spark, dir).size < 6)
+  }
+
   test("recover: unmarked staging is dropped, a stranded swap is rolled back") {
     import org.apache.hadoop.fs.Path
     val base = java.nio.file.Files.createTempDirectory("compaction_rec").toString
