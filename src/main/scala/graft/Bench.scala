@@ -361,7 +361,7 @@ object Bench {
     val contentionJson =
       s""""contended_pre_session":$contended,"contended_during_run":$contendedDuringRun,""" +
         s""""wall_spread":$wallSpread,"core_probe_spread":$probeSpread,""" +
-        s""""contention_note":"contended_pre_session gates on 1-min load before our own executors spin up; contended_during_run flags steady-state (repeat>=2) wall or core-probe spread >1.25x on identical plans — the one-loud-repeat class. UNIFORM host-weather inflation is invisible to every intra-run signal (r14: all repeats +34% with flat probes); compare walls cross-round at matching core_probe_sec, and re-capture on a quiet box before committing when either flag is true.""""
+        s""""contention_note":"contended_pre_session gates on 1-min load before our own executors spin up; contended_during_run flags steady-state (repeat>=2) wall or core-probe spread >1.25x on identical plans - the one-loud-repeat class. UNIFORM host-weather inflation is invisible to every intra-run signal (r14: all repeats +34% with flat probes); compare walls cross-round at matching core_probe_sec, and re-capture on a quiet box before committing when either flag is true.""""
     // A run with ANY failed query has no comparable wall: erroring queries
     // cost ~0 s, so the total reads as a phantom speedup (round-7 lesson —
     // 26 failures made a broken round look 1.8× faster). Emit value:null

@@ -1727,15 +1727,23 @@ object ExtensionCatalog {
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
           FROM dists)
         WHERE rn = 1),
+      qlists AS MATERIALIZED (
+        SELECT vec_id, list(v ORDER BY pos) AS q FROM pq GROUP BY 1),
       pairs AS (
+        -- per-pair distance as ONE list expression instead of a
+        -- 64-rows-per-pair position join: the pair fan-out is the
+        -- quadratic part, so exploding it by dimension multiplied the
+        -- oracle's join size 64x — at sf2.0 this one CTE was the whole
+        -- strict-gate wall (1469 s; list form ~3.4x cheaper, identical
+        -- integer arithmetic, proven row-identical at sf1.0)
         SELECT q.vec_id AS q_vec_id, c.vec_id AS nn_vec_id,
-               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+               CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
         FROM own q
         JOIN own c ON q.cid = c.cid AND c.vec_id <> q.vec_id
-        JOIN pq a ON a.vec_id = q.vec_id
-        JOIN pq b ON b.vec_id = c.vec_id AND b.pos = a.pos
-        WHERE q.vec_id % 20 = 0
-        GROUP BY 1, 2)
+        JOIN qlists a ON a.vec_id = q.vec_id
+        JOIN qlists b ON b.vec_id = c.vec_id
+        WHERE q.vec_id % 20 = 0)
       SELECT q_vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_vec_id,
              CAST(d2 AS BIGINT) AS d2
       FROM (SELECT q_vec_id, nn_vec_id, d2,
