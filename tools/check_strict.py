@@ -249,6 +249,20 @@ def column_hashes(ser):
                 vals[mask] = NULL
             return (pd.util.hash_array(vals, categorize=False),
                     {"str"} if (~mask).any() else set())
+        if inferred in ("floating", "mixed-integer-float"):
+            # pure Python-float object column (fetchdf occasionally):
+            # float64 conversion is exact (same doubles), so the bits
+            # path applies — renders equal ⟺ bits equal, and None/NaN
+            # both null-mask. pandas labels [None, 1.5] as
+            # "mixed-integer-float", so that class is refined with an
+            # exact type check; a GENUINE int+float mix stays on the
+            # string path (render distinguishes "1" from "1.0").
+            if inferred == "floating" or \
+                    all(type(v) is float for v in ser.dropna()):
+                try:
+                    return column_hashes(ser.astype(np.float64))
+                except Exception:
+                    pass
         if inferred in ("integer", "boolean"):
             kind_set = {"bool"} if inferred == "boolean" else {"int"}
             vals = ser.to_numpy()
