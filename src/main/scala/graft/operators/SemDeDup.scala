@@ -129,24 +129,33 @@ object SemDeDup {
       .select(col("cid"), col("vec_id"), col("d2"))
       .join(sliceE.select(col("vec_id"), col(embCol).as("embedding")), "vec_id")
       .select(col("cid"), col("vec_id"), col("d2"), col("embedding"))
-    // candidate droppers: stored corpus members ∪ the slice's own vectors
-    val uSide = members.select(col("cid"), col("vec_id").as("u"),
-        col("d2").as("d2_u"), col("embedding").as("emb_u"))
-      .unionByName(sliceCapped.select(col("cid"), col("vec_id").as("u"),
-        col("d2").as("d2_u"), col("embedding").as("emb_u")))
-      .withColumn("n_u", norm(col("emb_u")))
+    // candidate droppers: stored corpus members ∪ the slice's own vectors.
+    // The two dropper populations join vSide SEPARATELY and the drop ids
+    // union afterwards (join distributes over union, so the row set is
+    // identical) — unioning the inputs FIRST would erase the member
+    // table's output partitioning, and when the state is loaded bucketed
+    // (CorpusState.loadBucketed buckets sem_cell_members by cid) the
+    // members side of this join must arrive pre-partitioned: at scale the
+    // member table is k·maxCell·(d+3) values, the one semantic piece past
+    // broadcast range, and re-shuffling it per slice would be the
+    // O(corpus-state) cost the bucketed layout exists to avoid.
     val vSide = sliceCapped.select(col("cid"), col("vec_id").as("v"),
         col("d2").as("d2_v"), col("embedding").as("emb_v"))
       .withColumn("n_v", norm(col("emb_v")))
-    uSide.join(vSide, "cid")
-      .filter(col("u") =!= col("v"))
-      // d16's outrank rule: u drops v iff u is FARTHER from the centroid
-      // (anti-memorization keep), vec_id tiebreak — corpus ids are smaller,
-      // so an exact tie keeps the corpus doc
-      .filter(col("d2_u") > col("d2_v") ||
-        (col("d2_u") === col("d2_v") && col("u") < col("v")))
-      .filter(dot(col("emb_u"), col("emb_v")) / (col("n_u") * col("n_v")) >= threshold)
-      .select(col("v").as("vec_id")).distinct()
+    def dropsFrom(droppers: DataFrame): DataFrame =
+      droppers.select(col("cid"), col("vec_id").as("u"),
+          col("d2").as("d2_u"), col("embedding").as("emb_u"))
+        .withColumn("n_u", norm(col("emb_u")))
+        .join(vSide, "cid")
+        .filter(col("u") =!= col("v"))
+        // d16's outrank rule: u drops v iff u is FARTHER from the centroid
+        // (anti-memorization keep), vec_id tiebreak — corpus ids are
+        // smaller, so an exact tie keeps the corpus doc
+        .filter(col("d2_u") > col("d2_v") ||
+          (col("d2_u") === col("d2_v") && col("u") < col("v")))
+        .filter(dot(col("emb_u"), col("emb_v")) / (col("n_u") * col("n_v")) >= threshold)
+        .select(col("v").as("vec_id"))
+    dropsFrom(members).unionByName(dropsFrom(sliceCapped)).distinct()
   }
 
   /** The vec_ids DROPPED by the centroid-distance keep rule.

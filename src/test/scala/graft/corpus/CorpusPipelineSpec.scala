@@ -437,7 +437,7 @@ class CorpusPipelineSpec extends SparkSpec {
       (20L, "en", base + " tomorrow"),
       (21L, "en", base + " someday")).toDF("doc_id", "lang", "text")
     val inc1 = CorpusPipeline.runIncremental(slice1, state,
-      packBudget = 64, maxBucket = cap)
+      packBudget = 64)
     val m1 = inc1.manifest.map(x => x.stage -> x.rows).toMap
     assert(m1("near_dup_dedup") == 0, m1.toString) // both variants match the corpus
     val rolled = inc1.state.get
@@ -453,7 +453,7 @@ class CorpusPipelineSpec extends SparkSpec {
     ).toDF("doc_id", "lang", "text")
 
     val inc2 = CorpusPipeline.runIncremental(slice2, rolled,
-      packBudget = 64, maxBucket = cap)
+      packBudget = 64)
     val ids2 = inc2.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids2.contains(30L),
       "slice-2 near-dup of the hot template must drop via the frozen bucket")
@@ -465,7 +465,7 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.CorpusState.write(rolled, dir)
       val loaded = CorpusPipeline.CorpusState.load(spark, dir)
       val viaDisk = CorpusPipeline.runIncremental(slice2, loaded,
-        packBudget = 64, maxBucket = cap)
+        packBudget = 64)
       assert(viaDisk.corpus.collect().map(_.toString).sorted.toSeq ==
         inc2.corpus.collect().map(_.toString).sorted.toSeq)
     } finally {
@@ -511,6 +511,63 @@ class CorpusPipelineSpec extends SparkSpec {
         f.delete(); ()
       }
       rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
+
+  test("load tolerates a pre-v2 state layout: missing semantic tables and " +
+      "meta columns default instead of failing (round-15 ADVICE)") {
+    val b = CorpusPipeline.run(docs, heldOut,
+      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+    val dir = java.nio.file.Files.createTempDirectory("state_prev2").toString
+    try {
+      CorpusPipeline.CorpusState.write(b.state.get, dir)
+      // doctor the directory into the pre-v2 (round ≤14) shape: meta with
+      // only the six core columns, no semantic tables on disk
+      val oldMeta = spark.read.parquet(s"$dir/meta")
+        .select("exact_substr_window", "decontam_shingle", "tokenizer",
+          "max_doc_id", "max_bin_id", "bloom")
+        .collect()
+      val tmp = java.nio.file.Files.createTempDirectory("state_prev2_meta").toString
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(oldMeta.toIndexedSeq),
+          spark.read.parquet(s"$dir/meta").select("exact_substr_window",
+            "decontam_shingle", "tokenizer", "max_doc_id", "max_bin_id",
+            "bloom").schema)
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/meta"))
+      rm(new java.io.File(s"$dir/sem_centroids"))
+      rm(new java.io.File(s"$dir/sem_cell_members"))
+      new java.io.File(s"$tmp/meta").renameTo(new java.io.File(s"$dir/meta"))
+
+      val loaded = CorpusPipeline.CorpusState.load(spark, dir)
+      assert(loaded.maxBucket == CorpusPipeline.MaxBucket)
+      assert(loaded.semCentroids.isEmpty && loaded.semCellMembers.isEmpty)
+      // non-semantic probes run as before
+      val slice = Seq((30L, "en", "a brand new slice document about glacier " +
+        "monitoring radar networks and seasonal melt forecasting models"))
+        .toDF("doc_id", "lang", "text")
+      val inc = CorpusPipeline.runIncremental(slice, loaded, packBudget = 64)
+      assert(inc.corpus.select("doc_id").collect().map(_.getLong(0)).contains(30L))
+      // a semantic probe against the defaulted empty state stays loud
+      val e = intercept[IllegalArgumentException](
+        CorpusPipeline.runIncremental(slice, loaded, packBudget = 64,
+          embeddings = Some(Seq((30L, Seq(1.0, 0.0)))
+            .toDF("doc_id", "embedding"))))
+      assert(e.getMessage.contains("no semantic state"))
+      // and loadBucketed refuses the non-bucketed layout loudly
+      val e2 = intercept[IllegalArgumentException](
+        CorpusPipeline.CorpusState.loadBucketed(spark, dir, "graft_prev2"))
+      assert(e2.getMessage.contains("bucket count"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
   }
 

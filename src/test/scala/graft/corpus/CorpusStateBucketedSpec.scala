@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * index. At 100 TB the index side is the corpus; re-shuffling it per
   * slice is the difference between O(slice) and O(corpus) daily cost.
   *
+  * Round-16 (verdict #1): the gate runs in the FRESH-APPLICATION shape —
+  * after writeBucketed, every catalog entry is DROPPED (tomorrow's daily
+  * job starts with an empty metastore) and [[CorpusPipeline.CorpusState
+  * .loadBucketed]] must re-register the tables from the directory alone
+  * (bucket count persisted in the meta row) and still pass the
+  * no-Exchange gate. A STALE catalog entry (same name, wrong location —
+  * a test rerun, a retired state dir reusing the prefix) must be
+  * detected and replaced, never trusted. The member table of the
+  * semantic state (sem_cell_members, bucketed by cid — the one semantic
+  * piece that grows with k·maxCell) is gated alongside the three
+  * probe-index tables.
+  *
   * The gate reads the actual physical plans (AQE and auto-broadcast off,
   * so the shuffle-join shape is what a corpus-sized index would get): for
   * every equi-join whose one side subtree contains a BUCKETED file scan,
@@ -36,6 +48,12 @@ class CorpusStateBucketedSpec extends SparkSpec {
       "suites measuring shuffle throughput under concurrent analytical load")
   ).toDF("doc_id", "lang", "text")
 
+  private def corpusEmb = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (3L, Seq(0.0, 0.0, 1.0, 0.0))
+  ).toDF("doc_id", "embedding")
+
   private def heldOut = Seq((100L, "en", "held out evaluation passage that " +
     "must never leak into any training corpus")).toDF("doc_id", "lang", "text")
 
@@ -44,6 +62,13 @@ class CorpusStateBucketedSpec extends SparkSpec {
     (21L, "en", "a genuinely new slice document covering tidal energy " +
       "storage economics and grid balancing across northern regions")
   ).toDF("doc_id", "lang", "text")
+
+  // dissimilar to every corpus vector: the semantic PROBE runs (the plan
+  // gate's subject) without dropping the slice survivor
+  private def sliceEmb = Seq(
+    (20L, Seq(0.9, 0.1, 0.0, 0.0)),
+    (21L, Seq(0.0, 0.0, 0.0, 1.0))
+  ).toDF("doc_id", "embedding")
 
   /** All bucketed file scans in a plan subtree. */
   private def bucketedScans(p: SparkPlan): Seq[FileSourceScanExec] =
@@ -101,35 +126,78 @@ class CorpusStateBucketedSpec extends SparkSpec {
     }
   }
 
-  test("bucketed state: every incremental probe joins with no Exchange on the index side, " +
-      "and drives a run identical to the plain-parquet state") {
-    val b = CorpusPipeline.run(docs, heldOut,
-      exactSubstrWindow = 8, packBudget = 64, captureState = true)
+  /** The four probe-plan gates, exactly as runIncremental builds them. */
+  private def assertAllProbesColocated(
+      loaded: CorpusPipeline.CorpusState): Unit = withShuffleJoins {
+    val p1 = CorpusPipeline.exactProbe(slice, loaded)
+    assertNoIndexSideExchange(p1, "exactProbe(content_hashes)")
+
+    val bands = CorpusPipeline.bandsOf(slice)
+    val p2 = CorpusPipeline.bandProbe(bands, loaded)
+    assertNoIndexSideExchange(p2, "bandProbe(band_index)")
+
+    val p3 = graft.operators.ExactSubstr.scrubAgainst(
+      slice, loaded.windowIndex, loaded.exactSubstrWindow)
+    assertNoIndexSideExchange(p3, "scrubAgainst(window_index)")
+
+    val p4 = graft.operators.SemDeDup.probeDrops(
+      sliceEmb.select(col("doc_id").as("vec_id"), col("embedding")),
+      loaded.semCentroids, loaded.semCellMembers,
+      loaded.semThreshold, loaded.semMaxCell)
+    assertNoIndexSideExchange(p4, "probeDrops(sem_cell_members)")
+  }
+
+  private def dropCatalogEntries(prefix: String): Unit =
+    CorpusPipeline.CorpusState.BucketedTables.foreach { case (name, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$name")
+    }
+
+  test("bucketed state survives a fresh application: catalog entries dropped, " +
+      "loadBucketed re-registers from the directory, every probe (incl. the " +
+      "semantic member table) joins with no index-side Exchange, and the run " +
+      "equals the plain-parquet state's") {
+    val b = CorpusPipeline.run(docs, heldOut, embeddings = Some(corpusEmb),
+      exactSubstrWindow = 8, packBudget = 64, semK = 2, semIters = 1,
+      captureState = true)
+    assert(!b.state.get.semCellMembers.isEmpty, "fixture must carry semantic state")
     val dir = java.nio.file.Files.createTempDirectory("state_bucketed").toString
     val prefix = "graft_test_corpus_state"
     try {
       CorpusPipeline.CorpusState.writeBucketed(b.state.get, dir, prefix, buckets = 4)
-      val loaded = CorpusPipeline.CorpusState.loadBucketed(spark, dir, prefix)
 
-      // the three probe joins, exactly as runIncremental builds them
-      withShuffleJoins {
-        val intraCanon = slice // content-hash canonicalization is slice-side only
-        val p1 = CorpusPipeline.exactProbe(intraCanon, loaded)
-        assertNoIndexSideExchange(p1, "exactProbe(content_hashes)")
+      // same-session shape (the round-15 gate) still holds
+      assertAllProbesColocated(
+        CorpusPipeline.CorpusState.loadBucketed(spark, dir, prefix))
 
-        val bands = CorpusPipeline.bandsOf(slice)
-        val p2 = CorpusPipeline.bandProbe(bands, loaded)
-        assertNoIndexSideExchange(p2, "bandProbe(band_index)")
-
-        val p3 = graft.operators.ExactSubstr.scrubAgainst(
-          slice, loaded.windowIndex, loaded.exactSubstrWindow)
-        assertNoIndexSideExchange(p3, "scrubAgainst(window_index)")
+      // FRESH APPLICATION: tomorrow's job has an empty metastore — drop
+      // every catalog entry, then loadBucketed must re-register from the
+      // directory (bucket count from meta) and re-pass the plan gate
+      dropCatalogEntries(prefix)
+      CorpusPipeline.CorpusState.BucketedTables.foreach { case (name, _) =>
+        assert(!spark.catalog.tableExists(s"${prefix}_$name"))
       }
+      val loaded = CorpusPipeline.CorpusState.loadBucketed(spark, dir, prefix)
+      assertAllProbesColocated(loaded)
+
+      // STALE catalog entry: same name, wrong location/spec (a retired
+      // state dir reusing the prefix) — must be replaced, never trusted
+      spark.sql(s"DROP TABLE ${prefix}_content_hashes")
+      val decoy = java.nio.file.Files.createTempDirectory("state_decoy").toString
+      Seq("deadbeef").toDF("content_hash").write.parquet(s"$decoy/content_hashes")
+      spark.sql(
+        s"CREATE TABLE ${prefix}_content_hashes (content_hash STRING) " +
+          s"USING parquet LOCATION '$decoy/content_hashes'")
+      val reloaded = CorpusPipeline.CorpusState.loadBucketed(spark, dir, prefix)
+      assertAllProbesColocated(reloaded)
+      assert(reloaded.contentHashes.count() == b.state.get.contentHashes.count(),
+        "stale catalog entry was trusted — loadBucketed read the decoy table")
 
       // semantics unchanged by the layout: bucketed-loaded ≡ plain-loaded
       val plain = CorpusPipeline.CorpusState.load(spark, dir)
-      val viaBucketed = CorpusPipeline.runIncremental(slice, loaded, packBudget = 64)
-      val viaPlain = CorpusPipeline.runIncremental(slice, plain, packBudget = 64)
+      val viaBucketed = CorpusPipeline.runIncremental(slice, reloaded,
+        packBudget = 64, embeddings = Some(sliceEmb))
+      val viaPlain = CorpusPipeline.runIncremental(slice, plain,
+        packBudget = 64, embeddings = Some(sliceEmb))
       assert(viaBucketed.manifest == viaPlain.manifest)
       assert(viaBucketed.corpus.collect().map(_.toString).sorted.toSeq ==
         viaPlain.corpus.collect().map(_.toString).sorted.toSeq)
@@ -137,14 +205,40 @@ class CorpusStateBucketedSpec extends SparkSpec {
       val ids = viaBucketed.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids.contains(21L) && !ids.contains(20L), ids.toString)
     } finally {
-      CorpusPipeline.CorpusState.BucketedTables.foreach { case (name, _) =>
-        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$name")
-      }
+      dropCatalogEntries(prefix)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
       }
       rm(new java.io.File(dir))
+    }
+  }
+
+  test("writeBucketed refuses a tablePrefix the state itself still reads " +
+      "through the catalog (the day-2 same-prefix overwrite hazard)") {
+    val b = CorpusPipeline.run(docs, heldOut, embeddings = Some(corpusEmb),
+      exactSubstrWindow = 8, packBudget = 64, semK = 2, semIters = 1,
+      captureState = true)
+    val dir = java.nio.file.Files.createTempDirectory("state_prefix_guard").toString
+    val prefix = "graft_test_prefix_guard"
+    try {
+      CorpusPipeline.CorpusState.writeBucketed(b.state.get, dir, prefix, buckets = 4)
+      dropCatalogEntries(prefix)
+      val loaded = CorpusPipeline.CorpusState.loadBucketed(spark, dir, prefix)
+      val rolled = CorpusPipeline.runIncremental(slice, loaded,
+        packBudget = 64, embeddings = Some(sliceEmb)).state.get
+      val dir2 = java.nio.file.Files.createTempDirectory("state_prefix_guard2").toString
+      // fresh DIRECTORY (file-path guard passes) but the SAME prefix: the
+      // rolled state still reads prefix_* catalog tables — must refuse
+      val e = intercept[IllegalArgumentException](
+        CorpusPipeline.CorpusState.writeBucketed(rolled, dir2, prefix, buckets = 4))
+      assert(e.getMessage.contains(prefix), e.getMessage)
+      // a fresh prefix (the daily rotation) is accepted
+      CorpusPipeline.CorpusState.writeBucketed(rolled, dir2, s"${prefix}_day2",
+        buckets = 4)
+    } finally {
+      dropCatalogEntries(prefix)
+      dropCatalogEntries(s"${prefix}_day2")
     }
   }
 }
