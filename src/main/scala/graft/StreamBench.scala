@@ -30,10 +30,128 @@ import graft.streaming.EventStreams
   *
   * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench` (optional
   * arg 1 = sf dir, arg 2 = micro-batch file count).
+  *
+  * `runMain graft.StreamBench corpus [baseSfDir] [sliceSfDir] [nSlices]`
+  * runs the streamed CORPUS ingest leg instead (round-15 verdict #7):
+  * [[graft.corpus.StreamingIngest]] drives runIncremental from a file
+  * stream, one staged slice per trigger with the state rotated to a
+  * fresh directory each batch, then the result is GATED equal (exact
+  * multiset fingerprint) to the driver-side batch chain over the same
+  * staged files — trigger granularity is an execution knob, not
+  * semantics, now measured at fixture scale, not just spec scale.
   */
 object StreamBench {
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("corpus"))
+      corpusIngest(
+        args.lift(1).getOrElse("/root/testdata/sf0.01"),
+        args.lift(2).getOrElse("/root/testdata/sf0.001"),
+        args.lift(3).map(_.toInt).getOrElse(3))
+    else eventsMain(args)
+
+  /** Streamed corpus ingest at fixture scale: base corpus from
+    * `baseSf`, `n` re-vocabularied slices from `sliceSf` (the chain
+    * leg's slice recipe) staged as one parquet file each, streamed
+    * through [[graft.corpus.StreamingIngest]] at one file per trigger.
+    * Prints one JSON line; exits 1 if the streamed corpus differs from
+    * the batch chain over the identical staged slices. */
+  private def corpusIngest(baseSf: String, sliceSf: String, n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(GraftSession.DefaultCheckpointDir)
+    val work = Files.createTempDirectory("graft-streamcorpus").toString
+
+    def docsOf(dir: String) = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(cpus.toInt * 2)
+    val docs = docsOf(baseSf)
+    val heldOut = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+
+    val t0 = System.nanoTime()
+    val base = graft.corpus.CorpusPipeline.run(
+      corpus, heldOut, tokenizer = "bpe", decontamShingle = 8,
+      captureState = true)
+    val baseWall = (System.nanoTime() - t0) / 1e9
+    val state0 = base.state.get
+
+    // stage n slices as ONE parquet file each with strictly increasing
+    // mtimes (file-source delivery order): slice i gets a fresh id span
+    // above the previous slice's and a slice-specific vocabulary — the
+    // chain leg's recipe, pre-staged because the stream needs the files
+    // up front
+    val sliceMax = docsOf(sliceSf).agg(max(col("doc_id"))).head.getLong(0)
+    val staged = java.nio.file.Paths.get(work, "slices")
+    java.nio.file.Files.createDirectories(staged)
+    (1 to n).foreach { i =>
+      val offset = state0.maxDocId + 1L + (i - 1).toLong * (sliceMax + 1L)
+      val df = docsOf(sliceSf)
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"s${i}x"), w)), " "))
+      val tmp = java.nio.file.Paths.get(work, s"tmp_$i")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val src = java.nio.file.Files.list(tmp).iterator()
+      var part: java.nio.file.Path = null
+      while (src.hasNext) {
+        val p = src.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p
+      }
+      val dst = staged.resolve(f"slice_$i%04d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    // streamed path
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val tS = System.nanoTime()
+    val h = graft.corpus.StreamingIngest.start(stream, state0,
+      stateRoot = s"$work/state", checkpoint = s"$work/ckpt")
+    h.query.processAllAvailable()
+    h.query.stop()
+    val streamWall = (System.nanoTime() - tS) / 1e9
+
+    // batch chain over the SAME staged files
+    var st = state0
+    (1 to n).foreach { i =>
+      val df = spark.read.parquet(staged.resolve(f"slice_$i%04d.parquet").toString)
+      st = graft.corpus.CorpusPipeline.runIncremental(df, st).state.get
+    }
+    val (sn, ss) = CorpusBench.corpusFingerprint(h.state.corpus)
+    val (cn, cs) = CorpusBench.corpusFingerprint(st.corpus)
+    val equal = sn == cn && ss.compareTo(cs) == 0
+    val walls = h.stats.sortBy(_.batchId)
+      .map(s => math.round(s.wallSec * 10) / 10.0).mkString("[", ",", "]")
+    println(
+      s"""{"pipeline":"corpus_stream_ingest","n_slices":$n,""" +
+        s""""base_sf":"$baseSf","slice_sf":"$sliceSf",""" +
+        s""""base_wall_sec":${math.round(baseWall * 10) / 10.0},""" +
+        s""""stream_wall_sec":${math.round(streamWall * 10) / 10.0},""" +
+        s""""batches":${h.stats.size},"batch_walls_sec":$walls,""" +
+        s""""files_per_trigger":1,"final_rows":$sn,""" +
+        s""""streamed_equals_chain":$equal}""")
+    spark.stop()
+    if (!equal) {
+      System.err.println(
+        s"[streambench] CORPUS STREAM MISMATCH: streamed ($sn, $ss) vs chained ($cn, $cs)")
+      sys.exit(1)
+    }
+  }
+
+  private def eventsMain(args: Array[String]): Unit = {
     val sfDir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val files = if (args.length > 1) args(1).toInt else 32
@@ -135,9 +253,14 @@ object StreamBench {
         System.err.println(
           s"[streambench] STATE BOUND VIOLATED: $name state_rows=$stateRows > bound=$stateBound")
       }
+      // files_per_trigger ships IN the record (round-15 ADVICE): the
+      // join's default trigger size changed 4 → 16 in round 15 under the
+      // same metric name, so cross-round readers of same-name records
+      // need the config self-described, not inferred from round notes
       println(
         s"""{"pipeline":"$name","rows":$nRows,"wall_sec":${f"$wall%.2f"},""" +
           s""""rows_per_sec":${(nRows / wall).toLong},"batches":$batches,""" +
+          s""""files_per_trigger":$filesPerTrigger,""" +
           s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
           s""""state_rows_bound":$stateBound,"state_bound_ok":$boundOk}""")
     }

@@ -300,10 +300,21 @@ object CorpusPipeline {
         "window_index" -> state.windowIndex,
         "sem_cell_members" -> state.semCellMembers)
       BucketedTables.foreach { case (name, keys) =>
-        byName(name).write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, keys.head, keys.tail: _*)
-          .option("path", s"$dir/$name")
-          .saveAsTable(s"${tablePrefix}_$name")
+        val df = byName(name)
+        // an EMPTY table persists PLAIN: the bucketed writer emits no
+        // part file at all for zero rows (the location then fails schema
+        // inference on every future load), while the plain writer emits
+        // one empty file WITH the schema footer; bucketing an empty
+        // table buys nothing anyway, and loadBucketed skips the catalog
+        // registration for it symmetrically (a no-embeddings build's
+        // sem_cell_members is the everyday instance of this)
+        if (df.isEmpty)
+          df.write.mode("overwrite").parquet(s"$dir/$name")
+        else
+          df.write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, keys.head, keys.tail: _*)
+            .option("path", s"$dir/$name")
+            .saveAsTable(s"${tablePrefix}_$name")
       }
       writeSmall(state, dir, bucketCount = buckets)
     }
@@ -367,15 +378,27 @@ object CorpusPipeline {
       require(bucketCount > 0,
         s"CorpusState.loadBucketed: '$dir' is not a writeBucketed layout " +
           "(meta carries no bucket count) — load() opens it plain")
+      // empty tables were persisted PLAIN (see writeBucketed) — their
+      // plain scan from load() is already correct and a CLUSTERED BY
+      // registration over a non-bucket-named empty part file would fail
+      // at query time; register and swap in only the non-empty ones
+      val byName = scala.collection.mutable.Map(
+        "content_hashes" -> plain.contentHashes,
+        "band_index" -> plain.bandIndex,
+        "window_index" -> plain.windowIndex,
+        "sem_cell_members" -> plain.semCellMembers)
       BucketedTables.foreach { case (name, keys) =>
-        ensureBucketedTable(spark, s"${tablePrefix}_$name", s"$dir/$name",
-          keys, bucketCount)
+        if (!byName(name).isEmpty) {
+          ensureBucketedTable(spark, s"${tablePrefix}_$name", s"$dir/$name",
+            keys, bucketCount)
+          byName(name) = spark.table(s"${tablePrefix}_$name")
+        }
       }
       plain.copy(
-        contentHashes = spark.table(s"${tablePrefix}_content_hashes"),
-        bandIndex = spark.table(s"${tablePrefix}_band_index"),
-        windowIndex = spark.table(s"${tablePrefix}_window_index"),
-        semCellMembers = spark.table(s"${tablePrefix}_sem_cell_members"))
+        contentHashes = byName("content_hashes"),
+        bandIndex = byName("band_index"),
+        windowIndex = byName("window_index"),
+        semCellMembers = byName("sem_cell_members"))
     }
   }
 

@@ -1,0 +1,124 @@
+package graft.corpus
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Round-15 verdict #7: the streamed daily mode must be the batch chain
+  * in different clothing — N one-slice triggers through
+  * [[StreamingIngest]] produce the IDENTICAL corpus (doc_id, lang,
+  * n_tokens, bin_id, shard — full row multiset) to N driver-side
+  * [[CorpusPipeline.runIncremental]] steps over the same slices, and the
+  * per-trigger state rotation leaves exactly one committed state
+  * directory behind. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seven wizards brew strong coffee at dawn near the old stone bridge"
+  private val heldOutText = "held out evaluation passage that must never " +
+    "leak into any training corpus under any circumstances at all"
+
+  private def corpusDocs = Seq(
+    (1L, "en", base),
+    (2L, "en", "completely different content about distributed query engines " +
+      "processing immense volumes of training data every single day"),
+    (7L, "en", "an entirely separate clean document describing benchmark " +
+      "suites measuring shuffle throughput under concurrent analytical load")
+  ).toDF("doc_id", "lang", "text")
+
+  private def heldOut = Seq((900L, "en", heldOutText)).toDF("doc_id", "lang", "text")
+
+  /** Slice i: one genuinely new doc, one exact dup of corpus doc 2, one
+    * near-dup of corpus doc 1, and (slice 2 only) a decontamination
+    * victim — every cross-slice probe fires against the ROLLED state. */
+  private def sliceDocs(i: Int): DataFrame = {
+    val uniq = (0 until 8).map(w => s"s${i}word$w").mkString(" ")
+    val rows = Seq(
+      (i * 100L + 1L, "en", uniq),
+      (i * 100L + 2L, "en", "completely different content about distributed " +
+        "query engines processing immense volumes of training data every single day"),
+      (i * 100L + 3L, "en", base + s" slice${i}tail")
+    ) ++ (if (i == 2)
+      Seq((i * 100L + 4L, "en", s"s${i}prefix " + heldOutText + s" s${i}suffix"))
+    else Nil)
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private def rowKey(df: DataFrame): Seq[String] =
+    df.select("doc_id", "lang", "n_tokens", "bin_id", "shard")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("N-trigger streamed ingest == N-slice batch chain, with state rotation") {
+    val work = java.nio.file.Files.createTempDirectory("streaming-ingest").toString
+    val staged = java.nio.file.Paths.get(work, "slices")
+    java.nio.file.Files.createDirectories(staged)
+
+    // stage each slice as ONE parquet file with strictly increasing
+    // mtimes: the file source must deliver slice i before slice i+1 (the
+    // append-only id contract; a mis-ordered delivery fails loudly in
+    // runIncremental's require, so ordering bugs can't pass silently)
+    val slices = (1 to 3).map(sliceDocs)
+    slices.zipWithIndex.foreach { case (df, i0) =>
+      val i = i0 + 1
+      val tmp = java.nio.file.Paths.get(work, s"tmp_$i")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val src = {
+        var found: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+        found
+      }
+      val dst = staged.resolve(f"slice_$i%04d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    val baseRun = CorpusPipeline.run(corpusDocs, heldOut,
+      packBudget = 64, captureState = true)
+    val baseRows = baseRun.corpus.count()
+
+    // ---- streamed path: one file per trigger through foreachBatch
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val h = StreamingIngest.start(stream, baseRun.state.get,
+      stateRoot = s"$work/state", checkpoint = s"$work/ckpt")
+    h.query.processAllAvailable()
+    h.query.stop()
+
+    // ---- batch chain over the SAME staged files (identical inputs)
+    var st = baseRun.state.get
+    (1 to 3).foreach { i =>
+      val df = spark.read.parquet(staged.resolve(f"slice_$i%04d.parquet").toString)
+      st = CorpusPipeline.runIncremental(df, st).state.get
+    }
+
+    assert(h.stats.size == 3, s"expected 3 non-empty batches, got ${h.stats}")
+    assert(rowKey(h.state.corpus) == rowKey(st.corpus),
+      "streamed corpus != batch-chained corpus")
+    // the probes really fired across the stream boundary: exact dups,
+    // near-dups and the contaminated doc dropped; the unique docs landed
+    val ids = h.state.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    (1 to 3).foreach { i =>
+      assert(ids.contains(i * 100L + 1L), s"slice $i unique doc missing")
+      assert(!ids.contains(i * 100L + 2L), s"slice $i exact dup survived")
+      assert(!ids.contains(i * 100L + 3L), s"slice $i near dup survived")
+    }
+    assert(!ids.contains(204L), "contaminated slice doc survived the stored bloom")
+    assert(h.state.corpus.count() > baseRows, "nothing appended")
+
+    // rotation: only the LAST batch's state directory remains
+    val stateDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/state"))
+      .iterator()
+    var remaining = List.empty[String]
+    while (stateDirs.hasNext) remaining ::= stateDirs.next().getFileName.toString
+    assert(remaining == List("state_2"),
+      s"expected only the final state dir after rotation, got $remaining")
+    assert(h.stateDir.exists(_.endsWith("state_2")))
+  }
+}

@@ -378,6 +378,94 @@ def frame_rows(df):
     return cols, rows, kinds
 
 
+def hash_verdict(sdf, odf, name):
+    """('pass'|'fail', reported) or (None, False) when a column needs
+    the per-cell fallback. Prints its own FAIL lines for column/kind
+    mismatches (identical content to the render path's).
+
+    TypeError is the ONE exception class that is a verdict (array cells
+    are fatal by the driver's own sort contract — the same FAIL the
+    render path raises). Anything else the vectorized digest trips over
+    (a tz-aware or out-of-range datetime64 in to_numpy, an unexpected
+    dtype in a numpy op) is a DIGEST limitation, not a result defect:
+    degrade that frame to the authoritative render compare instead of
+    killing the whole strict-gate run (round-15 ADVICE — fail-loud
+    stays, wrong-scope abort goes). Module-level so
+    selftest_check_strict.py can pin both exception behaviors."""
+    try:
+        ds = frame_digest(sdf)
+    except TypeError as e:
+        print(f"FAIL  {name}: spark side: {e}")
+        return "fail", True
+    except Exception as e:
+        print(f"NOTE  {name}: digest fell back to render (spark side: "
+              f"{type(e).__name__}: {e})")
+        return None, False
+    try:
+        do = frame_digest(odf)
+    except TypeError as e:
+        print(f"FAIL  {name}: oracle side: {e}")
+        return "fail", True
+    except Exception as e:
+        print(f"NOTE  {name}: digest fell back to render (oracle side: "
+              f"{type(e).__name__}: {e})")
+        return None, False
+    if ds is None or do is None:
+        return None, False
+    s_cols, s_kinds, s_dig = ds
+    o_cols, o_kinds, o_dig = do
+    if s_cols != o_cols:
+        print(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
+        return "fail", True
+    bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
+                if sk and ok and sk != ok]
+    if bad_kind:
+        print(f"FAIL  {name}: dtype mismatch: " + "; ".join(
+            f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
+            for c, sk, ok in bad_kind))
+        return "fail", True
+    if s_dig == o_dig:
+        return "pass", False
+    return "fail", False  # render path reports the row diff
+
+
+def render_verdict(sdf, odf, name, quiet=False):
+    def out(msg):
+        if not quiet:
+            print(msg)
+    try:
+        s_cols, s_rows, s_kinds = frame_rows(sdf)
+    except TypeError as e:
+        out(f"FAIL  {name}: spark side: {e}")
+        return "fail"
+    try:
+        o_cols, o_rows, o_kinds = frame_rows(odf)
+    except TypeError as e:
+        out(f"FAIL  {name}: oracle side: {e}")
+        return "fail"
+    if s_cols != o_cols:
+        out(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
+        return "fail"
+    bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
+                if sk and ok and sk != ok]
+    if bad_kind:
+        out(f"FAIL  {name}: dtype mismatch: " + "; ".join(
+            f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
+            for c, sk, ok in bad_kind))
+        return "fail"
+    if s_rows == o_rows:
+        out(f"PASS  {name}: {len(s_rows)} rows")
+        return "pass"
+    out(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+    if not quiet:
+        sa, sb = set(s_rows), set(o_rows)
+        for r in list(sa - sb)[:3]:
+            print(f"      spark-only:  {r}")
+        for r in list(sb - sa)[:3]:
+            print(f"      oracle-only: {r}")
+    return "fail"
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     # CHECK_THREADS caps DuckDB's per-connection threads so sharded runs
@@ -434,74 +522,6 @@ def main(sf_dir, out_dir):
     hash_mode = os.environ.get("CHECK_HASH", "1") != "0"
     differential = bool(os.environ.get("CHECK_DIFFERENTIAL_HASH"))
 
-    def hash_verdict(sdf, odf, name):
-        """('pass'|'fail', reported) or (None, False) when a column needs
-        the per-cell fallback. Prints its own FAIL lines for column/kind
-        mismatches (identical content to the render path's)."""
-        try:
-            ds = frame_digest(sdf)
-        except TypeError as e:
-            print(f"FAIL  {name}: spark side: {e}")
-            return "fail", True
-        try:
-            do = frame_digest(odf)
-        except TypeError as e:
-            print(f"FAIL  {name}: oracle side: {e}")
-            return "fail", True
-        if ds is None or do is None:
-            return None, False
-        s_cols, s_kinds, s_dig = ds
-        o_cols, o_kinds, o_dig = do
-        if s_cols != o_cols:
-            print(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
-            return "fail", True
-        bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
-                    if sk and ok and sk != ok]
-        if bad_kind:
-            print(f"FAIL  {name}: dtype mismatch: " + "; ".join(
-                f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
-                for c, sk, ok in bad_kind))
-            return "fail", True
-        if s_dig == o_dig:
-            return "pass", False
-        return "fail", False  # render path reports the row diff
-
-    def render_verdict(sdf, odf, name, quiet=False):
-        def out(msg):
-            if not quiet:
-                print(msg)
-        try:
-            s_cols, s_rows, s_kinds = frame_rows(sdf)
-        except TypeError as e:
-            out(f"FAIL  {name}: spark side: {e}")
-            return "fail"
-        try:
-            o_cols, o_rows, o_kinds = frame_rows(odf)
-        except TypeError as e:
-            out(f"FAIL  {name}: oracle side: {e}")
-            return "fail"
-        if s_cols != o_cols:
-            out(f"FAIL  {name}: columns spark={s_cols} oracle={o_cols}")
-            return "fail"
-        bad_kind = [(c, sk, ok) for c, sk, ok in zip(s_cols, s_kinds, o_kinds)
-                    if sk and ok and sk != ok]
-        if bad_kind:
-            out(f"FAIL  {name}: dtype mismatch: " + "; ".join(
-                f"{c}: spark={sorted(sk)} oracle={sorted(ok)}"
-                for c, sk, ok in bad_kind))
-            return "fail"
-        if s_rows == o_rows:
-            out(f"PASS  {name}: {len(s_rows)} rows")
-            return "pass"
-        out(f"FAIL  {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
-        if not quiet:
-            sa, sb = set(s_rows), set(o_rows)
-            for r in list(sa - sb)[:3]:
-                print(f"      spark-only:  {r}")
-            for r in list(sb - sa)[:3]:
-                print(f"      oracle-only: {r}")
-        return "fail"
-
     def check_one(name):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -522,7 +542,14 @@ def main(sf_dir, out_dir):
             # rows-only: the driver still sorts by all columns, so array
             # cells are fatal even without an oracle (k2 round-1 lesson)
             try:
-                d = frame_digest(sdf) if hash_mode else None
+                d = None
+                if hash_mode:
+                    try:
+                        d = frame_digest(sdf)
+                    except TypeError:
+                        raise
+                    except Exception:
+                        d = None  # digest limitation → render-count fallback
                 nrows = d[2][0] if d is not None else len(frame_rows(sdf)[1])
             except TypeError as e:
                 print(f"FAIL  {name}: spark side: {e}")

@@ -121,6 +121,35 @@ def main():
            pd.DataFrame({"k": pd.Series([], dtype="object")}),
            True)
 
+    # hash_verdict exception taxonomy (round-15 ADVICE): TypeError is a
+    # VERDICT (fail, reported); any other digest exception must degrade
+    # to the render path (None, unreported) instead of propagating and
+    # killing the whole strict-gate run
+    plain = pd.DataFrame({"k": [1, 2]})
+    real_digest = cs.frame_digest
+    try:
+        def boom(kind):
+            def f(df):
+                raise kind("synthetic digest limitation")
+            return f
+        cs.frame_digest = boom(ValueError)
+        v = cs.hash_verdict(plain, plain, "selftest_valueerror")
+        ok = v == (None, False)
+        (print if ok else FAILS.append)(
+            f"{'ok  ' if ok else 'FAIL'} digest ValueError degrades to render: got {v}")
+        cs.frame_digest = boom(TypeError)
+        v = cs.hash_verdict(plain, plain, "selftest_typeerror")
+        ok = v == ("fail", True)
+        (print if ok else FAILS.append)(
+            f"{'ok  ' if ok else 'FAIL'} digest TypeError stays a FAIL verdict: got {v}")
+    finally:
+        cs.frame_digest = real_digest
+    # and the degraded path's authoritative verdict still works
+    v = cs.render_verdict(plain, plain, "selftest_render", quiet=True)
+    ok = v == "pass"
+    (print if ok else FAILS.append)(
+        f"{'ok  ' if ok else 'FAIL'} render verdict after degrade: got {v}")
+
     if FAILS:
         print("\n".join(str(f) for f in FAILS))
         print(f"== SELFTEST FAILED: {len(FAILS)}")
