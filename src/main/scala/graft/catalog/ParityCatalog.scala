@@ -561,18 +561,29 @@ object ParityCatalog {
                     ELSE 9223372036854775806 END AS near_max_sum
         FROM src
       """)) { (spark, dir) =>
+      // the three hot columns run graft's BRANCH-based try twins
+      // (functions/TrySafe.scala): the builtin try_* implement TRY mode
+      // by throwing the ANSI error and catching it per failing row, and
+      // this fixture fails ON PURPOSE on most rows (event_type never
+      // parses, every 5th denominator is zero, every 3rd add overflows) —
+      // measured ~11-21 µs/row of exception machinery, 2.5 s solo for a
+      // 100k-row map-only scan (round-16). Same results, no throw on any
+      // path; TrySafeSpec pins each twin equal to its builtin row-by-row.
+      // try_cast('42') stays the builtin: constant, folded at plan time.
+      import graft.functions.TrySafe
       val k = get_json_object(col("props"), "$.k").cast("int")
       Tables.events(spark, dir)
         .withColumn("k", k)
         .select(col("event_id"),
-          expr("try_cast(event_type AS BIGINT)").as("parsed"),
+          TrySafe.tryStringToLong(col("event_type")).as("parsed"),
           expr("try_cast('42' AS BIGINT)").as("parsed_ok"),
-          expr("try_divide(CAST(k AS DOUBLE), k % 5)").as("ratio"),
+          TrySafe.tryDivideDouble(
+            col("k").cast("double"), (col("k") % 5).cast("double")).as("ratio"),
           // overflows (→ NULL) exactly on event_id % 3 == 0: (MAX-1) + 2;
           // the other branches land at MAX and MAX-1 — stated as literals
           // in the oracle, so wraparound or Inf would hash-mismatch
-          expr("try_add(9223372036854775806L, 2L - (event_id % 3))")
-            .as("near_max_sum"))
+          TrySafe.tryAddLong(lit(9223372036854775806L),
+            lit(2L) - (col("event_id") % 3)).as("near_max_sum"))
     },
 
     // ---- M9: calibration-curve binning ------------------------------------

@@ -22,6 +22,14 @@ Exit 1 on any flag or on a catalog mismatch between the two records.
 The full ranking prints regardless — it is the round's
 where-to-optimize-next list.
 
+--twin flagged=twin (repeatable): a DOCUMENTED exact/sketch pair — the
+flagged entry is the deliberate exact form kept for cross-engine gating,
+the twin is the production plan (dq3's multi-distinct Expand next to
+dq5's no-Expand HLL profile, adjudicated "keep the pair" in rounds 13 and
+15). The flag is suppressed ONLY if the named twin itself passes the
+gate; a slow twin fails both. The pairing is on the command line, not
+buried in the tool, so the waiver is visible in every gate log.
+
 --solo <record>: a bench record captured with SPARK_GRAFT_BENCH_THREADS=1
 (and typically SPARK_GRAFT_BENCH_ONLY over the flagged names). The
 in-suite per-query seconds include the 8-way self-contention plateau —
@@ -63,7 +71,10 @@ def main():
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--solo", default=None,
                     help="1-thread bench record; rescues plateau flags")
+    ap.add_argument("--twin", action="append", default=[],
+                    help="flagged=twin documented exact/production pair")
     args = ap.parse_args()
+    twins = dict(t.split("=", 1) for t in args.twin)
 
     spark = load_queries(args.spark_record)
     duck = load_queries(args.duckdb_record)
@@ -103,7 +114,7 @@ def main():
 
     candidates = [(r, s, d, q) for (r, s, d, q) in rows
                   if r > args.threshold and s > floor and s - d > args.min_gap_sec]
-    weak, plateau = [], []
+    weak, plateau, twinned = [], [], []
     for r, s, d, q in candidates:
         ss = solo.get(q)
         # solo rescue: measured 1-thread seconds replace the in-suite
@@ -112,6 +123,11 @@ def main():
         if ss is not None and ss > 0 and not (
                 ss / d > args.threshold and ss - d > args.min_gap_sec):
             plateau.append((r, s, d, q, ss))
+        elif q in twins and twins[q] in spark and twins[q] in duck and not (
+                spark[twins[q]] / duck[twins[q]] > args.threshold
+                and spark[twins[q]] > floor
+                and spark[twins[q]] - duck[twins[q]] > args.min_gap_sec):
+            twinned.append((r, s, d, q, twins[q], spark[twins[q]]))
         else:
             weak.append((r, s, d, q))
     weak.sort(key=lambda t: -(t[1] - t[2]))
@@ -121,6 +137,9 @@ def main():
     for r, s, d, q, ss in sorted(plateau, key=lambda t: -t[1]):
         print(f"PLATEAU {q}: suite {s:.2f}s but solo {ss:.2f}s vs duckdb "
               f"{d:.2f}s — 8-way self-contention constant, not plan cost")
+    for r, s, d, q, tw, ts in sorted(twinned, key=lambda t: -t[1]):
+        print(f"TWIN {q}: deliberate exact form at {s:.2f}s; production "
+              f"twin {tw} passes at {ts:.2f}s")
 
     print(f"-- top spark costs (the where-to-optimize ranking; "
           f"median {median:.2f}s, outlier floor {floor:.2f}s) --")
@@ -130,7 +149,7 @@ def main():
     ratio_str = f"{ts / td:.2f}x" if td > 0 else "n/a (duckdb sum 0)"
     print(f"== suite sum: spark {ts:.1f}s / duckdb {td:.1f}s = {ratio_str} "
           f"(bench wall runs 8-way; compare walls for the headline); "
-          f"weak={len(weak)} plateau={len(plateau)} "
+          f"weak={len(weak)} plateau={len(plateau)} twinned={len(twinned)} "
           f"mismatched={len(only_spark) + len(only_duck)}")
     return 1 if weak or only_spark or only_duck else 0
 
