@@ -121,4 +121,53 @@ class StreamingIngestSpec extends SparkSpec {
       s"expected only the final state dir after rotation, got $remaining")
     assert(h.stateDir.exists(_.endsWith("state_2")))
   }
+
+  test("an already-committed batch replays idempotently: load, never recompute") {
+    // foreachBatch is at-least-once: a crash between the state commit
+    // and the checkpoint's offset commit replays the batch. The state
+    // dir is keyed by batchId, so the replay must SHORT-CIRCUIT to
+    // loading the committed state — recomputing would double-append
+    // against the rolled state and trip the append-only require.
+    // Simulated directly: pre-commit a state under this stream's
+    // batch-0 key whose corpus is DISTINGUISHABLE from what recomputing
+    // the batch would produce, then run the stream — the handle must
+    // come back with the pre-committed state, and the slice docs must
+    // NOT be appended a second time.
+    val work = java.nio.file.Files.createTempDirectory("streaming-replay").toString
+    val staged = java.nio.file.Paths.get(work, "slices")
+    java.nio.file.Files.createDirectories(staged)
+    sliceDocs(1).coalesce(1).write.parquet(java.nio.file.Paths.get(work, "tmp").toString)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(work, "tmp"))
+      .iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    java.nio.file.Files.copy(src, staged.resolve("slice_0001.parquet"))
+
+    val baseRun = CorpusPipeline.run(corpusDocs, heldOut,
+      packBudget = 64, captureState = true)
+    // "yesterday's crash already committed batch 0": a rolled state
+    // whose corpus carries a sentinel doc id no recompute would produce
+    val sentinel = CorpusPipeline.runIncremental(
+      Seq((5000L, "en", (0 until 8).map(w => s"sentinelword$w").mkString(" ")))
+        .toDF("doc_id", "lang", "text"),
+      baseRun.state.get).state.get
+    CorpusPipeline.CorpusState.write(sentinel, s"$work/state/state_0")
+
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val h = StreamingIngest.start(stream, baseRun.state.get,
+      stateRoot = s"$work/state", checkpoint = s"$work/ckpt")
+    h.query.processAllAvailable()
+    h.query.stop()
+
+    val ids = h.state.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(5000L), "replay must LOAD the committed state (sentinel doc)")
+    assert(!ids.contains(101L), "replay must not recompute and double-append the slice")
+    assert(h.stats.map(_.sliceRows) == Seq(0L), s"replay stats must mark 0 computed rows: ${h.stats}")
+  }
 }
