@@ -122,6 +122,66 @@ class StreamingIngestSpec extends SparkSpec {
     assert(h.stateDir.exists(_.endsWith("state_2")))
   }
 
+  test("embeddingsOf projector: the semantic probe fires across the stream boundary") {
+    // docs stream WITH an embedding column; the projector peels it off
+    // per batch so runIncremental's semantic probe runs against the
+    // corpus's stored centroids — the slice near-duplicate of a corpus
+    // vector (same direction, closer to the centroid) must drop, the
+    // orthogonal one must survive
+    val work = java.nio.file.Files.createTempDirectory("streaming-emb").toString
+    val staged = java.nio.file.Paths.get(work, "slices")
+    java.nio.file.Files.createDirectories(staged)
+
+    def vec(parts: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(8)(0.0)
+      parts.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // corpus: 4 docs, one embedding cluster per k-means seed direction;
+    // doc 3 sits FAR from centroid 0 (the stored anti-memorization keep)
+    val corpusE = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta", vec(0 -> 1.0)),
+      (2L, "en", "one two three four five six seven", vec(1 -> 1.0)),
+      (3L, "en", "red orange yellow green blue indigo", vec(0 -> 1.6)),
+      (4L, "en", "north south east west up down sideways", vec(2 -> 1.0)))
+    val baseRun = CorpusPipeline.run(
+      corpusE.map(t => (t._1, t._2, t._3)).toDF("doc_id", "lang", "text"),
+      heldOut,
+      embeddings = Some(corpusE.map(t => (t._1, t._4)).toDF("doc_id", "embedding")),
+      semK = 3, semIters = 2, semThreshold = 0.9, semMaxCell = 8,
+      packBudget = 64, captureState = true)
+
+    // slice: 101 = same direction as the cell-0 cluster, closer to the
+    // centroid than stored member 3 (dropped by the probe); 102 = a
+    // fresh orthogonal direction (survives)
+    val slice = Seq(
+      (101L, "en", "aa bb cc dd ee ff gg hh", vec(0 -> 1.1)),
+      (102L, "en", "ii jj kk ll mm nn oo pp", vec(3 -> 1.0)))
+      .toDF("doc_id", "lang", "text", "emb")
+    slice.coalesce(1).write.parquet(java.nio.file.Paths.get(work, "tmp").toString)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(work, "tmp")).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    java.nio.file.Files.copy(src, staged.resolve("slice_0001.parquet"))
+
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val h = StreamingIngest.start(stream, baseRun.state.get,
+      stateRoot = s"$work/state", checkpoint = s"$work/ckpt",
+      embeddingsOf = Some(b =>
+        b.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("emb").as("embedding"))))
+    h.query.processAllAvailable()
+    h.query.stop()
+
+    val ids = h.state.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(101L), "semantic near-dup of a stored member must drop")
+    assert(ids.contains(102L), "orthogonal slice doc must survive the probe")
+  }
+
   test("an already-committed batch replays idempotently: load, never recompute") {
     // foreachBatch is at-least-once: a crash between the state commit
     // and the checkpoint's offset commit replays the batch. The state
