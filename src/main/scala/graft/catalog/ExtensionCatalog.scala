@@ -1817,7 +1817,12 @@ object ExtensionCatalog {
           md5(concat(col("o_orderkey").cast("string"), lit("#"),
             s.cast("string"))).as("h"),
           s.cast("long").as("s")))
-      Tables.orders(spark, dir)
+      // fan the PROJECTED key before the 8-md5-per-row argmax: the
+      // single-row-group fixture scan is one task, so 1.2M md5 calls ran
+      // on one core (measured 1.1 s solo); the exchange is 8 bytes/row and
+      // a no-op whenever the file layout already parallelizes (guide §2.5)
+      Tables.fanIfNarrow(spark, dir, "orders")(
+        Tables.orders(spark, dir).select(col("o_orderkey")))
         .select(col("o_orderkey"), weights.as("w"))
         .select(
           col("o_orderkey"),

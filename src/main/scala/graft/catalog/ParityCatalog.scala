@@ -968,9 +968,14 @@ object ParityCatalog {
           FROM events)
         ${Dq3Cols.map(dq3ColSql).mkString("\n        UNION ALL\n        ")}
       """)) { (spark, dir) =>
-      val src = Tables.events(spark, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
+      // fan the projected source before the 5-column Expand (5× row
+      // amplification + distinct partial aggregate otherwise run on the
+      // single-row-group scan's one task — the x13 pattern, guide §2.5);
+      // no-op when the file layout parallelizes on its own
+      val src = Tables.fanIfNarrow(spark, dir, "events")(
+        Tables.events(spark, dir).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props")))
       graft.operators.Profiler.profile(src, Dq3Cols)
     },
 
@@ -1000,9 +1005,12 @@ object ParityCatalog {
           FROM events)
         ${Dq3Cols.map(dq5ColSql).mkString("\n        UNION ALL\n        ")}
       """)) { (spark, dir) =>
-      val src = Tables.events(spark, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props"))
+      // fanned for the same reason as dq3: the per-column HLL sketch pass
+      // otherwise runs on the single scan task (guide §2.5)
+      val src = Tables.fanIfNarrow(spark, dir, "events")(
+        Tables.events(spark, dir).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"), col("props")))
       graft.operators.Profiler.profileApprox(src, Dq3Cols)
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
           col("null_frac_micro"),

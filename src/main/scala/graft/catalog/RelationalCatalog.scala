@@ -354,7 +354,12 @@ object RelationalCatalog {
       """)) { (spark, dir) =>
       val bad = Tables.supplier(spark, dir)
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-      Tables.lineitem(spark, dir)
+      // fan the projected fact columns before the broadcast-join + partial
+      // distinct-agg map stage: single-row-group fixture = one scan task,
+      // so the whole map side ran on one core (measured; guide §2.5). The
+      // exchange carries 16 bytes/row and disappears on a splittable layout.
+      Tables.fanIfNarrow(spark, dir, "lineitem")(
+        Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_partkey")))
         .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#45"),
           col("p_partkey") === col("l_partkey"))
