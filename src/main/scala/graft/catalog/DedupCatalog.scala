@@ -75,10 +75,15 @@ object DedupCatalog {
       .otherwise(raise_error(lit(
         "doc_id outside [0, 2^31) cannot ride the packed-long dedup path: remap ids first")))
 
-  /** First 15 md5 hex chars of a string as a positive BIGINT (< 2^60) —
-    * byte-identical on Spark (`conv(...,16,10)`) and DuckDB (`'0x…'::BIGINT`). */
-  private def shingleHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Private shingle key for d7/b1 (round-16, the d3 rationale): the hash
+    * never reaches the output — both queries emit doc ids and counts only —
+    * so it does not need the cross-engine md5 bridge the oracle uses on its
+    * side; xxhash64 (native, codegen'd) replaces md5+hex-conv, which
+    * profiling showed at ~40% of the d3-shaped pipelines. Engines can
+    * disagree only if a 64-bit collision merges two distinct shingles
+    * (birthday bound ~1e-9 at 260k shingles/SF — the md5 path carried its
+    * own 2^-60 collision term anyway). */
+  private def shingleHash(c: Column): Column = xxhash64(c)
 
   /** Whitespace tokens of lowercased text. */
   private def toks(c: Column): Column = split(lower(c), " ")

@@ -772,10 +772,13 @@ object RelationalCatalog {
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
+      // probe sides NOT deduped (round-16): left_semi stops at the first
+      // match and left_anti at the first disproof, so probe-side duplicate
+      // (orderkey, suppkey) rows cannot change the result — the .distinct()
+      // each branch used to pay was a full extra aggregate pass whose only
+      // effect was shrinking the probe hash table Spark builds anyway
       val otherSupp = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-        .distinct()
       val otherLate = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-        .distinct()
       late
         .join(otherSupp,
           col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),

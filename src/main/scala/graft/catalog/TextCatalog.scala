@@ -667,8 +667,13 @@ object TextCatalog {
         .select(col("doc_id"), toks(col("text")).as("toks"))
       val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfT = tok.groupBy(col("term"))
-        .agg(count_distinct(col("doc_id")).cast("double").as("df"))
+      // df derived FROM tf (round-16): tf already holds one row per
+      // (doc, term), so COUNT(*) per term ≡ COUNT(DISTINCT doc_id) over the
+      // raw stream — the raw-token explode+shuffle runs ONCE and the tf
+      // exchange is reused for both consumers, instead of a second full
+      // inverted-index pass just to count document frequencies
+      val dfT = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
       // N as a one-row reduction collected once (the t8 stats posture):
       // a scalar, not per-row driver state
       val n = t.agg(count(lit(1)).cast("double")).head.getDouble(0)
