@@ -613,13 +613,14 @@ object DedupCatalog {
         .join(broadcast(evalSh), Seq("h"), "left_semi")
         .select(col("doc_id")).distinct()
       // The clean-doc roster only needs "has >=1 shingle", not the hash
-      // pipeline — deriving it from the documents table (one tokenize, no
-      // explode/md5/distinct-shuffle) halves the expensive passes: the old
-      // shape re-ran shingle+md5 over the whole training corpus a second
-      // time just to enumerate doc_ids. `confirmed` is a vanishing fraction
-      // of the corpus by construction, so the anti-join broadcasts.
+      // pipeline — and a doc has >=1 distinct 3-gram shingle iff it has
+      // >=3 whitespace tokens (same split both sides), so the roster tests
+      // the TOKEN COUNT instead of building every shingle array (round-16:
+      // the shingle-set construction was ~all of this pass's CPU).
+      // `confirmed` is a vanishing fraction of the corpus by construction,
+      // so the anti-join broadcasts.
       Tables.documentsFanned(spark, dir)
-        .filter(col("doc_id") >= 25 && size(shingles(col("text"))) > 0)
+        .filter(col("doc_id") >= 25 && size(split(lower(col("text")), " ")) >= 3)
         .select(col("doc_id"))
         .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
     },

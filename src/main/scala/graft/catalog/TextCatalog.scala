@@ -669,9 +669,14 @@ object TextCatalog {
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       // df derived FROM tf (round-16): tf already holds one row per
       // (doc, term), so COUNT(*) per term ≡ COUNT(DISTINCT doc_id) over the
-      // raw stream — the raw-token explode+shuffle runs ONCE and the tf
-      // exchange is reused for both consumers, instead of a second full
-      // inverted-index pass just to count document frequencies
+      // raw stream — the two-phase distinct machinery (Expand-free here,
+      // but still a partial-distinct hash build over every token instance)
+      // becomes a plain count over already-grouped rows. NOTE: column
+      // pruning still splits the two consumers' exchanges (the df branch
+      // drops the count), so the token explode is evaluated per branch —
+      // the win is replacing the distinct aggregate, not removing a scan;
+      // measured CPU-neutral solo (the twin subtrees run concurrently),
+      // slightly fewer shuffled bytes.
       val dfT = tf.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
       // N as a one-row reduction collected once (the t8 stats posture):
@@ -1020,6 +1025,19 @@ object TextCatalog {
         FROM ranked
       """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // NOTE (round-16 optimization pass, measured and deliberately KEPT
+      // as-is): `scored` feeds the phase-1 grid aggregate AND the phase-2
+      // rank join, and the physical plan evaluates the bigram pipeline
+      // TWICE (no ReusedExchange — the grid branch prunes to (lang, b), so
+      // the canonicalized subtrees differ). Both de-duplication forms were
+      // measured: Reuse.materialize 1.53 → 1.97 s solo, a shared
+      // repartition(lang, b) 1.53 → 2.02 s solo (pruning still split the
+      // exchanges) — the twin subtrees run CONCURRENTLY on idle cores, so
+      // at fixture scale the duplicate is pure inter-stage parallelism and
+      // removing it only serializes the critical path. At corpus scale the
+      // crossover flips (2× a 100 TB pipeline is never free) and the right
+      // form is Reuse.materialize(scored) — the g6 idiom; flagged here so
+      // a deployment reading this entry knows which knob to turn.
       val scored = bigramLmDocScores(spark, dir)
         .join(Tables.documents(spark, dir)
           .filter(col("lang").isNotNull)
