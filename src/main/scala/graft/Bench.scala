@@ -117,11 +117,16 @@ private final class ShuffleBytesListener extends org.apache.spark.scheduler.Spar
   * the driver. A failed query reports -1 and logs to stderr rather than
   * recording a fast fake timing.
   *
-  * Output contract: the FINAL stdout line is the bare totals JSON
-  * (`{"metric":"total","value":<best wall>,...}`) — nothing follows it, and
-  * build.sbt routes forked stdout through unprefixed so the driver can
-  * `json.loads` the last line. The per-query seconds map goes to
-  * BENCH_LOCAL.json (or SPARK_GRAFT_BENCH_OUT), never stdout. The suite
+  * Output contract: the FINAL stdout line is the totals JSON
+  * (`{"metric":"total","value":<best wall>,"queries":{...},...}`) — nothing
+  * follows it, and build.sbt routes forked stdout through unprefixed so the
+  * driver can `json.loads` the last line. Round-16 contract gap, closed
+  * round 17: the driver's round-over-round comparator reads the per-query
+  * seconds map from this line (`PERF_r16.json` came back with
+  * `per_query: {}` / `n_common: 0` because the map lived only in
+  * BENCH_LOCAL.json), so the final line now carries `"queries"` (seconds,
+  * ms-rounded to keep the line compact; full-precision values still ship in
+  * BENCH_LOCAL.json together with the per-query shuffle bytes). The suite
   * runs SPARK_GRAFT_BENCH_REPEATS times (default 3 — the committed records are all best-of-3, and repeat 1 pays the per-dir model training); the headline is the
   * best wall, and every repeat's wall + 1-min load average ships in the
   * record (`walls`, `load_avg_1m`, `core_probe_sec` — a fixed
@@ -374,8 +379,17 @@ object Bench {
       .map { case (k, (_, w)) => s"\"" + k + "\":" + w }.mkString("{", ",", "}")
     val shufRTotal = shuffles.valuesIterator.map(_._1).sum
     val shufWTotal = shuffles.valuesIterator.map(_._2).sum
+    // ms-rounded per-query seconds for the stdout totals line: the driver's
+    // per-query comparator needs the map in the FINAL line (round-16
+    // PERF came back empty reading only totals), and rounding keeps the
+    // line ~6 KB instead of ~9 KB; BENCH_LOCAL.json keeps full precision.
+    val qsCompact = results.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        val r = if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+        s"\"" + k + "\":" + r
+      }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"core_probe_sec":$probes,"load_note":"per-repeat load_avg_1m samples include this bench's own local[$cpus] load",$contentionJson,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${results.size},"failures":$failures,"queries":$qsCompact,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"core_probe_sec":$probes,"load_note":"per-repeat load_avg_1m samples include this bench's own local[$cpus] load",$contentionJson,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes_total":$shufRTotal,"shuffle_write_bytes_total":$shufWTotal}"""
     val full =
       s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir","threads":$threads,"sum_query_sec":$sumSec,"repeats":$repeats,"walls":$walls,"load_avg_1m":$loads,"core_probe_sec":$probes,"load_note":"per-repeat load_avg_1m samples include this bench's own local[$cpus] load",$contentionJson,"waited_for_quiet_sec":$waitedSec,"contended":$contended,"shuffle_read_bytes":$shufR,"shuffle_write_bytes":$shufW}"""
     // A SPARK_GRAFT_BENCH_ONLY-filtered run must not clobber the committed
@@ -390,13 +404,13 @@ object Bench {
       java.nio.file.Files.write(out, (summary + "\n" + full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not persist BENCH_LOCAL.json: ${e.getMessage}") }
     spark.stop()
-    // Self-evidencing headline, LAST and BARE (round-5 lesson: the driver
-    // parses the final stdout line as JSON; printed earlier it scrolls out
-    // of the tail window, printed under sbt's logger it gains an "[info] "
-    // prefix — build.sbt sets run/outputStrategy := StdoutOutput so this
-    // passes through unprefixed). The per-query map lives in
-    // BENCH_LOCAL.json only: a 5 KB line would push the headline out of a
-    // bounded tail capture.
+    // Self-evidencing headline, LAST (round-5 lesson: the driver parses the
+    // final stdout line as JSON; printed earlier it scrolls out of the tail
+    // window, printed under sbt's logger it gains an "[info] " prefix —
+    // build.sbt sets run/outputStrategy := StdoutOutput so this passes
+    // through unprefixed). Since round 17 the line carries the ms-rounded
+    // per-query map — the driver's comparator contract — full precision and
+    // per-query shuffle bytes stay in BENCH_LOCAL.json.
     println(summary)
   }
 }

@@ -869,31 +869,60 @@ object DedupCatalog {
                     ELSE per.n_boilerplate * 1.0 / per.n_windows < 0.5 END AS keep
         FROM documents d LEFT JOIN per USING (doc_id)
       """)) { (spark, dir) =>
+      // Window key: each TOKEN is xxhash64'd once, and every 5-gram window
+      // hashes the 5-tuple of token hashes (round-17, the d14 idiom /
+      // guide §4 expression cost): the old form built a joined STRING per
+      // window (≈5× the corpus bytes re-copied and re-hashed, one alloc
+      // per window); this form hashes each token's bytes once and then 5
+      // longs per window, all codegen. The key stays a private 64-bit
+      // xxhash64 — same collision posture as before, only the input
+      // encoding changed (token-hash tuple instead of the joined string).
       val t = Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .withColumn("tv", transform(col("t"), w => xxhash64(w)))
       // size<5 docs: when() nulls the array and explode emits nothing —
       // same one-evaluation posture as minhashBandsDF (no pushed filter
       // re-running the window pipeline below the fan exchange)
       val wins = t.select(col("doc_id"),
         explode(when(size(col("t")) >= 5,
           transform(sequence(lit(1), size(col("t")) - 4),
-            i => xxhash64(array_join(slice(col("t"), i, lit(5)), " "))))).as("h"))
-      val nd = wins.groupBy(col("h"))
+            i => xxhash64(
+              element_at(col("tv"), i),
+              element_at(col("tv"), i + 1),
+              element_at(col("tv"), i + 2),
+              element_at(col("tv"), i + 3),
+              element_at(col("tv"), i + 4))))).as("h"))
+      // Round-17 reshape (guide §2.3 shuffle fewer bytes / §3.1 broadcast
+      // the small side): the old plan joined EVERY window occurrence
+      // against the FULL n-gram roster and only then tested ndocs >= 3 —
+      // a wins-sized exchange plus a vocabulary-sized build side, to
+      // attribute a property that a small fraction of hashes have. The
+      // roster is now filtered to the boilerplate hashes BEFORE the join
+      // back, so the join's build side is the (small) boilerplate set —
+      // broadcastable at any SF where boilerplate stays a fraction of the
+      // vocabulary — and the probe side's exchange disappears; per-doc
+      // n_boilerplate is a count of the surviving occurrences. n_windows
+      // itself is pure arithmetic on the token count (len-4 windows for
+      // len >= 5, else none) — no join at all.
+      val bp = wins.groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("ndocs"))
-      val per = wins.join(nd, Seq("h"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("ndocs") >= 3, 1).otherwise(0)).as("n_boilerplate"))
-      Tables.documents(spark, dir).select(col("doc_id"))
-        .join(per, Seq("doc_id"), "left")
+        .filter(col("ndocs") >= 3).select(col("h"))
+      val nb = wins.join(bp, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
+      val nWin = when(size(split(lower(col("text")), " ")) >= 5,
+        (size(split(lower(col("text")), " ")) - 4).cast("long")).otherwise(0L)
+      Tables.documents(spark, dir).select(col("doc_id"), nWin.as("n_windows"))
+        .join(nb, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          col("n_windows"),
           coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
-          when(col("n_windows").isNull, lit(0.0))
-            .otherwise(col("n_boilerplate") * lit(1.0) / col("n_windows"))
+          when(col("n_windows") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_boilerplate"), lit(0L)) * lit(1.0)
+              / col("n_windows"))
             .as("boilerplate_frac"),
-          when(col("n_windows").isNull, lit(true))
-            .otherwise(col("n_boilerplate") * lit(1.0) / col("n_windows") < 0.5)
+          when(col("n_windows") === 0, lit(true))
+            .otherwise(coalesce(col("n_boilerplate"), lit(0L)) * lit(1.0)
+              / col("n_windows") < 0.5)
             .as("keep"))
     },
 
@@ -1013,28 +1042,43 @@ object DedupCatalog {
         .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .select(col("h1"), col("h2"), col("h3"), col("first_pk"))
-      // later occurrences of duplicated windows erase their W positions;
-      // distinct collapses overlapping spans before the rebuild
-      val removed = wins.join(dups, Seq("h1", "h2", "h3"))
+      // Later occurrences of duplicated windows erase their W positions.
+      // Round-17 rebuild (guide §2.3 shuffle fewer bytes / §8 decide with
+      // small rows, move heavy rows once): the erase set travels as one
+      // LONG per erased occurrence (its start position), aggregated to one
+      // row per doc — the previous shape exploded all W positions per
+      // occurrence, distinct'd them, then shuffled EVERY token of the
+      // corpus through an anti-join on (doc_id, tokpos) and re-sorted each
+      // document back together with a collect_list window. The rebuild is
+      // now a doc-level left join (both sides one row per doc) and a
+      // map-only array rewrite over the token array the scan already
+      // carries: expand starts to removed positions in-row, array_except
+      // them from the position range (order-preserving), slice the kept
+      // tokens out. Shuffled bytes drop from (50× starts + every token +
+      // every kept token) to exactly one long per erased occurrence.
+      val removedStarts = wins.join(dups, Seq("h1", "h2", "h3"))
         .filter(col("pk") =!= col("first_pk"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (W - 1))).as("tokpos"))
-        .distinct()
-      val tokens = t.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
-          posexplode(col("t")).as(Seq("p0", "w")))
-        .select(col("doc_id"), col("n_toks"),
-          (col("p0") + 1).cast("long").as("tokpos"), col("w"))
-      tokens.join(removed, Seq("doc_id", "tokpos"), "left_anti")
         .groupBy(col("doc_id"))
-        .agg(
-          max(col("n_toks")).as("n_toks"),
-          count(lit(1)).as("n_kept"),
-          (max(col("n_toks")) - count(lit(1))).as("n_removed"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("tokpos"), col("w")))),
-              s => s("w")),
-            " ").as("dedup_text"))
+        .agg(collect_list(col("pos")).as("starts"))
+      val fullRange = sequence(lit(1L), size(col("t")).cast("long"))
+      // clean docs (no erased window — the common case) skip the rewrite
+      val keptPos = when(col("starts").isNull, fullRange)
+        .otherwise(array_except(fullRange,
+          flatten(transform(col("starts"),
+            p => sequence(p, p + lit((W - 1).toLong))))))
+      t.select(col("doc_id"), col("t"))
+        .join(removedStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("t"),
+          size(col("t")).cast("long").as("n_toks"), keptPos.as("kp"))
+        .select(col("doc_id"), col("n_toks"),
+          size(col("kp")).cast("long").as("n_kept"),
+          (col("n_toks") - size(col("kp")).cast("long")).as("n_removed"),
+          when(size(col("kp")) === size(col("t")), array_join(col("t"), " "))
+            .otherwise(array_join(
+              transform(col("kp"), p => element_at(col("t"), p.cast("int"))), " "))
+            .as("dedup_text"))
+        // the oracle's `kept` GROUP BY emits no row for a fully-erased doc
+        .filter(col("n_kept") > 0)
     })
 
   /** Shared SimHash signature frame: (doc_id, 32-char bitstring) — a

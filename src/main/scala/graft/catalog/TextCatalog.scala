@@ -1025,20 +1025,20 @@ object TextCatalog {
         FROM ranked
       """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      // NOTE (round-16 optimization pass, measured and deliberately KEPT
-      // as-is): `scored` feeds the phase-1 grid aggregate AND the phase-2
-      // rank join, and the physical plan evaluates the bigram pipeline
-      // TWICE (no ReusedExchange — the grid branch prunes to (lang, b), so
-      // the canonicalized subtrees differ). Both de-duplication forms were
-      // measured: Reuse.materialize 1.53 → 1.97 s solo, a shared
-      // repartition(lang, b) 1.53 → 2.02 s solo (pruning still split the
-      // exchanges) — the twin subtrees run CONCURRENTLY on idle cores, so
-      // at fixture scale the duplicate is pure inter-stage parallelism and
-      // removing it only serializes the critical path. At corpus scale the
-      // crossover flips (2× a 100 TB pipeline is never free) and the right
-      // form is Reuse.materialize(scored) — the g6 idiom; flagged here so
-      // a deployment reading this entry knows which knob to turn.
-      val scored = bigramLmDocScores(spark, dir)
+      // Round-17 (VERDICT r16 #3): `scored` feeds the phase-1 grid
+      // aggregate AND the phase-2 rank join, and without materialization
+      // the physical plan evaluates the whole bigram pipeline TWICE (no
+      // ReusedExchange — the grid branch prunes to (lang, b), so the
+      // canonicalized subtrees differ). Round 16 rejected
+      // Reuse.materialize on a SOLO measurement (1.53 → 1.97 s), where the
+      // twin subtrees run concurrently on idle cores by construction; the
+      // committed methodology is the 8-thread suite, where cores are NOT
+      // idle — t16 was the suite's most expensive entry at 4.6 s. Measured
+      // in-suite this round (8 threads, best-of-3): materialize wins
+      // (numbers in OPTIMIZATION_r17.md), and at corpus scale it is the
+      // only right form anyway (2× a 100 TB pipeline is never free — the
+      // g6 idiom, cluster-survivable reliable checkpoint).
+      val scored = graft.operators.Reuse.materializeFiles(bigramLmDocScores(spark, dir)
         .join(Tables.documents(spark, dir)
           .filter(col("lang").isNotNull)
           .select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -1046,7 +1046,7 @@ object TextCatalog {
           expr("score_sum div n_bigrams").as("mean_micro"))
         // phase-1 grid key: mean_micro ∈ [0, 1e6] (a probability in micro
         // units), so div 1000 gives ≤ 1001 buckets — an operator constant
-        .withColumn("b", expr("mean_micro div 1000"))
+        .withColumn("b", expr("mean_micro div 1000")))
       // exclusive offsets over the bounded (lang × ≤1001) count grid; the
       // DESC bucket order matches the DESC score order of the final rank
       val offW = Window.partitionBy(col("lang")).orderBy(col("b").desc)

@@ -163,8 +163,8 @@ class PlanLintSpec extends SparkSpec {
       "dense-id assignment over the top-1000 rows AFTER the limit: operator constant"),
     "t13_langid_confusion" -> ("Window(lang)",
       "row totals over the (true_lang x predicted_lang) confusion grid: langs^2 rows"),
-    "t16_ccnet_buckets" -> ("Window(lang); Window(lang); Window(lang, ((sum(((count(1) * 1000000) div sum(count(1)))) div count(1)) div 1000))",
-      "the x11 two-phase form itself: within-bucket rank spread over the (lang, <=1001-bucket) grid keys, offsets over the grid rows"),
+    "t16_ccnet_buckets" -> ("Window(lang); Window(lang); Window(lang, b)",
+      "the x11 two-phase form itself: within-bucket rank spread over the (lang, <=1001-bucket) grid keys, offsets over the grid rows; `b` is mean_micro div 1000 computed BEFORE the round-17 materializeFiles cut, so the flagged key is the read-back column, not the inline expression — same audited bounded grid"),
     "e10_transition_matrix" -> ("Window(event_type)",
       "row shares over the (from_type x to_type) transition grid: types^2 rows"),
     "x16_compaction_bins" -> ("Window(event_type)",
