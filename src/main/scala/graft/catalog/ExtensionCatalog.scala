@@ -1914,9 +1914,21 @@ object ExtensionCatalog {
           explode(split(lower(col("text")), " ")).as("w"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 64).as("bucket"))
-      val counts = tok.groupBy(col("bucket")).agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
+      // Round-17 (guide §2.3 aggregate before you shuffle / §8 decide with
+      // small rows): the token stream fed BOTH the bucket-count model and
+      // the per-doc scoring join, so the tokenize + per-token md5 pass ran
+      // twice per invocation. One (doc, lang, bucket) count aggregate —
+      // ≤ 64 rows per doc whatever the corpus — is materialized once and
+      // both sides derive from it; scoring weights each bucket's
+      // ratio_micro by the doc's count c instead of re-touching tokens
+      // (Σ_tokens ratio ≡ Σ_buckets c·ratio, exact integers, same 2^63
+      // contract as before since each term is bounded by the old sum).
+      val wd = graft.operators.Reuse.materializeFiles(
+        tok.groupBy(col("doc_id"), col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("c")))
+      val counts = wd.groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_t"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("c_r"))
       // totals over the 64-row grid: constant-but-non-foldable partition
       // key (the x11 idiom) — a single-partition window bounded by the
       // bucket grid, never the corpus
@@ -1938,10 +1950,11 @@ object ExtensionCatalog {
         expr("""(CAST(c_t + 1 AS DECIMAL(20,0)) * 1000000 * CAST(n_r + 64 AS DECIMAL(20,0)))
                 div (CAST(c_r + 1 AS DECIMAL(20,0)) * CAST(n_t + 64 AS DECIMAL(20,0)))""")
           .as("ratio_micro"))
-      val scored = tok.filter(col("lang") =!= "en")
+      val scored = wd.filter(col("lang") =!= "en")
         .join(broadcast(ratio), Seq("bucket"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("ratio_micro")).as("score_sum"))
+        .agg(sum(col("c")).as("n_toks"),
+          sum(col("c") * col("ratio_micro")).as("score_sum"))
       Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
         .join(scored, Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_toks"), col("score_sum"),
